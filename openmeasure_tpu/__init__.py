@@ -1,0 +1,30 @@
+"""openmeasure-tpu: TPU-native soft-sensing framework.
+
+A ground-up JAX/XLA/Pallas re-design of the OpenMEASURE soft-sensing library
+(POD/constrained-POD reduction, optimal sensor placement, gappy-POD
+reconstruction, GP ROMs, multifidelity co-kriging, computed tomography of
+chemiluminescence), built TPU-first: Gram-route SVD, on-device pivoted QR,
+ADMM box-QP solvers, vmapped Cholesky GPs, and sharding-aware row-parallel
+pipelines over `jax.sharding.Mesh`.
+
+Top-level API mirrors the reference package layout:
+
+    from openmeasure_tpu import ROM, SPR, GPR, PIGPR, CoKriging
+    from openmeasure_tpu.ctc import camera, resample_to_grid
+"""
+
+from .rom.rom import ROM
+from .sensing.spr import SPR
+
+__all__ = ["ROM", "SPR"]
+__version__ = "0.1.0"
+
+# GPR / PIGPR / CoKriging are imported lazily to keep base import light.
+def __getattr__(name):
+    if name in ("GPR", "PIGPR"):
+        from .gp.gpr import GPR, PIGPR
+        return {"GPR": GPR, "PIGPR": PIGPR}[name]
+    if name == "CoKriging":
+        from .multifi.cokriging import CoKriging
+        return CoKriging
+    raise AttributeError(f"module 'openmeasure_tpu' has no attribute {name!r}")

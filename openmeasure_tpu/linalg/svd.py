@@ -1,0 +1,152 @@
+"""Tall-skinny SVD for snapshot matrices, TPU-first.
+
+The reference computes a thin LAPACK SVD of the scaled snapshot matrix
+(``sparse_sensing.py:272``, ``cokriging.py:62-63``) — an ``(n, m)`` panel with
+``n`` up to millions of rows and ``m`` tens of columns.  On TPU the right
+decomposition is the Gram route: ``G = X0ᵀ X0`` is a tiny ``(m, m)`` matrix
+whose computation is one MXU-bound pass over the HBM-resident panel; its
+eigendecomposition is replicated, and the left singular vectors are recovered
+with a second panel pass ``U = X0 V Σ⁻¹``.  Total cost ≈ 2 HBM reads of X0 —
+bandwidth-bound, no host transfer, and it shards row-wise across a device
+mesh with a single ``psum`` of the ``(m, m)`` Gram (see
+``openmeasure_tpu.parallel``).
+
+In float32 the Gram squares the condition number, so we run one extra
+orthogonal-iteration refinement pass by default (``refine=1``): with
+``B = X0 V``, the Gram of ``B`` is re-diagonalized, which restores most of the
+accuracy for the dominant modes at the cost of one more panel matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _sign_canonicalize(U: jax.Array, Vt: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Deterministic sign convention: the largest-|.| entry of each left
+    singular vector is made positive.  LAPACK's sign choice is arbitrary;
+    conformance tests compare up to per-mode sign."""
+    idx = jnp.argmax(jnp.abs(U), axis=0)
+    signs = jnp.sign(U[idx, jnp.arange(U.shape[1])])
+    signs = jnp.where(signs == 0, 1.0, signs).astype(U.dtype)
+    return U * signs[None, :], Vt * signs[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("refine", "canonicalize"))
+def svd_tall(
+    X0: jax.Array, refine: int = 1, canonicalize: bool = True
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Thin SVD of a tall matrix via the Gram route.
+
+    Returns ``(U, S, Vt)`` with shapes matching
+    ``np.linalg.svd(X0, full_matrices=False)`` for ``n >= m``.
+    """
+    n, m = X0.shape
+    G = X0.T @ X0  # (m, m) — single MXU pass over the panel
+    evals, V = jnp.linalg.eigh(G)  # ascending
+    V = V[:, ::-1]
+
+    B = X0 @ V  # (n, m) — second panel pass
+    for _ in range(refine):
+        # One orthogonal-iteration step: re-diagonalize B's Gram.  Recovers
+        # float32 accuracy lost to condition-number squaring.
+        G2 = B.T @ B
+        e2, V2 = jnp.linalg.eigh(G2)
+        V2 = V2[:, ::-1]
+        V = V @ V2
+        B = B @ V2
+
+    S = jnp.linalg.norm(B, axis=0)
+    eps = jnp.finfo(X0.dtype).eps
+    safe = jnp.maximum(S, eps * jnp.max(S) * n)
+    U = B / safe[None, :]
+    Vt = V.T
+    if canonicalize:
+        U, Vt = _sign_canonicalize(U, Vt)
+    return U, S, Vt
+
+
+def svd_tall_safe(
+    X0: jax.Array, refine: int = 1, canonicalize: bool = True
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """:func:`svd_tall` with a rank-deficiency fixup.
+
+    When X0 is numerically rank-deficient (e.g. a row-centered snapshot
+    matrix has rank ≤ m−1), the Gram route's null-space columns of U are
+    meaningless non-orthonormal junk, while LAPACK returns an orthonormal
+    completion.  This eager wrapper detects the case (one host sync on the
+    tiny S vector) and re-orthonormalizes U with a thin QR, preserving the
+    well-conditioned leading columns.  Use this at the API layer; use
+    :func:`svd_tall` with a truncated rank inside fully-jitted pipelines.
+    """
+    U, S, Vt = svd_tall(X0, refine=refine, canonicalize=canonicalize)
+    n, m = X0.shape
+    eps = jnp.finfo(X0.dtype).eps
+    if bool(jnp.min(S) <= eps * jnp.max(S) * n):
+        Q, R = jnp.linalg.qr(U)
+        d = jnp.diagonal(R)
+        sgn = jnp.where(d < 0, -1.0, 1.0).astype(U.dtype)
+        U = Q * sgn[None, :]
+    return U, S, Vt
+
+
+@jax.jit
+def explained_variance(S: jax.Array) -> jax.Array:
+    """``100 * cumsum(S²) / sum(S²)`` (``sparse_sensing.py:274-275``)."""
+    L = S * S
+    return 100.0 * jnp.cumsum(L) / jnp.sum(L)
+
+
+def select_rank(
+    exp_variance, select_modes: str, n_modes, max_rank: int
+) -> int:
+    """Host-side truncation-rank selection — ``ROM.reduction``
+    (``sparse_sensing.py:281-340``).  The rank must be a static Python int
+    because it fixes downstream array shapes under jit."""
+    import numpy as np
+
+    if select_modes == "variance":
+        if not 0 <= n_modes <= 100:
+            raise ValueError("The parameter n_modes is outside the [0-100] range.")
+        if n_modes == 100:
+            return max_rank
+        ev = np.asarray(exp_variance)
+        r = 1
+        while ev[r - 1] < n_modes:
+            r += 1
+        return r
+    if select_modes == "number":
+        if not isinstance(n_modes, (int,)):
+            raise TypeError("The parameter n_modes is not an integer.")
+        if not 1 <= n_modes <= max_rank:
+            raise ValueError("The parameter n_modes is outside the [1-m] range.")
+        return n_modes
+    raise ValueError("The select_mode value is wrong.")
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_iter"))
+def randomized_svd(
+    X0: jax.Array, k: int, key: Optional[jax.Array] = None, n_iter: int = 4
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Randomized truncated SVD (Halko–Martinsson–Tropp) for wide snapshot
+    sets where the exact m×m Gram is no longer cheap.  Oversampling 10,
+    ``n_iter`` power iterations with Gram-route orthogonalization."""
+    n, m = X0.shape
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    p = min(m, k + 10)
+    Omega = jax.random.normal(key, (m, p), dtype=X0.dtype)
+    Y = X0 @ Omega
+    for _ in range(n_iter):
+        Y, _ = jnp.linalg.qr(Y)
+        Y = X0 @ (X0.T @ Y)
+    Q, _ = jnp.linalg.qr(Y)
+    B = Q.T @ X0  # (p, m)
+    Ub, S, Vt = jnp.linalg.svd(B, full_matrices=False)
+    U = Q @ Ub
+    U, Vt = _sign_canonicalize(U[:, :k], Vt[:k])
+    return U, S[:k], Vt

@@ -1,0 +1,115 @@
+"""Multi-device sharded pipelines.
+
+The reference is single-process/CPU; its scaling axis is the state dimension
+n (165k–1.7M rows).  The TPU-native equivalent (SURVEY §5): shard the tall
+snapshot matrix row-wise (feature-block aligned) across a
+``jax.sharding.Mesh``, and let XLA insert the collectives:
+
+* the POD Gram ``X0ᵀX0`` becomes per-shard partial Grams + one ``psum`` of an
+  (m, m) block over ICI — the only communication in the fit;
+* the QRCP argmax reduces per-shard column norms, an argmax-allreduce;
+* reconstruction is shard-local.
+
+A second mesh axis ``mode`` parallelizes across POD modes — the r independent
+single-task GPs train as a sharded vmap (the reference trains them serially,
+``gpr.py:497-509``).
+
+Layout note: X is kept as ``(n_features, n_points, m)`` blocks sharded on
+``n_points`` so per-feature scaling reductions stay shard-local.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_state: int, n_mode: int = 1,
+              devices=None) -> Mesh:
+    """Create a 2-D (state × mode) device mesh."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[: n_state * n_mode]).reshape(
+        n_state, n_mode)
+    return Mesh(devices, axis_names=("state", "mode"))
+
+
+def shard_snapshots(X: jax.Array, n_features: int, mesh: Mesh) -> jax.Array:
+    """Reshape X (n, m) to feature blocks (n_features, n_points, m) and shard
+    the points axis over the 'state' mesh axis.  n_points must be divisible
+    by the state-axis size (pad upstream if needed)."""
+    n, m = X.shape
+    n_points = n // n_features
+    Xb = X.reshape(n_features, n_points, m)
+    sharding = NamedSharding(mesh, P(None, "state", None))
+    return jax.device_put(Xb, sharding)
+
+
+@functools.partial(jax.jit, static_argnames=("scale_type",))
+def _scale_blocks(Xb: jax.Array, scale_type: str = "std"):
+    """Per-feature-block std scaling on the blocked layout; all reductions
+    are shard-local except the (n_features,)-sized psums XLA inserts."""
+    if scale_type != "std":
+        raise NotImplementedError("sharded pipeline currently supports 'std'")
+    cnt = jnp.mean(Xb, axis=2, keepdims=True)            # row means
+    blk_std = jnp.std(Xb, axis=(1, 2), keepdims=True)     # per-feature scalar
+    X0 = (Xb - cnt) / blk_std
+    return X0, cnt, blk_std
+
+
+@functools.partial(jax.jit, static_argnames=("r",))
+def sharded_spr_step(Xb_train: jax.Array, Xb_test: jax.Array, r: int):
+    """Full SPR training step on the blocked, sharded layout.
+
+    scale → Gram (psum over state shards) → eigh (replicated) → Ur
+    (shard-local) → QRCP pivots (argmax-allreduce) → gappy solve →
+    reconstruction NRMSE.  Everything under one jit; XLA partitions it from
+    the input shardings.
+    """
+    n_features, n_points, m = Xb_train.shape
+    X0, cnt, scl = _scale_blocks(Xb_train)
+    Xf = X0.reshape(n_features * n_points, m)
+
+    G = Xf.T @ Xf                       # psum over state shards
+    evals, V = jnp.linalg.eigh(G)       # replicated (m, m)
+    V = V[:, ::-1]
+    B = Xf @ V                          # shard-local panel pass
+    S = jnp.linalg.norm(B, axis=0)
+    Ur = (B / jnp.maximum(S, 1e-30)[None, :])[:, :r]
+
+    from ..linalg.qrcp import qrcp_pivots
+    pivots = qrcp_pivots(Ur.T, r)       # argmax-allreduce per step
+
+    Theta = Ur[pivots, :]
+    cnt_f = cnt.reshape(n_features * n_points, 1)
+    scl_f = jnp.broadcast_to(scl, cnt.shape).reshape(n_features * n_points, 1)
+    Xt = Xb_test.reshape(n_features * n_points, -1)
+    y0 = (Xt[pivots] - cnt_f[pivots, 0][:, None]) / scl_f[pivots, 0][:, None]
+    Ar = jnp.linalg.solve(Theta, y0).T
+    X_rec = (Ur @ Ar.T) * scl_f + cnt_f
+    err = X_rec - Xt
+    nrmse = jnp.sqrt(jnp.mean(err * err)) / (jnp.max(Xt) - jnp.min(Xt))
+    return nrmse, pivots
+
+
+def sharded_mode_lstsq(mesh: Mesh, P0: jax.Array, Vr: jax.Array):
+    """Mode-parallel batched solve: one ridge LS per POD mode, sharded over
+    the 'mode' mesh axis — the communication-free pattern the GP training
+    step uses (each mode's hyperparameter fit is independent)."""
+    r = Vr.shape[1]
+    Vr_sharded = jax.device_put(
+        Vr.T, NamedSharding(mesh, P("mode", None)))  # (r, p)
+
+    @jax.jit
+    def step(P0, V):
+        G = P0.T @ P0 + 1e-6 * jnp.eye(P0.shape[1], dtype=P0.dtype)
+        def solve_one(v):
+            return jnp.linalg.solve(G, P0.T @ v)
+        return jax.vmap(solve_one)(V)   # (r, d), mode-sharded
+
+    return step(P0, Vr_sharded)

@@ -1,0 +1,79 @@
+"""Fully-jitted end-to-end pipelines.
+
+The class API (ROM/SPR/GPR) is eager and numpy-friendly for reference parity;
+these functional pipelines are the TPU fast path: the entire README flow —
+scale → Gram-SVD → truncate → QRCP placement → gappy-POD solve → reconstruct
+(``README.md:157-183`` of the reference) — compiles to ONE XLA program with
+static shapes, so XLA fuses the scaling into the Gram pass and keeps every
+intermediate in HBM.  This is the benchmark ("flagship model") entry point.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .core import scaling as _scaling
+from .linalg import svd as _svd
+from .linalg import qrcp as _qrcp
+
+
+class SPRResult(NamedTuple):
+    X_rec: jax.Array        # (n, m_test) reconstructed fields
+    pivots: jax.Array       # (r,) sensor row indices
+    Ar: jax.Array           # (m_test, r) gappy-POD coefficients
+    nrmse: jax.Array        # scalar — reconstruction NRMSE vs X_test
+    exp_variance: jax.Array  # (r,)
+
+
+@functools.partial(jax.jit, static_argnames=("n_features", "r", "scale_type",
+                                             "refine"))
+def spr_end_to_end(
+    X_train: jax.Array,
+    X_test: jax.Array,
+    n_features: int,
+    r: int,
+    scale_type: str = "std",
+    refine: int = 1,
+) -> SPRResult:
+    """POD fit + QRCP sensor placement + gappy-POD OLS reconstruction of the
+    test snapshots, sampled at the selected sensors.  One XLA program.
+
+    Equivalent reference flow: ``SPR.fit(select_modes='number', n_modes=r)``;
+    ``optimal_placement()``; ``train(C_qr)``; ``predict(y)``;
+    ``reconstruct(ap)``.
+    """
+    X0, cnt, scl = _scaling.scale_data(X_train, n_features, scale_type, 1)
+    U, S, _ = _svd.svd_tall(X0, refine=refine, canonicalize=False)
+    Ur = U[:, :r]
+    exp_var = _svd.explained_variance(S)[:r]
+
+    pivots = _qrcp.qrcp_pivots(Ur.T, r)
+
+    Theta = Ur[pivots, :]               # (r, r)
+    y = X_test[pivots, :]               # raw sensor readings, (r, m_test)
+    y0 = (y - cnt[pivots, 0][:, None]) / scl[pivots, 0][:, None]
+
+    Ar = jnp.linalg.solve(Theta, y0).T  # (m_test, r) — square system
+    X_rec0 = Ur @ Ar.T
+    X_rec = X_rec0 * scl + cnt
+
+    err = X_rec - X_test
+    nrmse = jnp.sqrt(jnp.mean(err * err)) / (
+        jnp.max(X_test) - jnp.min(X_test))
+    return SPRResult(X_rec, pivots, Ar, nrmse, exp_var)
+
+
+@functools.partial(jax.jit, static_argnames=("n_features", "r", "scale_type"))
+def pod_fit(
+    X_train: jax.Array, n_features: int, r: int, scale_type: str = "std"
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Scale + truncated POD, jitted.  Returns (Ur, Ar, Sigma_r, cnt, scl)."""
+    X0, cnt, scl = _scaling.scale_data(X_train, n_features, scale_type, 1)
+    U, S, Vt = _svd.svd_tall(X0, refine=1, canonicalize=False)
+    Ur = U[:, :r]
+    Ar = (S[:r, None] * Vt[:r]).T
+    return Ur, Ar, S[:r], cnt, scl

@@ -1,0 +1,200 @@
+"""Sparse Placement for Reconstruction (SPR).
+
+API-parity re-implementation of the reference ``SPR``
+(``sparse_sensing.py:513-901``) with TPU-native internals:
+
+* ``optimal_placement('qr')`` → on-device greedy column-pivoted QR
+  (``openmeasure_tpu.linalg.qrcp``) instead of LAPACK ``geqp3``;
+* ``optimal_placement('gem')`` → batched greedy entropy maximization
+  (``openmeasure_tpu.sensing.gem``);
+* ``predict`` OLS path → batched pinv least squares, vmapped over a list of
+  measurement vectors (the reference loops in Python, ``:865-899``);
+* ``predict`` COLS path → on-device ADMM box-constrained LS
+  (``openmeasure_tpu.linalg.boxls``) instead of CVXPY→Clarabel.
+
+The measurement matrix C may be dense (numpy/JAX), scipy.sparse, or JAX BCOO
+— the CTC workflow feeds sparse operators of shape (n_pixels, n_features·n_cells).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..rom.rom import ROM, apply_sampling, _as_device
+from ..linalg import qrcp as _qrcp
+from ..linalg import boxls as _boxls
+from .gem import gem_select
+
+
+class SPR(ROM):
+    """Sparse placement + gappy-POD reconstruction (reference
+    ``sparse_sensing.py:513-550``)."""
+
+    def __init__(self, X, n_features, xyz):
+        super().__init__(X, n_features, xyz)
+
+    # ------------------------------------------------------------------ #
+    # Measurement scaling (reference :553-584)
+    # ------------------------------------------------------------------ #
+
+    def scale_vector(self, y):
+        """Scale a measurement vector y (s, 3) = [value, σ, feature-id] with
+        the training statistics.  Returns y0 (s, 2)."""
+        y = np.asarray(y)
+        cnt_vector = np.asarray(apply_sampling(self.C, self.X_cnt[:, 0]))
+        scl_full = np.asarray(self.X_scl[:, 0])
+        scl_vector = scl_full[y[:, 2].astype(int) * self.n_points]
+
+        y0 = np.zeros((y.shape[0], 2), dtype=scl_full.dtype)
+        y0[:, 0] = (y[:, 0] - cnt_vector) / scl_vector
+        y0[:, 1] = y[:, 1] / scl_vector
+
+        self.cnt_vector = cnt_vector
+        self.scl_vector = scl_vector
+        return y0
+
+    # ------------------------------------------------------------------ #
+    # Placement (reference :586-756)
+    # ------------------------------------------------------------------ #
+
+    def gem(self, Ur, n_sensors, mask, d_min, verbose):
+        xyz_tiled = np.tile(np.asarray(self.xyz), (self.n_features, 1))
+        return gem_select(Ur, xyz_tiled, n_sensors, mask, d_min, verbose)
+
+    def optimal_placement(self, calc_type: str = "qr", n_sensors: int = 10,
+                          mask=None, d_min: float = 0.0,
+                          verbose: bool = False):
+        """Compute the one-hot measurement matrix C (s, n).
+
+        ``calc_type='qr'``: first-r column pivots of Urᵀ (LAPACK-geqp3
+        semantics, s = r).  A region ``mask`` zeroes the excluded rows of Ur
+        destructively, as in the reference (``sparse_sensing.py:737-738``).
+        """
+        n = self.X.shape[0]
+        if calc_type == "qr":
+            if mask is not None:
+                keep = jnp.asarray(np.asarray(mask, dtype=bool))
+                self.Ur = jnp.where(keep[:, None], self.Ur, 0.0)
+            pivots = _qrcp.qrcp_pivots(self.Ur.T, self.r)
+            C = _qrcp.pivots_to_onehot(pivots, n).astype(self.Ur.dtype)
+        elif calc_type == "gem":
+            P = self.gem(self.Ur, n_sensors, mask, d_min, verbose)
+            C = np.zeros((P.size, n), dtype=np.asarray(self.Ur).dtype)
+            C[np.arange(P.size), P] = 1.0
+            C = jnp.asarray(C)
+        else:
+            raise NotImplementedError(
+                "The sensor selection method has not been implemented yet")
+        return C
+
+    # ------------------------------------------------------------------ #
+    # Train (reference :758-820)
+    # ------------------------------------------------------------------ #
+
+    def train(self, C, is_Theta: bool = False, limits=None,
+              method: str = "OLS", solver: str = "ADMM", cond: bool = False,
+              verbose: bool = False, admm_max_iter: int = 4000,
+              admm_tol: float = 1e-9):
+        if (C.shape[1] != self.X.shape[0]) and not is_Theta:
+            raise ValueError("The number of columns of C does not match the"
+                             " number of rows of X.")
+        if not is_Theta:
+            self.C = C
+            Theta = apply_sampling(C, self.Ur)
+        else:
+            Theta = _as_device(C)
+
+        if Theta.shape[1] != self.Ur.shape[1]:
+            raise ValueError("The number of columns of Theta does not match"
+                             " the number of columns of Ur.")
+
+        self.Theta = Theta
+        self.limits = limits
+        self.method = method
+        self.solver = solver
+        self.verbose = verbose
+        self.admm_max_iter = admm_max_iter
+        self.admm_tol = admm_tol
+
+        if cond:
+            if Theta.shape[0] == Theta.shape[1]:
+                S_theta = jnp.linalg.svd(Theta, compute_uv=False)
+            else:
+                S_theta = jnp.linalg.svd(jnp.linalg.pinv(Theta),
+                                         compute_uv=False)
+            self.k = float(S_theta[0] / S_theta[-1])
+
+    # ------------------------------------------------------------------ #
+    # Predict (reference :822-901)
+    # ------------------------------------------------------------------ #
+
+    def predict(self, y):
+        """Gappy-POD solve for one measurement vector (s, 3) or a list.
+
+        Returns (Ar, Ar_sigma), each (n_vectors, r).  OLS: weighted pinv.
+        COLS: box-constrained LS via ADMM with the physical `limits` given to
+        :meth:`train`."""
+        if isinstance(y, (np.ndarray, jax.Array)):
+            y = [y]
+        for yi in y:
+            if self.Theta.shape[0] != yi.shape[0]:
+                raise ValueError("The number of rows of Theta does not match"
+                                 " the number of rows of y.")
+            if yi.shape[1] != 3:
+                raise ValueError("The y array has the wrong number of columns."
+                                 " y has to have dimensions (s,3).")
+        if not hasattr(self, "Theta"):
+            raise AttributeError("The function fit has to be called "
+                                 "before calling predict.")
+
+        n_vec = len(y)
+        y0_stack = np.stack([self.scale_vector(np.asarray(yi)) for yi in y])
+        has_sigma = np.array([bool(np.any(np.asarray(yi)[:, 1])) for yi in y])
+
+        y0_stack = jnp.asarray(y0_stack)            # (n_vec, s, 2)
+        s = y0_stack.shape[1]
+        w = jnp.where(jnp.asarray(has_sigma)[:, None],
+                      1.0 / jnp.where(y0_stack[:, :, 1] == 0, 1.0,
+                                      y0_stack[:, :, 1]),
+                      jnp.ones((n_vec, s), dtype=y0_stack.dtype))
+
+        Theta = self.Theta
+
+        def sigma_one(w_i, sig_i, use_w):
+            pinv = jnp.linalg.pinv(Theta * w_i[:, None])
+            ar_sigma = jnp.abs(pinv @ sig_i)
+            return jnp.where(use_w, ar_sigma, jnp.zeros_like(ar_sigma))
+
+        Ar_sigma = jax.vmap(sigma_one)(w, y0_stack[:, :, 1],
+                                       jnp.asarray(has_sigma))
+
+        if self.method == "OLS":
+            def ols_one(w_i, y_i):
+                pinv = jnp.linalg.pinv(Theta * w_i[:, None])
+                return pinv @ (w_i * y_i)
+            Ar = jax.vmap(ols_one)(w, y0_stack[:, :, 0])
+
+        elif self.method == "COLS":
+            if self.limits is None:
+                raise ValueError(
+                    "method='COLS' requires physical `limits` passed to "
+                    "train(C, limits=[min_per_feature, max_per_feature]).")
+            lo, hi = self.scale_limits(self.limits)
+            Ur = self.Ur
+            eye = jnp.eye(Ur.shape[1], dtype=Ur.dtype)
+
+            def cols_one(w_i, y_i):
+                g, _ = _boxls.box_constrained_lstsq(
+                    Theta, y_i, w_i, Ur, lo, hi, AtA=eye,
+                    max_iter=self.admm_max_iter, tol=self.admm_tol)
+                return g
+            Ar = jax.vmap(cols_one)(w, y0_stack[:, :, 0])
+        else:
+            raise NotImplementedError(
+                "The prediction method selected has not been implemented yet")
+
+        return Ar, Ar_sigma

@@ -1,0 +1,162 @@
+"""Linalg-tier conformance: Gram-route SVD vs LAPACK, greedy QRCP vs geqp3,
+ADMM box-QP vs SLSQP/KKT."""
+
+import numpy as np
+import pytest
+import scipy.linalg as la
+from scipy.optimize import minimize
+
+import jax.numpy as jnp
+
+from openmeasure_tpu.linalg import svd as _svd
+from openmeasure_tpu.linalg import qrcp as _qrcp
+from openmeasure_tpu.linalg import boxls as _boxls
+
+RNG = np.random.default_rng(42)
+
+
+class TestSVD:
+    def test_matches_lapack_tall(self):
+        X = RNG.standard_normal((300, 12))
+        U, S, Vt = _svd.svd_tall(X)
+        Un, Sn, Vtn = np.linalg.svd(X, full_matrices=False)
+        np.testing.assert_allclose(S, Sn, rtol=1e-10)
+        # compare up to per-mode sign
+        for k in range(12):
+            sgn = np.sign(np.dot(np.asarray(U[:, k]), Un[:, k]))
+            np.testing.assert_allclose(np.asarray(U[:, k]) * sgn, Un[:, k],
+                                       atol=1e-8)
+            np.testing.assert_allclose(np.asarray(Vt[k]) * sgn, Vtn[k],
+                                       atol=1e-8)
+
+    def test_reconstruction_exact(self):
+        X = RNG.standard_normal((200, 8))
+        U, S, Vt = _svd.svd_tall(X)
+        np.testing.assert_allclose(np.asarray(U * S[None, :] @ Vt), X,
+                                   atol=1e-9)
+
+    def test_ill_conditioned(self):
+        # condition number ~1e6: the fp64 Gram route must still match.
+        n, m = 500, 10
+        U0, _ = np.linalg.qr(RNG.standard_normal((n, m)))
+        s = np.logspace(0, -6, m)
+        V0, _ = np.linalg.qr(RNG.standard_normal((m, m)))
+        X = U0 * s[None, :] @ V0.T
+        _, S, _ = _svd.svd_tall(X)
+        np.testing.assert_allclose(S, np.sort(s)[::-1], rtol=1e-6)
+
+    def test_explained_variance(self):
+        S = jnp.asarray([3.0, 2.0, 1.0])
+        ev = _svd.explained_variance(S)
+        L = np.array([9.0, 4.0, 1.0])
+        np.testing.assert_allclose(ev, 100 * np.cumsum(L) / L.sum(),
+                                   rtol=1e-12)
+
+    def test_select_rank(self):
+        ev = np.array([50.0, 80.0, 95.0, 99.5, 100.0])
+        assert _svd.select_rank(ev, "variance", 99, 5) == 4
+        assert _svd.select_rank(ev, "variance", 100, 5) == 5
+        assert _svd.select_rank(ev, "number", 3, 5) == 3
+        with pytest.raises(ValueError):
+            _svd.select_rank(ev, "variance", 101, 5)
+        with pytest.raises(TypeError):
+            _svd.select_rank(ev, "number", 2.5, 5)
+        with pytest.raises(ValueError):
+            _svd.select_rank(ev, "bogus", 3, 5)
+
+    def test_randomized_svd(self):
+        # decaying spectrum, as in real snapshot matrices
+        n, m, k = 400, 60, 10
+        U0, _ = np.linalg.qr(RNG.standard_normal((n, m)))
+        V0, _ = np.linalg.qr(RNG.standard_normal((m, m)))
+        s = np.exp(-0.5 * np.arange(m))
+        X = U0 * s[None, :] @ V0.T
+        S = _svd.randomized_svd(X, k, n_iter=6)[1]
+        np.testing.assert_allclose(S, s[:k], rtol=1e-6)
+
+
+class TestQRCP:
+    @pytest.mark.parametrize("shape", [(5, 40), (12, 300), (14, 2000)])
+    def test_pivots_match_lapack(self, shape):
+        A = RNG.standard_normal(shape)
+        k = shape[0]
+        piv = np.asarray(_qrcp.qrcp_pivots(A, k))
+        _, _, P = la.qr(A, pivoting=True, mode="economic")
+        np.testing.assert_array_equal(piv, P[:k])
+
+    def test_onehot(self):
+        piv = jnp.asarray([3, 0, 2], dtype=jnp.int32)
+        C = np.asarray(_qrcp.pivots_to_onehot(piv, 5))
+        expect = np.zeros((3, 5))
+        expect[0, 3] = expect[1, 0] = expect[2, 2] = 1
+        np.testing.assert_array_equal(C, expect)
+
+
+class TestBoxQP:
+    def _slsqp(self, H, c, A, lo, hi, x0):
+        fun = lambda g: 0.5 * g @ H @ g - c @ g
+        jac = lambda g: H @ g - c
+        cons = [
+            {"type": "ineq", "fun": lambda g: A @ g - lo,
+             "jac": lambda g: A},
+            {"type": "ineq", "fun": lambda g: hi - A @ g,
+             "jac": lambda g: -A},
+        ]
+        res = minimize(fun, x0, jac=jac, constraints=cons, method="SLSQP",
+                       options={"maxiter": 500, "ftol": 1e-14})
+        assert res.success
+        return res.x
+
+    def test_inactive_constraints_equal_ols(self):
+        s, r, n = 20, 5, 50
+        Theta = RNG.standard_normal((s, r))
+        y = RNG.standard_normal(s)
+        A, _ = np.linalg.qr(RNG.standard_normal((n, r)))
+        lo = -1e6 * np.ones(n)
+        hi = 1e6 * np.ones(n)
+        w = np.ones(s)
+        g, info = _boxls.box_constrained_lstsq(Theta, y, w, A, lo, hi)
+        g_ols = np.linalg.pinv(Theta) @ y
+        np.testing.assert_allclose(np.asarray(g), g_ols, atol=1e-6)
+
+    def test_active_constraints_match_slsqp(self):
+        s, r, n = 15, 4, 30
+        Theta = RNG.standard_normal((s, r))
+        y = 3 * RNG.standard_normal(s)
+        A, _ = np.linalg.qr(RNG.standard_normal((n, r)))
+        lo = -0.3 * np.ones(n)
+        hi = 0.3 * np.ones(n)
+        w = np.ones(s)
+        g, info = _boxls.box_constrained_lstsq(Theta, y, w, A, lo, hi,
+                                               max_iter=20000, tol=1e-12)
+        H = Theta.T @ Theta
+        c = Theta.T @ y
+        g_ref = self._slsqp(H, c, A, lo, hi, np.zeros(r))
+        np.testing.assert_allclose(np.asarray(g), g_ref, atol=2e-5)
+
+    def test_weighted(self):
+        s, r, n = 12, 3, 20
+        Theta = RNG.standard_normal((s, r))
+        y = RNG.standard_normal(s)
+        w = RNG.random(s) + 0.5
+        A, _ = np.linalg.qr(RNG.standard_normal((n, r)))
+        lo, hi = -0.2 * np.ones(n), 0.2 * np.ones(n)
+        g, _ = _boxls.box_constrained_lstsq(Theta, y, w, A, lo, hi,
+                                            max_iter=20000, tol=1e-12)
+        H = (Theta * w[:, None] ** 2).T @ Theta
+        c = Theta.T @ (w ** 2 * y)
+        g_ref = self._slsqp(H, c, A, lo, hi, np.zeros(r))
+        np.testing.assert_allclose(np.asarray(g), g_ref, atol=2e-5)
+
+    def test_map_qp(self):
+        r, n = 5, 40
+        L = RNG.standard_normal((r, r))
+        cov = L @ L.T + r * np.eye(r)
+        mean = RNG.standard_normal(r)
+        A, _ = np.linalg.qr(RNG.standard_normal((n, r)))
+        lo, hi = -0.1 * np.ones(n), 0.1 * np.ones(n)
+        v, _ = _boxls.box_constrained_map(mean, cov, A, lo, hi,
+                                          max_iter=20000, tol=1e-12)
+        H = np.linalg.inv(cov)
+        g_ref = self._slsqp(H, H @ mean, A, lo, hi, np.zeros(r))
+        np.testing.assert_allclose(np.asarray(v), g_ref, atol=2e-5)

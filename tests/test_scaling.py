@@ -1,0 +1,120 @@
+"""Scaling conformance vs numpy/scipy (reference semantics,
+sparse_sensing.py:83-240 and gpr.py:253-335)."""
+
+import numpy as np
+import pytest
+from scipy.stats import kurtosis
+
+from openmeasure_tpu.core import scaling
+
+
+RNG = np.random.default_rng(0)
+N_POINTS, N_FEATURES, M = 10, 2, 5
+X = RNG.random((N_POINTS * N_FEATURES, M)) + 0.5  # keep positive for vast/level
+
+
+def _ref_block_scale(x, scale_type):
+    if scale_type == "std":
+        return np.std(x)
+    if scale_type == "none":
+        return 1.0
+    if scale_type == "pareto":
+        return np.sqrt(np.std(x))
+    if scale_type == "vast":
+        return np.std(x) ** 2 / np.average(x)
+    if scale_type == "range":
+        return np.max(x) - np.min(x)
+    if scale_type == "level":
+        return np.average(x)
+    if scale_type == "max":
+        return np.max(x)
+    if scale_type == "variance":
+        return np.var(x)
+    if scale_type == "median":
+        return np.median(x)
+    if scale_type == "poisson":
+        return np.sqrt(np.average(x))
+    if scale_type == "vast_2":
+        return np.std(x) ** 2 * kurtosis(x, None) ** 2 / np.average(x)
+    if scale_type == "vast_3":
+        return np.std(x) ** 2 * kurtosis(x, None) ** 2 / np.max(x)
+    if scale_type == "vast_4":
+        return (np.std(x) ** 2 * kurtosis(x, None) ** 2
+                / (np.max(x) - np.min(x)))
+    if scale_type == "l2-norm":
+        return np.linalg.norm(x.flatten())
+    raise ValueError(scale_type)
+
+
+@pytest.mark.parametrize("scale_type", scaling.SCALE_TYPES)
+def test_scale_types_match_reference(scale_type):
+    X0, X_cnt, X_scl = scaling.scale_data(X, N_FEATURES, scale_type, 1)
+
+    cnt_ref = np.mean(X, axis=1)[:, None]
+    scl_ref = np.zeros((X.shape[0], 1))
+    for i in range(N_FEATURES):
+        blk = X[i * N_POINTS:(i + 1) * N_POINTS, :]
+        scl_ref[i * N_POINTS:(i + 1) * N_POINTS, 0] = _ref_block_scale(
+            blk, scale_type)
+
+    np.testing.assert_allclose(X_cnt, cnt_ref, rtol=1e-12)
+    np.testing.assert_allclose(X_scl, scl_ref, rtol=1e-12)
+    np.testing.assert_allclose(X0, (X - cnt_ref) / scl_ref, rtol=1e-12)
+
+
+def test_centering_axis_none():
+    _, X_cnt, _ = scaling.scale_data(X, N_FEATURES, "std", None)
+    for i in range(N_FEATURES):
+        blk = X[i * N_POINTS:(i + 1) * N_POINTS, :]
+        np.testing.assert_allclose(
+            X_cnt[i * N_POINTS:(i + 1) * N_POINTS, 0],
+            np.mean(blk), rtol=1e-12)
+
+
+def test_unscale_roundtrip():
+    X0, X_cnt, X_scl = scaling.scale_data(X, N_FEATURES, "std", 1)
+    back = scaling.unscale_data(X0, X_cnt, X_scl)
+    np.testing.assert_allclose(back, X, rtol=1e-10)
+
+
+def test_scale_limits_matches_reference_including_clamp():
+    _, X_cnt, X_scl = scaling.scale_data(X, N_FEATURES, "std", 1)
+    lo = np.array([-1e9, 0.2])   # first feature triggers the -1000 clamp
+    hi = np.array([1e9, 0.9])    # first feature triggers the +1000 clamp
+    lo0, hi0 = scaling.scale_limits(lo, hi, X_cnt, X_scl, N_FEATURES)
+
+    # Reference loop (sparse_sensing.py:192-208)
+    def ref_one(limit):
+        out = np.zeros(X.shape[0])
+        for i in range(N_FEATURES):
+            cnt = np.asarray(X_cnt)[i * N_POINTS:(i + 1) * N_POINTS, 0]
+            scl = np.asarray(X_scl)[i * N_POINTS:(i + 1) * N_POINTS, 0]
+            temp = (limit[i] - cnt) / scl
+            if np.min(temp) < -1000:
+                temp = -1000
+            elif np.max(temp) > 1000:
+                temp = 1000
+            out[i * N_POINTS:(i + 1) * N_POINTS] = temp
+        return out
+
+    np.testing.assert_allclose(lo0, ref_one(lo), rtol=1e-12)
+    np.testing.assert_allclose(hi0, ref_one(hi), rtol=1e-12)
+
+
+def test_parameter_scaling_matches_reference():
+    P = RNG.random((7, 3)) + 0.1
+    P0, P_cnt, P_scl = scaling.scale_parameters(P, "std")
+    cnt_ref = np.tile(np.mean(P, axis=0), (P.shape[0], 1))
+    scl_ref = np.tile(np.std(P, axis=0), (P.shape[0], 1))
+    np.testing.assert_allclose(P_cnt, cnt_ref, rtol=1e-12)
+    np.testing.assert_allclose(P_scl, scl_ref, rtol=1e-12)
+    np.testing.assert_allclose(P0, (P - cnt_ref) / scl_ref, rtol=1e-12)
+
+
+@pytest.mark.parametrize("scale_type", scaling.SCALE_TYPES)
+def test_parameter_scale_types(scale_type):
+    P = RNG.random((9, 2)) + 0.5
+    _, _, P_scl = scaling.scale_parameters(P, scale_type)
+    for i in range(P.shape[1]):
+        np.testing.assert_allclose(
+            P_scl[0, i], _ref_block_scale(P[:, i], scale_type), rtol=1e-10)

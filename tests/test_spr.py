@@ -1,0 +1,165 @@
+"""SPR conformance tests — mirrors the reference tier-1 suite
+(tests/test_spr.py) plus COLS/GEM coverage the reference only exercises in
+its notebook/plot tier."""
+
+import numpy as np
+import pytest
+
+from openmeasure_tpu import SPR
+
+
+class TestSPR:
+    def setup_method(self, method):
+        rng = np.random.default_rng(11)
+        self.n_points = 10
+        self.n_features = 2
+        self.m = 5
+        self.X = rng.random((self.n_points * self.n_features, self.m))
+        self.xyz = rng.random((self.n_points, 3))
+        self.C = np.eye(self.X.shape[0])
+        self.spr = SPR(self.X, self.n_features, self.xyz)
+
+    def _identity_y(self, col=0):
+        y = np.zeros((self.C.shape[0], 3))
+        y[:, 0] = self.C @ self.X[:, col]
+        for i in range(self.n_features):
+            y[i * self.n_points:(i + 1) * self.n_points, 2] = i
+        return y
+
+    def test_optimal_placement_qr(self):
+        self.spr.fit(n_modes=100)
+        C_qr = np.asarray(self.spr.optimal_placement())
+        assert C_qr.shape == (self.m, self.X.shape[0])
+        # each row is one-hot
+        np.testing.assert_array_equal(C_qr.sum(axis=1), np.ones(self.m))
+
+    def test_qr_placement_matches_scipy(self):
+        import scipy.linalg as la
+        self.spr.fit(n_modes=100)
+        C_qr = np.asarray(self.spr.optimal_placement())
+        _, _, P = la.qr(np.asarray(self.spr.Ur).T, pivoting=True,
+                        mode="economic")
+        np.testing.assert_array_equal(np.argmax(C_qr, axis=1),
+                                      P[:self.spr.r])
+
+    def test_scale_vector(self):
+        X_cnt = np.mean(self.X, axis=1)[:, None]
+        X_scl = np.zeros((self.X.shape[0], 1))
+        for i in range(self.n_features):
+            X_scl[i * self.n_points:(i + 1) * self.n_points] = np.std(
+                self.X[i * self.n_points:(i + 1) * self.n_points])
+
+        self.spr.fit(n_modes=100)
+        self.spr.train(self.C)
+        y = self._identity_y()
+        y0 = self.spr.scale_vector(y)
+
+        y0_check = np.zeros((self.C.shape[0], 2))
+        y0_check[:, 0] = (y[:, 0] - X_cnt[:, 0]) / X_scl[:, 0]
+        np.testing.assert_allclose(y0, y0_check, rtol=1e-10, atol=1e-12)
+
+    def test_predict_identity_reconstructs_training_column(self):
+        self.spr.fit(n_modes=100)
+        self.spr.train(self.C)
+        a, sig = self.spr.predict(self._identity_y())
+        x_pred = self.spr.reconstruct(a)
+        np.testing.assert_allclose(x_pred, self.X[:, [0]], rtol=1e-7,
+                                   atol=1e-9)
+        np.testing.assert_array_equal(np.asarray(sig), 0.0)
+
+    def test_predict_list_batches(self):
+        self.spr.fit(n_modes=100)
+        self.spr.train(self.C)
+        ys = [self._identity_y(0), self._identity_y(1)]
+        a, _ = self.spr.predict(ys)
+        assert a.shape == (2, self.spr.r)
+        x_pred = self.spr.reconstruct(a)
+        np.testing.assert_allclose(x_pred, self.X[:, [0, 1]], rtol=1e-7,
+                                   atol=1e-9)
+
+    def test_predict_weighted_sigma(self):
+        self.spr.fit(n_modes=100)
+        self.spr.train(self.C)
+        y = self._identity_y()
+        y[:, 1] = 0.5
+        a, sig = self.spr.predict(y)
+        # reference: y0 sigma = 0.5/scl; W = diag(1/sigma0);
+        # ar_sigma = |pinv(W Theta) @ sigma0|
+        y0 = self.spr.scale_vector(y)
+        W = np.diag(1.0 / y0[:, 1])
+        Theta = np.asarray(self.spr.Theta)
+        pinv = np.linalg.pinv(W @ Theta)
+        np.testing.assert_allclose(np.asarray(a[0]),
+                                   pinv @ (W @ y0[:, 0]), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(sig[0]),
+                                   np.abs(pinv @ y0[:, 1]), atol=1e-8)
+
+    def test_cols_matches_ols_when_inactive(self):
+        self.spr.fit(n_modes=100)
+        limits = [np.array([-1e7, -1e7]), np.array([1e7, 1e7])]
+        self.spr.train(self.C, method="COLS", limits=limits)
+        a_cols, _ = self.spr.predict(self._identity_y())
+        self.spr.train(self.C, method="OLS")
+        a_ols, _ = self.spr.predict(self._identity_y())
+        np.testing.assert_allclose(np.asarray(a_cols), np.asarray(a_ols),
+                                   atol=1e-5)
+
+    def test_cols_enforces_limits(self):
+        self.spr.fit(n_modes=100)
+        limits = [np.array([0.25, 0.25]), np.array([0.75, 0.75])]
+        self.spr.train(self.C, method="COLS", limits=limits)
+        y = self._identity_y()
+        a, _ = self.spr.predict(y)
+        x = np.asarray(self.spr.reconstruct(a))[:, 0]
+        lo = np.concatenate([np.full(self.n_points, 0.25),
+                             np.full(self.n_points, 0.25)])
+        hi = np.concatenate([np.full(self.n_points, 0.75),
+                             np.full(self.n_points, 0.75)])
+        assert np.all(x >= lo - 1e-4)
+        assert np.all(x <= hi + 1e-4)
+
+    def test_gem_placement(self):
+        self.spr.fit(n_modes=100)
+        C = np.asarray(self.spr.optimal_placement(calc_type="gem",
+                                                  n_sensors=4))
+        assert C.shape == (4, self.X.shape[0])
+        np.testing.assert_array_equal(C.sum(axis=1), np.ones(4))
+        # sensors are distinct
+        assert len(set(np.argmax(C, axis=1))) == 4
+
+    def test_gem_d_min_respected(self):
+        self.spr.fit(n_modes=100)
+        d_min = 0.3
+        C = np.asarray(self.spr.optimal_placement(calc_type="gem",
+                                                  n_sensors=3, d_min=d_min))
+        idx = np.argmax(C, axis=1)
+        xyz_t = np.tile(self.xyz, (self.n_features, 1))
+        pos = xyz_t[idx]
+        for i in range(len(idx)):
+            for j in range(i + 1, len(idx)):
+                assert np.linalg.norm(pos[i] - pos[j]) >= d_min
+
+    def test_gem_mask(self):
+        self.spr.fit(n_modes=100)
+        mask = np.zeros(self.X.shape[0], dtype=bool)
+        mask[:7] = True
+        C = np.asarray(self.spr.optimal_placement(calc_type="gem",
+                                                  n_sensors=3, mask=mask))
+        assert np.all(np.argmax(C, axis=1) < 7)
+
+    def test_train_validation_and_cond(self):
+        self.spr.fit(n_modes=100)
+        with pytest.raises(ValueError):
+            self.spr.train(np.eye(3))
+        self.spr.train(self.C, cond=True)
+        assert self.spr.k >= 1.0
+
+    def test_sparse_C(self):
+        import scipy.sparse as sp
+        self.spr.fit(n_modes=100)
+        C_sp = sp.csr_matrix(self.C)
+        self.spr.train(C_sp)
+        a, _ = self.spr.predict(self._identity_y())
+        x_pred = self.spr.reconstruct(a)
+        np.testing.assert_allclose(x_pred, self.X[:, [0]], rtol=1e-7,
+                                   atol=1e-9)
