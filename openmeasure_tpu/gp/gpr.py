@@ -1,0 +1,477 @@
+"""GPR and PIGPR: Gaussian-process reduced-order models.
+
+API-parity re-implementation of the reference ``GPR``/``PIGPR``
+(``gpr.py:165-889``) on the JAX exact-GP engine:
+
+* ``gpr_type='SingleTask'``: r independent exact GPs over the normalized POD
+  coefficients Vr — trained as ONE vmapped Adam program with per-mode early
+  stopping (the reference trains them serially with deep-copied priors,
+  ``gpr.py:497-509``);
+* ``gpr_type='MultiTask'``: batch-independent multitask GP with a shared
+  multitask likelihood (global + per-task noise), reference C17;
+* constrained prediction: the per-point Gaussian-MAP QP under physical box
+  limits (``gpr.py:569-580``) solves with the on-device ADMM
+  (``openmeasure_tpu.linalg.boxls``), vmapped over test points, instead of
+  CVXPY;
+* ``update``: online data assimilation (set_train_data semantics +
+  fixed-noise retraining, ``gpr.py:603-675``);
+* ``PIGPR``: physics-informed added-loss training (``gpr.py:677-889``) via a
+  user callback that receives the differentiable posterior at the constraint
+  points each iteration.
+
+Defaults match the reference: ConstantMean, Matern-2.5 kernel, Gaussian /
+multitask-Gaussian likelihood, Adam(lr=0.1), max_iter=1000, rel_error=1e-5.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..rom.rom import ROM, _as_device
+from ..core import scaling as _scaling
+from ..linalg import boxls as _boxls
+from . import kernels as K
+from . import exact_gp as E
+
+
+class MultitaskPosterior(NamedTuple):
+    """Posterior predictive handed to added-loss callbacks and returned by
+    low-level prediction helpers."""
+    mean: jax.Array     # (n_points, r)
+    stddev: jax.Array   # (n_points, r)
+
+
+def _stack_params(params, r):
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (r,) + x.shape), params)
+
+
+class GPR(ROM):
+    """GPR-based ROM (reference ``gpr.py:165-209``)."""
+
+    def __init__(self, X, n_features, xyz, P, gpr_type: str = "SingleTask"):
+        super().__init__(X, n_features, xyz)
+        self.P = P
+        self.gpr_type = gpr_type
+        if P.shape[0] != X.shape[1]:
+            raise Exception(
+                f"The number of parameters ({P.shape[0]}) is different"
+                f" from the number of columns of X ({X.shape[1]})")
+
+    # ------------------------------------------------------------------ #
+    # Scaling + fit (reference gpr.py:253-402)
+    # ------------------------------------------------------------------ #
+
+    def scale_GPR_data(self, P, scale_type: str):
+        P0, P_cnt, P_scl = _scaling.scale_parameters(_as_device(P),
+                                                     scale_type)
+        self.P_cnt = P_cnt
+        self.P_scl = P_scl
+        return P0
+
+    def fit(self, scaleX_type: str = "std", scaleP_type: str = "std",
+            axis_cnt: Optional[int] = 1, select_modes: str = "variance",
+            n_modes=99, verbose: bool = False, basis=None):
+        self.scaleX_type = scaleX_type
+        self.scaleP_type = scaleP_type
+        self.select_modes = select_modes
+        self.n_modes = n_modes
+        self.verbose = verbose
+
+        self.X0 = self.scale_data(scaleX_type, axis_cnt)
+        if basis is None:
+            Ur, Ar, _ = self.decomposition(self.X0, select_modes, n_modes)
+        else:
+            Ur, Ar = _as_device(basis[0]), _as_device(basis[1])
+
+        self.Ur = Ur
+        self.Ar = Ar
+        self.r = Ar.shape[1]
+        self.d = self.P.shape[1]
+
+        Sigma_r = jnp.linalg.norm(Ar, axis=0)
+        self.Sigma_r = Sigma_r
+        self.Vr = Ar / Sigma_r[None, :]
+        self.P0 = self.scale_GPR_data(self.P, scaleP_type)
+
+    # ------------------------------------------------------------------ #
+    # Train (reference gpr.py:404-515)
+    # ------------------------------------------------------------------ #
+
+    def _default_specs(self, mean, kernel, likelihood):
+        if mean is None:
+            mean = K.ConstantMean()
+        if kernel is None:
+            kernel = K.MaternKernel(2.5)
+        if likelihood is None:
+            if self.gpr_type == "MultiTask":
+                likelihood = K.MultitaskGaussianLikelihood(num_tasks=self.r)
+            else:
+                likelihood = K.GaussianLikelihood()
+        return mean, kernel, likelihood
+
+    def _init_task_params(self, mean, kernel, likelihood):
+        p = {"mean": mean.init_params(self.d),
+             "kernel": kernel.init_params(self.d)}
+        if isinstance(likelihood, K.GaussianLikelihood):
+            p["likelihood"] = likelihood.init_params()
+        return p
+
+    def train(self, mean=None, kernel=None, likelihood=None,
+              max_iter: int = 1000, rel_error: float = 1e-5, lr: float = 0.1,
+              verbose: bool = False):
+        self.max_iter = max_iter
+        self.rel_error = rel_error
+        self.lr = lr
+        self.verbose = verbose
+
+        mean, kernel, likelihood = self._default_specs(mean, kernel,
+                                                       likelihood)
+        self.mean = mean
+        self.kernel = kernel
+        self.likelihood = likelihood
+
+        P0 = _as_device(self.P0)
+        Vr = _as_device(self.Vr)
+        self._train_X = P0
+        self._train_Y = Vr
+
+        if self.gpr_type == "MultiTask":
+            params0 = {
+                "tasks": _stack_params(
+                    self._init_task_params(mean, kernel, likelihood), self.r),
+                "likelihood": likelihood.init_params(),
+            }
+            loss_raw = E.make_multitask_loss(mean, kernel, likelihood,
+                                             P0, Vr)
+            params0_b = jax.tree_util.tree_map(lambda x: x[None], params0)
+
+            def loss_fn(pb):
+                return loss_raw(
+                    jax.tree_util.tree_map(lambda x: x[0], pb))
+
+            res = E.adam_early_stop(loss_fn, params0_b, lr=lr,
+                                    max_iter=max_iter, rel_error=rel_error,
+                                    verbose=verbose)
+            self.params = jax.tree_util.tree_map(lambda x: x[0], res.params)
+            self._final_loss = res.loss
+            # train-mode output.stddev == prior stddev per task
+            Vr_sigma = jax.vmap(
+                lambda tp: E.gp_prior_stddev(mean, kernel, tp, P0)
+            )(self.params["tasks"]).T
+        else:
+            task0 = self._init_task_params(mean, kernel, likelihood)
+            params0 = _stack_params(task0, self.r)
+            loss_fn = E.make_single_task_loss(mean, kernel, likelihood,
+                                              P0, Vr.T)
+            res = E.adam_early_stop(loss_fn, params0, lr=lr,
+                                    max_iter=max_iter, rel_error=rel_error,
+                                    verbose=verbose)
+            self.params = res.params
+            self._final_loss = res.loss
+            Vr_sigma = jax.vmap(
+                lambda tp: E.gp_prior_stddev(mean, kernel, tp, P0)
+            )(self.params).T
+
+        self.Vr_sigma = Vr_sigma
+        # API-compat return: per-mode parameter pytrees + likelihood specs
+        if self.gpr_type == "MultiTask":
+            self.models = [self.params]
+            self.likelihoods = [likelihood]
+        else:
+            self.models = [
+                jax.tree_util.tree_map(lambda x: x[i], self.params)
+                for i in range(self.r)]
+            self.likelihoods = [likelihood] * self.r
+        return self.models, self.likelihoods
+
+    # ------------------------------------------------------------------ #
+    # Posterior helpers
+    # ------------------------------------------------------------------ #
+
+    def _task_noises(self):
+        """Per-mode predictive noise variances, shape (r,)."""
+        if self.gpr_type == "MultiTask":
+            return self.likelihood.noise(self.params["likelihood"])
+        if isinstance(self.likelihood, K.FixedNoiseGaussianLikelihood):
+            # fixed per-point noise: handled inside _posterior_all
+            return None
+        return jax.vmap(
+            lambda tp: self.likelihood.noise(tp["likelihood"])
+        )(self.params)
+
+    def _posterior_all(self, P0_star) -> MultitaskPosterior:
+        """Noise-inclusive posterior at scaled test points, all modes."""
+        X, Y = self._train_X, self._train_Y
+        mean, kernel = self.mean, self.kernel
+
+        if self.gpr_type == "MultiTask":
+            task_params = self.params["tasks"]
+            noises = self.likelihood.noise(self.params["likelihood"])
+
+            def post_one(tp, y, nz):
+                return E.gp_posterior(mean, kernel, tp, nz, X, y, P0_star,
+                                      include_noise=True)
+            means, variances = jax.vmap(post_one)(task_params, Y.T, noises)
+        else:
+            def post_one(tp, y):
+                if isinstance(self.likelihood,
+                              K.FixedNoiseGaussianLikelihood):
+                    nz_vec = self.likelihood.noise(tp["likelihood"])
+                    return E.gp_posterior(
+                        mean, kernel, tp, nz_vec, X, y, P0_star,
+                        include_noise=True,
+                        pred_noise=jnp.mean(nz_vec))
+                nz = self.likelihood.noise(tp["likelihood"])
+                return E.gp_posterior(mean, kernel, tp, nz, X, y, P0_star,
+                                      include_noise=True)
+            means, variances = jax.vmap(post_one)(self.params, Y.T)
+
+        return MultitaskPosterior(mean=means.T,
+                                  stddev=jnp.sqrt(variances).T)
+
+    # ------------------------------------------------------------------ #
+    # Predict (reference gpr.py:517-601)
+    # ------------------------------------------------------------------ #
+
+    def predict(self, P_star, problem_dict=None, limits=None, **kwargs):
+        """Posterior POD coefficients at new parameters.
+
+        Returns (A_pred, A_sigma), each (n_p, r).
+
+        Constrained prediction (MultiTask only, reference ``gpr.py:569-580``):
+        pass physical per-feature ``limits=[min, max]`` — each point's
+        posterior mean is replaced by the MAP of the Gaussian under
+        ``limits0 ≤ Ur diag(Σ_r) v ≤ limits0``, solved by ADMM on device.
+        ``problem_dict={'limits': ...}`` is accepted for signature parity.
+        """
+        if not hasattr(self, "models"):
+            raise AttributeError("The function fit has to be called "
+                                 "before calling predict.")
+        P_star = np.asarray(P_star)
+        if P_star.ndim < 2:
+            P_star = P_star[None, :]
+        n_p = P_star.shape[0]
+
+        P0_star = (jnp.asarray(P_star) - self.P_cnt[0][None, :]) \
+            / self.P_scl[0][None, :]
+
+        post = self._posterior_all(P0_star)
+        V_pred, V_sigma = post.mean, post.stddev
+
+        if problem_dict is not None and limits is None:
+            limits = problem_dict.get("limits")
+        if limits is not None:
+            if self.gpr_type != "MultiTask":
+                raise NotImplementedError(
+                    "Constrained prediction only works for MultiTask models.")
+            lo, hi = self.scale_limits(limits)
+            A = self.Ur * self.Sigma_r[None, :]
+            AtA = jnp.diag(self.Sigma_r ** 2)
+
+            def map_one(mu, sig):
+                cov = jnp.diag(sig ** 2)
+                v, _ = _boxls.box_constrained_map(
+                    mu, cov, A, lo, hi, AtA=AtA,
+                    max_iter=kwargs.get("max_iter", 4000),
+                    tol=kwargs.get("tol", 1e-9))
+                return v
+
+            V_pred = jax.vmap(map_one)(V_pred, V_sigma)
+
+        A_pred = V_pred * self.Sigma_r[None, :]
+        A_sigma = V_sigma * self.Sigma_r[None, :]
+        return A_pred, A_sigma
+
+    # ------------------------------------------------------------------ #
+    # Update (reference gpr.py:603-675)
+    # ------------------------------------------------------------------ #
+
+    def update(self, P_new, A_new, A_sigma_new=None, retrain: bool = False,
+               verbose: bool = False):
+        self.verbose = verbose
+
+        P0_new = (jnp.asarray(P_new) - self.P_cnt[0][None, :]) \
+            / self.P_scl[0][None, :]
+        P0_tot = jnp.concatenate([self._train_X, P0_new], axis=0)
+
+        Vr_new = jnp.asarray(A_new) / self.Sigma_r[None, :]
+        Vr_tot = jnp.concatenate([self._train_Y, Vr_new], axis=0)
+
+        # set_train_data(strict=False) equivalent
+        self._train_X = P0_tot
+        self._train_Y = Vr_tot
+
+        Vr_sigma_tot = None
+        if A_sigma_new is not None:
+            Vr_sigma_new = jnp.asarray(A_sigma_new) / self.Sigma_r[None, :]
+            Vr_sigma_tot = jnp.concatenate(
+                [_as_device(self.Vr_sigma), Vr_sigma_new], axis=0)
+
+        if not retrain:
+            return
+
+        if self.gpr_type == "MultiTask":
+            loss_raw = E.make_multitask_loss(self.mean, self.kernel,
+                                             self.likelihood, P0_tot, Vr_tot)
+            params0_b = jax.tree_util.tree_map(lambda x: x[None], self.params)
+
+            def loss_fn(pb):
+                return loss_raw(jax.tree_util.tree_map(lambda x: x[0], pb))
+
+            res = E.adam_early_stop(loss_fn, params0_b, lr=self.lr,
+                                    max_iter=self.max_iter,
+                                    rel_error=self.rel_error,
+                                    verbose=verbose)
+            self.params = jax.tree_util.tree_map(lambda x: x[0], res.params)
+            self.Vr_sigma = jax.vmap(
+                lambda tp: E.gp_prior_stddev(self.mean, self.kernel, tp,
+                                             P0_tot)
+            )(self.params["tasks"]).T
+        else:
+            # Reference swaps in FixedNoiseGaussianLikelihood(Vr_sigma²)
+            # (gpr.py:671-672); requires the uncertainties.
+            if Vr_sigma_tot is None:
+                raise ValueError(
+                    "retrain=True for SingleTask requires A_sigma_new "
+                    "(fixed-noise retraining uses the data uncertainties).")
+            fixed = K.FixedNoiseGaussianLikelihood()
+            params0 = dict(self.params)
+            params0["likelihood"] = {
+                "fixed_noise": (Vr_sigma_tot ** 2).T}  # (r, p_tot)
+            loss_fn = E.make_single_task_loss(self.mean, self.kernel, fixed,
+                                              P0_tot, Vr_tot.T)
+            res = E.adam_early_stop(loss_fn, params0, lr=self.lr,
+                                    max_iter=self.max_iter,
+                                    rel_error=self.rel_error,
+                                    verbose=verbose)
+            self.params = res.params
+            self.likelihood = fixed
+            self.Vr_sigma = jax.vmap(
+                lambda tp: E.gp_prior_stddev(self.mean, self.kernel, tp,
+                                             P0_tot)
+            )(self.params).T
+
+
+class PIGPR(GPR):
+    """Physics-informed GPR (MultiTask-only, reference ``gpr.py:677-889``).
+
+    ``added_loss(ctx) -> scalar`` receives
+    ``ctx = {'output': MultitaskPosterior at [train + constraint points],
+    'loss_ml': detached joint log-prob of the training data, 'verbose': ...,
+    'loss_dict': ...}`` and returns a term *added to the log-likelihood*
+    (so a penalty should come back negative), differentiable w.r.t. the
+    posterior — the gpytorch AddedLossTerm contract.
+    """
+
+    def __init__(self, X, n_features, xyz, P, P_cstr,
+                 AddedLoss: Callable):
+        super().__init__(X, n_features, xyz, P, "MultiTask")
+        self.P_cstr = P_cstr
+        self.AddedLoss = AddedLoss
+
+    def _scaled_constraint_points(self):
+        P0_cstr = (jnp.asarray(self.P_cstr) - self.P_cnt[0][None, :]) \
+            / self.P_scl[0][None, :]
+        return jnp.concatenate([_as_device(self.P0), P0_cstr], axis=0)
+
+    def _posterior_with(self, params, P0_eval):
+        """Noise-inclusive posterior at P0_eval under given params —
+        differentiable (the added loss backpropagates through this)."""
+        X, Y = _as_device(self.P0), _as_device(self.Vr)
+        noises = self.likelihood.noise(params["likelihood"])
+
+        def post_one(tp, y, nz):
+            return E.gp_posterior(self.mean, self.kernel, tp, nz, X, y,
+                                  P0_eval, include_noise=True)
+        means, variances = jax.vmap(post_one)(params["tasks"], Y.T, noises)
+        return MultitaskPosterior(mean=means.T, stddev=jnp.sqrt(variances).T)
+
+    def train(self, mean=None, kernel=None, likelihood=None,
+              max_iter: int = 1000, rel_error: float = 1e-5, lr: float = 0.1,
+              verbose: bool = False, loss_dict=None):
+        self.max_iter = max_iter
+        self.rel_error = rel_error
+        self.lr = lr
+        self.verbose = verbose
+
+        mean, kernel, likelihood = self._default_specs(mean, kernel,
+                                                       likelihood)
+        self.mean, self.kernel, self.likelihood = mean, kernel, likelihood
+
+        P0 = _as_device(self.P0)
+        Vr = _as_device(self.Vr)
+        self._train_X, self._train_Y = P0, Vr
+        P0_tot = self._scaled_constraint_points()
+        self.P0_tot = P0_tot
+
+        def added_loss_fn(params):
+            output = self._posterior_with(params, P0_tot)
+            # detached joint log-prob of the training data (gpr.py:870)
+            noises = self.likelihood.noise(params["likelihood"])
+
+            def task_lp(tp, y, nz):
+                return E.gp_log_prob(mean, kernel, tp, nz, P0, y)
+            loss_ml = jax.lax.stop_gradient(
+                jnp.sum(jax.vmap(task_lp)(params["tasks"], Vr.T, noises)))
+            return self.AddedLoss({"output": output, "loss_ml": loss_ml,
+                                   "verbose": verbose,
+                                   "loss_dict": loss_dict})
+
+        params0 = {
+            "tasks": _stack_params(
+                self._init_task_params(mean, kernel, likelihood), self.r),
+            "likelihood": likelihood.init_params(),
+        }
+        loss_raw = E.make_multitask_loss(mean, kernel, likelihood, P0, Vr,
+                                         added_loss_fn=added_loss_fn)
+        params0_b = jax.tree_util.tree_map(lambda x: x[None], params0)
+
+        def loss_fn(pb):
+            return loss_raw(jax.tree_util.tree_map(lambda x: x[0], pb))
+
+        res = E.adam_early_stop(loss_fn, params0_b, lr=lr, max_iter=max_iter,
+                                rel_error=rel_error, verbose=verbose)
+        self.params = jax.tree_util.tree_map(lambda x: x[0], res.params)
+        self._final_loss = res.loss
+        self.Vr_sigma = jax.vmap(
+            lambda tp: E.gp_prior_stddev(mean, kernel, tp, P0)
+        )(self.params["tasks"]).T
+        self.models = [self.params]
+        self.likelihoods = [likelihood]
+        return self.models, self.likelihoods
+
+    def compute_mll(self, mean=None, kernel=None, likelihood=None):
+        """MLL of the training data and prediction at [train + constraint]
+        points under *initial* (untrained) hyperparameters — used to
+        calibrate added-loss coefficients (reference ``gpr.py:782-846``).
+        Returns (loss_mll, Vr_pred_train)."""
+        mean, kernel, likelihood = self._default_specs(mean, kernel,
+                                                       likelihood)
+        P0 = _as_device(self.P0)
+        Vr = _as_device(self.Vr)
+        P0_tot = self._scaled_constraint_points()
+
+        params = {
+            "tasks": _stack_params(
+                self._init_task_params(mean, kernel, likelihood), self.r),
+            "likelihood": likelihood.init_params(),
+        }
+        noises = likelihood.noise(params["likelihood"])
+
+        def task_lp(tp, y, nz):
+            return E.gp_log_prob(mean, kernel, tp, nz, P0, y)
+        loss_mll = jnp.sum(jax.vmap(task_lp)(params["tasks"], Vr.T, noises))
+
+        saved = (self.mean if hasattr(self, "mean") else None,
+                 self.kernel if hasattr(self, "kernel") else None,
+                 self.likelihood if hasattr(self, "likelihood") else None)
+        self.mean, self.kernel, self.likelihood = mean, kernel, likelihood
+        post = self._posterior_with(params, P0_tot)
+        if saved[0] is not None:
+            self.mean, self.kernel, self.likelihood = saved
+        return np.asarray(loss_mll), post.mean
