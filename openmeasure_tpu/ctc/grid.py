@@ -1,0 +1,80 @@
+"""Axis-aligned voxel grid — the CTC reconstruction mesh.
+
+The reference builds its tomography target as a pyvista/VTK voxel grid
+(``docs/ctc_doc.ipynb`` cell 9: ``pv.create_grid(..., dimensions=(32,32,32))``)
+and intersects rays against it with VTK's C++ locator
+(``utils.py:372,406,454``).  Here the grid is three numbers (origin, spacing,
+dims) and ray-cell intersection is a jit-compiled Amanatides–Woo DDA
+traversal (``openmeasure_tpu.ctc.raytrace``) vmapped over ray bundles on
+device — no VTK, no per-ray Python loop.
+
+Cell ordering is VTK structured order: x fastest, then y, then z
+(linear index = i + nx*(j + ny*k)), so projection matrices are directly
+comparable with the reference workflow.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from .raytrace import trace_rays
+
+
+class VoxelGrid:
+    """Uniform axis-aligned voxel grid with n_cells = nx*ny*nz."""
+
+    def __init__(self, origin: Sequence[float], spacing: Sequence[float],
+                 dims: Sequence[int]):
+        self.origin = np.asarray(origin, dtype=float)
+        self.spacing = np.asarray(spacing, dtype=float)
+        self.dims = tuple(int(d) for d in dims)  # cells per axis
+        if any(d <= 0 for d in self.dims):
+            raise ValueError("dims must be positive")
+        self.n_cells = int(np.prod(self.dims))
+
+    @classmethod
+    def from_bounds(cls, bounds: Sequence[float], dims: Sequence[int]
+                    ) -> "VoxelGrid":
+        """bounds = (xmin, xmax, ymin, ymax, zmin, zmax); dims = cells."""
+        b = np.asarray(bounds, dtype=float).reshape(3, 2)
+        dims = tuple(int(d) for d in dims)
+        spacing = (b[:, 1] - b[:, 0]) / np.asarray(dims)
+        return cls(b[:, 0], spacing, dims)
+
+    @property
+    def bounds(self) -> np.ndarray:
+        hi = self.origin + self.spacing * np.asarray(self.dims)
+        return np.stack([self.origin, hi], axis=1)  # (3, 2)
+
+    def cell_centers(self) -> np.ndarray:
+        """(n_cells, 3) cell centers in VTK structured (x-fastest) order."""
+        nx, ny, nz = self.dims
+        xs = self.origin[0] + (np.arange(nx) + 0.5) * self.spacing[0]
+        ys = self.origin[1] + (np.arange(ny) + 0.5) * self.spacing[1]
+        zs = self.origin[2] + (np.arange(nz) + 0.5) * self.spacing[2]
+        Z, Y, X = np.meshgrid(zs, ys, xs, indexing="ij")
+        return np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
+
+    def find_cells_intersecting_line(self, p1, p2) -> np.ndarray:
+        """Linear indices of cells intersected by segment p1→p2 — the VTK
+        ``find_cells_intersecting_line`` replacement, single-ray wrapper
+        around the batched device tracer."""
+        cells, counts = trace_rays(
+            jnp.asarray(np.asarray(p1, dtype=float)[None, :]),
+            jnp.asarray(np.asarray(p2, dtype=float)[None, :]),
+            self.origin, self.spacing, self.dims)
+        c = np.asarray(cells[0][: int(counts[0])])
+        return c
+
+    def trace_batch(self, p1s: np.ndarray, p2s: np.ndarray
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched traversal: returns (cells (n_rays, max_steps) padded with
+        -1, counts (n_rays,)) — all device-side."""
+        cells, counts = trace_rays(
+            jnp.asarray(p1s, dtype=jnp.float32),
+            jnp.asarray(p2s, dtype=jnp.float32),
+            self.origin, self.spacing, self.dims)
+        return np.asarray(cells), np.asarray(counts)

@@ -1,0 +1,96 @@
+"""Jit-compiled voxel ray traversal (Amanatides–Woo DDA).
+
+Replaces VTK's C++ ``find_cells_intersecting_line`` used by the reference's
+CTC projection (``utils.py:372,406,454``).  The reference loops over pixels
+in Python, calling into VTK per ray (its hot loop, ~4096 pixels × N_rand
+rays); here the whole ray bundle traverses in one vmapped XLA program —
+fixed step bound nx+ny+nz+3, masked writes, outputs padded with −1.
+
+The traversal reports every voxel the segment passes through, in entry
+order, VTK x-fastest linear indexing (i + nx*(j + ny*k)).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("dims",))
+def trace_rays(p1s: jax.Array, p2s: jax.Array,
+               origin,
+               spacing,
+               dims: Tuple[int, int, int]
+               ) -> Tuple[jax.Array, jax.Array]:
+    """Traverse segments p1→p2 through the voxel grid.
+
+    Only ``dims`` is static (it fixes the step bound); origin/spacing are
+    traced so different grids of the same resolution share one compilation.
+
+    Returns (cells (n_rays, max_steps) int32 padded −1, counts (n_rays,)).
+    """
+    org = jnp.asarray(origin, dtype=p1s.dtype)
+    spc = jnp.asarray(spacing, dtype=p1s.dtype)
+    nd = jnp.asarray(dims, dtype=jnp.int32)
+    max_steps = int(dims[0] + dims[1] + dims[2] + 3)
+    big = jnp.asarray(jnp.inf, dtype=p1s.dtype)
+    eps = jnp.finfo(p1s.dtype).eps * 16
+
+    lo = org
+    hi = org + spc * jnp.asarray(dims, dtype=p1s.dtype)
+
+    def one_ray(p1, p2):
+        d = p2 - p1
+        # Slab clip to the grid AABB (degenerate axes handled explicitly).
+        safe_d = jnp.where(jnp.abs(d) < 1e-30, 1.0, d)
+        t_lo = (lo - p1) / safe_d
+        t_hi = (hi - p1) / safe_d
+        degenerate = jnp.abs(d) < 1e-30
+        inside = (p1 >= lo) & (p1 <= hi)
+        t_near = jnp.where(degenerate, jnp.where(inside, -big, big),
+                           jnp.minimum(t_lo, t_hi))
+        t_far = jnp.where(degenerate, jnp.where(inside, big, -big),
+                          jnp.maximum(t_lo, t_hi))
+        t0 = jnp.maximum(jnp.max(t_near), 0.0)
+        t1 = jnp.minimum(jnp.min(t_far), 1.0)
+        hit = t0 <= t1
+
+        # Entry voxel.
+        pe = p1 + (t0 + eps) * d
+        vox = jnp.clip(jnp.floor((pe - org) / spc).astype(jnp.int32),
+                       0, nd - 1)
+
+        step = jnp.where(d > 0, 1, jnp.where(d < 0, -1, 0)).astype(jnp.int32)
+        t_delta = jnp.where(degenerate, big, jnp.abs(spc / safe_d))
+        # parameter t at the first boundary crossing per axis
+        next_bound = org + (vox + jnp.where(step > 0, 1, 0)) * spc
+        t_max = jnp.where(degenerate | (step == 0), big,
+                          (next_bound - p1) / safe_d)
+
+        cells0 = jnp.full((max_steps,), -1, dtype=jnp.int32)
+
+        def body(i, carry):
+            vox, t_max, active, count, cells = carry
+            lin = vox[0] + nd[0] * (vox[1] + nd[1] * vox[2])
+            in_bounds = jnp.all((vox >= 0) & (vox < nd))
+            record = active & in_bounds
+            cells = cells.at[i].set(jnp.where(record, lin, -1))
+            count = count + jnp.where(record, 1, 0)
+
+            axis = jnp.argmin(t_max)
+            t_next = t_max[axis]
+            # stop AFTER recording when the next crossing exits the segment
+            still = record & (t_next <= t1 + eps)
+            vox = vox.at[axis].add(step[axis])
+            t_max = t_max.at[axis].add(t_delta[axis])
+            return vox, t_max, still, count, cells
+
+        _, _, _, count, cells = jax.lax.fori_loop(
+            0, max_steps, body,
+            (vox, t_max, hit, jnp.asarray(0, jnp.int32), cells0))
+        return cells, count
+
+    return jax.vmap(one_ray)(p1s, p2s)

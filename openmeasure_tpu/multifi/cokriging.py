@@ -1,0 +1,161 @@
+"""Multifidelity fusion: CoKriging with Procrustes manifold alignment.
+
+API-parity re-implementation of the reference ``CoKriging``
+(``cokriging.py:19-144``): two snapshot sets of different fidelity are
+reduced by POD, the low-fidelity scores are aligned to the high-fidelity
+latent space by a scaled Procrustes rotation, and a recursive two-fidelity
+kriging model (``openmeasure_tpu.multifi.mfk``) is fit per latent dimension.
+
+Deviations from reference quirks (SURVEY §4): ``predict`` evaluates each
+latent model once (the reference calls ``model.predict`` twice per dim,
+``cokriging.py:132-133``), and all per-column unscaling is one fused pass.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..rom.rom import ROM, _as_device
+from ..linalg import svd as _svd
+from .mfk import MultiFiCoKriging
+
+
+class CoKriging:
+    """Reference constructor signature (``cokriging.py:20-42``); the
+    regression/θ knobs are mutable public attributes, as in the reference."""
+
+    def __init__(self, X_train_l, X_train_u, Y_train_lf_l, Y_train_lf_u,
+                 Y_train_hf_l, xyz_lf, xyz_hf, n_features):
+        self.X_train_l = X_train_l      # linked parameters
+        self.X_train_u = X_train_u      # unlinked parameters
+        self.Y_train_lf_l = Y_train_lf_l
+        self.Y_train_lf_u = Y_train_lf_u
+        self.Y_train_hf_l = Y_train_hf_l
+        self.xyz_lf = xyz_lf
+        self.xyz_hf = xyz_hf
+        self.n_features = n_features
+        self.n_linked = X_train_l.shape[0]
+        self.n_unlinked = X_train_u.shape[0]
+        self.n_latent = 0
+        self.scale_type = "std"
+        self.regr_type = "linear"
+        self.rho_regr = "constant"
+        self.normalize = True
+        self.theta = None
+        self.theta0 = None
+        self.thetaL = None
+        self.thetaU = None
+        self.initial_range = 0.3
+        self.tol = 1e-6
+
+        if (Y_train_lf_l.shape[1] != self.n_linked
+                or Y_train_hf_l.shape[1] != self.n_linked):
+            raise Exception(
+                "The number of linked conditions does not correspond to the "
+                "number of columns of Y_train_lf_l or Y_train_hf_l")
+        if Y_train_lf_u.shape[1] != self.n_unlinked:
+            raise Exception(
+                "The number of unlinked conditions does not correspond to "
+                "the number of columns of Y_train_lf_u")
+
+    # ------------------------------------------------------------------ #
+
+    def manifold_alignment(self, select_modes: str = "variance",
+                           n_modes_hf=99, n_modes_lf=99):
+        """POD both fidelities, truncate, zero-pad, center, and align the LF
+        scores onto the HF latent space with a scaled Procrustes rotation
+        (reference ``cokriging.py:55-107``)."""
+        self.rom_hf = ROM(self.Y_train_hf_l, self.n_features, self.xyz_hf)
+        self.rom_lf = ROM(
+            np.concatenate((self.Y_train_lf_l, self.Y_train_lf_u), axis=1),
+            self.n_features, self.xyz_lf)
+
+        X0_hf = self.rom_hf.scale_data(self.scale_type)
+        X0_lf = self.rom_lf.scale_data(self.scale_type)
+
+        U_hf, Sigma_hf, Vt_hf = _svd.svd_tall_safe(_as_device(X0_hf))
+        U_lf, Sigma_lf, Vt_lf = _svd.svd_tall_safe(_as_device(X0_lf))
+        self.Sigma_hf = Sigma_hf
+        self.Sigma_lf = Sigma_lf
+
+        Z_hf = Sigma_hf[:, None] * Vt_hf   # scores: (m_hf, m_hf)
+        Z_lf = Sigma_lf[:, None] * Vt_lf
+
+        ev_hf = _svd.explained_variance(Sigma_hf)
+        ev_lf = _svd.explained_variance(Sigma_lf)
+
+        Ur_hf, Zr_hf_t = self.rom_hf.reduction(U_hf, Z_hf.T, ev_hf,
+                                               select_modes, n_modes_hf)
+        Ur_lf, Zr_lf_t = self.rom_lf.reduction(U_lf, Z_lf.T, ev_lf,
+                                               select_modes, n_modes_lf)
+        Zr_hf = Zr_hf_t.T
+        Zr_lf = Zr_lf_t.T
+        self.r_hf = Ur_hf.shape[1]
+        self.r_lf = Ur_lf.shape[1]
+
+        if self.r_lf < self.r_hf:
+            pad = jnp.zeros((self.r_hf - self.r_lf, Zr_lf.shape[1]),
+                            dtype=Zr_lf.dtype)
+            Zr_lf = jnp.concatenate([Zr_lf, pad], axis=0)
+
+        Zr_lf_l = Zr_lf[:, : self.n_linked]
+
+        Z0r_hf = Zr_hf - jnp.mean(Zr_hf, axis=1, keepdims=True)
+        Z0r_lf_l = Zr_lf_l - jnp.mean(Zr_lf_l, axis=1, keepdims=True)
+
+        # Scaled Procrustes: rotation + isotropic scale of LF onto HF scores
+        Ua, Sa, Vat = jnp.linalg.svd(Z0r_lf_l @ Z0r_hf.T,
+                                     full_matrices=False)
+        sr = jnp.sum(Sa) / jnp.trace(Z0r_lf_l @ Z0r_lf_l.T)
+        Qr = Vat.T @ Ua.T
+        Zr_aligned = sr * Qr @ Zr_lf
+
+        self.n_latent = int(Zr_aligned.shape[0])
+        self.Zr_aligned = Zr_aligned
+        self.Ur_hf = Ur_hf
+        self.Zr_hf = Zr_hf
+
+    # ------------------------------------------------------------------ #
+
+    def fit(self):
+        X_train = np.concatenate(
+            (np.asarray(self.X_train_u), np.asarray(self.X_train_l)), axis=0)
+        Za = np.asarray(self.Zr_aligned)
+        Zh = np.asarray(self.Zr_hf)
+
+        self.model_list = []
+        for k in range(self.n_latent):
+            model = MultiFiCoKriging(
+                regr=self.regr_type, rho_regr=self.rho_regr,
+                theta=self.theta, theta0=self.theta0, thetaL=self.thetaL,
+                thetaU=self.thetaU, normalize=self.normalize)
+            model.fit([X_train, np.asarray(self.X_train_l)],
+                      [Za[k, :], Zh[k, :]],
+                      initial_range=self.initial_range, tol=self.tol)
+            self.model_list.append(model)
+
+    def predict(self, X_test, n_truncated: Optional[int] = None
+                ) -> Tuple[np.ndarray, np.ndarray]:
+        n_test = X_test.shape[0]
+        if n_truncated is None:
+            n_truncated = self.n_latent
+
+        Z_pred = np.zeros((n_truncated, n_test))
+        Z_mse = np.zeros((n_truncated, n_test))
+        for i in range(n_truncated):
+            mean, mse = self.model_list[i].predict(X_test)
+            Z_pred[i, :] = mean.ravel()
+            Z_mse[i, :] = mse.ravel()
+
+        # The reference projects with the full Ur_hf, which shape-errors for
+        # n_truncated < n_latent (cokriging.py:135); use the first
+        # n_truncated columns — the evidently intended truncation.
+        Ur = self.Ur_hf[:, :n_truncated]
+        Y0_pred = Ur @ jnp.asarray(Z_pred)
+        Y0_mse = Ur @ jnp.asarray(Z_mse)
+        Y_pred = self.rom_hf.unscale_data(Y0_pred)
+        Y_mse = self.rom_hf.unscale_data(Y0_mse)
+        return np.asarray(Y_pred), np.asarray(Y_mse)

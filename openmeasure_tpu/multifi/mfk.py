@@ -1,0 +1,247 @@
+"""Two-fidelity recursive co-kriging (Kennedy–O'Hagan / Le Gratiet).
+
+JAX re-derivation of the model behind OpenMDAO's ``MultiFiCoKriging``, which
+the reference treats as a black box (``cokriging.py:17,115-119``).  The
+reference exposes these knobs, all honored here: ``regr``
+('constant'/'linear'), ``rho_regr`` ('constant'/'linear'), ``theta`` /
+``theta0`` / ``thetaL`` / ``thetaU`` (fixed value, initial guess, bounds; a
+scalar or per-dimension), ``normalize``, and fit-time ``initial_range`` /
+``tol`` controlling the hyperparameter search.
+
+Model (levels l = 0 … L−1, lowest fidelity first):
+
+    y_0(x) = f(x)ᵀ β_0 + Z_0(x)
+    y_l(x) = ρ_{l-1}(x) · ŷ_{l-1}(x) + f(x)ᵀ β_l + Z_l(x),
+    ρ(x) = g(x)ᵀ β_ρ
+
+with Z_l ~ GP(0, σ_l² r_θl), r_θ(d) = exp(−Σ_k θ_k d_k²) (squared
+exponential, per-dimension θ — the openmdao correlation).  Per level the
+regression coefficients solve by GLS, σ² in closed form, and θ maximizes the
+concentrated log-likelihood  −(n·log σ̂² + log det R)  via multistart L-BFGS-B
+in log10(θ) with JAX gradients (openmdao uses gradient-free COBYLA; the
+objective is identical, the optimizer is better).
+
+Prediction is the standard recursive form:
+    m_l(x) = ρ(x) m_{l-1}(x) + f̃_l(x)ᵀ β_l + r_l(x)ᵀ γ_l
+    s_l²(x) = ρ(x)² s_{l-1}²(x)
+              + σ_l² (1 − r_lᵀR_l⁻¹r_l + u_lᵀ(F_lᵀR_l⁻¹F_l)⁻¹u_l)
+
+Everything device-side except the tiny hyperparameter search loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _regr(kind: str, X: jax.Array) -> jax.Array:
+    if kind == "constant":
+        return jnp.ones((X.shape[0], 1), dtype=X.dtype)
+    if kind == "linear":
+        return jnp.concatenate(
+            [jnp.ones((X.shape[0], 1), dtype=X.dtype), X], axis=1)
+    raise ValueError(f"unknown regression type {kind!r}")
+
+
+def _corr(theta: jax.Array, X1: jax.Array, X2: jax.Array) -> jax.Array:
+    """Squared-exponential correlation exp(−Σ θ_k d_k²)."""
+    d = X1[:, None, :] - X2[None, :, :]
+    return jnp.exp(-jnp.sum(theta[None, None, :] * d * d, axis=-1))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _level_nll(log10_theta: jax.Array, X: jax.Array, F: jax.Array,
+               y: jax.Array, nugget: float = 1e-10) -> jax.Array:
+    """Concentrated negative log-likelihood of one kriging level."""
+    theta = 10.0 ** log10_theta
+    n = X.shape[0]
+    R = _corr(theta, X, X) + nugget * jnp.eye(n, dtype=X.dtype)
+    L = jnp.linalg.cholesky(R)
+    Fi = jax.scipy.linalg.cho_solve((L, True), F)
+    yi = jax.scipy.linalg.cho_solve((L, True), y)
+    G = F.T @ Fi
+    beta = jnp.linalg.solve(G, F.T @ yi)
+    resid = y - F @ beta
+    ri = jax.scipy.linalg.cho_solve((L, True), resid)
+    sigma2 = (resid @ ri) / n
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+    return n * jnp.log(jnp.maximum(sigma2, 1e-300)) + logdet
+
+
+@jax.jit
+def _level_fit_terms(theta: jax.Array, X: jax.Array, F: jax.Array,
+                     y: jax.Array, nugget: float = 1e-10):
+    """Quantities cached after θ is chosen: (beta, gamma, sigma2, L, FtRiF)."""
+    n = X.shape[0]
+    R = _corr(theta, X, X) + nugget * jnp.eye(n, dtype=X.dtype)
+    L = jnp.linalg.cholesky(R)
+    Fi = jax.scipy.linalg.cho_solve((L, True), F)
+    yi = jax.scipy.linalg.cho_solve((L, True), y)
+    G = F.T @ Fi
+    beta = jnp.linalg.solve(G, F.T @ yi)
+    resid = y - F @ beta
+    gamma = jax.scipy.linalg.cho_solve((L, True), resid)
+    sigma2 = (resid @ gamma) / n
+    return beta, gamma, sigma2, L, G
+
+
+class MultiFiCoKriging:
+    """Recursive multi-fidelity kriging with the openmdao knob surface."""
+
+    def __init__(self, regr: str = "constant", rho_regr: str = "constant",
+                 theta=None, theta0=None, thetaL=None, thetaU=None,
+                 normalize: bool = True):
+        self.regr = regr
+        self.rho_regr = rho_regr
+        self.theta = theta
+        self.theta0 = theta0
+        self.thetaL = thetaL
+        self.thetaU = thetaU
+        self.normalize = normalize
+
+    # ------------------------------------------------------------------ #
+
+    def _broadcast_theta_opt(self, val, default, d):
+        if val is None:
+            return np.full((d,), default, dtype=float)
+        arr = np.asarray(val, dtype=float).reshape(-1)
+        if arr.size == 1:
+            return np.full((d,), arr[0])
+        if arr.size != d:
+            raise ValueError("theta option has wrong dimension")
+        return arr
+
+    def _optimize_theta(self, X, F, y, theta0, thetaL, thetaU,
+                        initial_range, tol):
+        """Multistart L-BFGS-B on the concentrated NLL in log10(θ)."""
+        from scipy.optimize import minimize
+
+        obj = jax.jit(lambda lt: _level_nll(lt, X, F, y))
+        grad = jax.jit(jax.grad(lambda lt: _level_nll(lt, X, F, y)))
+
+        lo, hi = np.log10(thetaL), np.log10(thetaU)
+        starts = [np.log10(theta0)]
+        rng = np.random.default_rng(0)
+        for _ in range(4):
+            starts.append(lo + (hi - lo) * rng.random(len(theta0)))
+
+        best, best_val = None, np.inf
+        for s0 in starts:
+            res = minimize(
+                lambda v: float(obj(jnp.asarray(v))),
+                np.clip(s0, lo, hi),
+                jac=lambda v: np.asarray(grad(jnp.asarray(v)), dtype=float),
+                method="L-BFGS-B",
+                bounds=list(zip(lo, hi)),
+                options={"maxiter": 200, "ftol": tol, "gtol": tol * 10},
+            )
+            if res.fun < best_val:
+                best, best_val = res.x, res.fun
+        return 10.0 ** np.asarray(best)
+
+    # ------------------------------------------------------------------ #
+
+    def fit(self, X: Sequence, y: Sequence, initial_range: float = 0.3,
+            tol: float = 1e-6):
+        """X, y: lists ordered lowest fidelity first (openmdao convention,
+        matching the reference's ``fit([X_all, X_linked], [lf, hf])`` call at
+        ``cokriging.py:118``)."""
+        X = [np.atleast_2d(np.asarray(Xi, dtype=float)) for Xi in X]
+        y = [np.asarray(yi, dtype=float).reshape(-1) for yi in y]
+        self.n_levels = len(X)
+        d = X[0].shape[1]
+
+        if self.normalize:
+            Xall = np.concatenate(X, axis=0)
+            self._X_mean = Xall.mean(axis=0)
+            self._X_std = Xall.std(axis=0)
+            self._X_std[self._X_std == 0.0] = 1.0
+            yall = np.concatenate(y)
+            self._y_mean = yall.mean()
+            self._y_std = yall.std() or 1.0
+        else:
+            self._X_mean, self._X_std = np.zeros(d), np.ones(d)
+            self._y_mean, self._y_std = 0.0, 1.0
+        Xn = [(Xi - self._X_mean) / self._X_std for Xi in X]
+        yn = [(yi - self._y_mean) / self._y_std for yi in y]
+
+        theta_fixed = (None if self.theta is None
+                       else self._broadcast_theta_opt(self.theta, None, d))
+        theta0 = self._broadcast_theta_opt(self.theta0, 0.5, d)
+        thetaL = self._broadcast_theta_opt(self.thetaL, 1e-6, d)
+        thetaU = self._broadcast_theta_opt(self.thetaU, 100.0, d)
+
+        self.levels = []
+        for l in range(self.n_levels):
+            Xl = jnp.asarray(Xn[l])
+            yl = jnp.asarray(yn[l])
+            if l == 0:
+                F = _regr(self.regr, Xl)
+                rho_cols = 0
+            else:
+                m_prev, _ = self._predict_level(l - 1, Xl)
+                G = _regr(self.rho_regr, Xl)          # (n_l, q)
+                F = jnp.concatenate([G * m_prev[:, None],
+                                     _regr(self.regr, Xl)], axis=1)
+                rho_cols = G.shape[1]
+
+            if theta_fixed is not None:
+                theta = jnp.asarray(theta_fixed)
+            else:
+                theta = jnp.asarray(self._optimize_theta(
+                    Xl, F, yl, theta0, thetaL, thetaU, initial_range, tol))
+
+            beta, gamma, sigma2, L, G_gls = _level_fit_terms(theta, Xl, F, yl)
+            self.levels.append(dict(
+                X=Xl, y=yl, F=F, theta=theta, beta=beta, gamma=gamma,
+                sigma2=sigma2, L=L, G=G_gls, rho_cols=rho_cols))
+        return self
+
+    # ------------------------------------------------------------------ #
+
+    def _predict_level(self, l: int, Xs: jax.Array
+                       ) -> Tuple[jax.Array, jax.Array]:
+        """Recursive posterior (mean, variance) of level l at normalized Xs."""
+        lev = self.levels[l]
+        r = _corr(lev["theta"], Xs, lev["X"])         # (s, n_l)
+        if l == 0:
+            f_tilde = _regr(self.regr, Xs)
+            rho = None
+            m_prev = jnp.zeros(Xs.shape[0], dtype=Xs.dtype)
+            s2_prev = jnp.zeros(Xs.shape[0], dtype=Xs.dtype)
+        else:
+            m_prev, s2_prev = self._predict_level(l - 1, Xs)
+            G = _regr(self.rho_regr, Xs)
+            beta_rho = lev["beta"][: lev["rho_cols"]]
+            rho = G @ beta_rho
+            f_tilde = jnp.concatenate(
+                [G * m_prev[:, None], _regr(self.regr, Xs)], axis=1)
+
+        mean = f_tilde @ lev["beta"] + r @ lev["gamma"]
+
+        # GLS-corrected kriging variance
+        Ri_rT = jax.scipy.linalg.cho_solve((lev["L"], True), r.T)  # (n, s)
+        rRr = jnp.sum(r.T * Ri_rT, axis=0)
+        u = lev["F"].T @ Ri_rT - f_tilde.T                          # (p, s)
+        Gi_u = jnp.linalg.solve(lev["G"], u)
+        uGu = jnp.sum(u * Gi_u, axis=0)
+        var = lev["sigma2"] * jnp.maximum(1.0 - rRr + uGu, 0.0)
+
+        if l > 0:
+            var = var + rho ** 2 * s2_prev
+        return mean, var
+
+    def predict(self, X: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (mean, MSE) at X, each shape (n, 1) — openmdao's
+        two-element convention consumed at ``cokriging.py:132-133``."""
+        X = np.atleast_2d(np.asarray(X, dtype=float))
+        Xn = jnp.asarray((X - self._X_mean) / self._X_std)
+        mean, var = self._predict_level(self.n_levels - 1, Xn)
+        mean = np.asarray(mean) * self._y_std + self._y_mean
+        mse = np.asarray(var) * self._y_std ** 2
+        return mean.reshape(-1, 1), mse.reshape(-1, 1)

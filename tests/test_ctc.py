@@ -1,0 +1,209 @@
+"""CTC tier tests: DDA voxel traversal vs brute-force sampling, camera
+geometry invariants, projection matrices, grid resampling, and the full
+tomographic-reconstruction workflow (reference docs/ctc_doc.ipynb cells
+9-14) with numeric assertions."""
+
+import numpy as np
+import pytest
+
+from openmeasure_tpu.ctc import VoxelGrid, camera, resample_to_grid
+from openmeasure_tpu import SPR
+
+
+def brute_force_cells(grid: VoxelGrid, p1, p2, n_samples=20000):
+    """Dense sampling along the segment — ground truth for the DDA."""
+    t = np.linspace(0, 1, n_samples)
+    pts = p1[None, :] + t[:, None] * (p2 - p1)[None, :]
+    rel = (pts - grid.origin[None, :]) / grid.spacing[None, :]
+    idx = np.floor(rel).astype(int)
+    inside = np.all((idx >= 0) & (idx < np.asarray(grid.dims)), axis=1)
+    idx = idx[inside]
+    lin = idx[:, 0] + grid.dims[0] * (idx[:, 1] + grid.dims[1] * idx[:, 2])
+    return np.unique(lin)
+
+
+class TestDDA:
+    def setup_method(self, method):
+        self.grid = VoxelGrid(origin=(-1, -1, -1), spacing=(0.25, 0.25, 0.25),
+                              dims=(8, 8, 8))
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_random_rays_match_brute_force(self, seed):
+        rng = np.random.default_rng(seed)
+        p1 = rng.uniform(-2, 2, 3)
+        p2 = rng.uniform(-2, 2, 3)
+        got = np.sort(self.grid.find_cells_intersecting_line(p1, p2))
+        expect = brute_force_cells(self.grid, p1, p2)
+        np.testing.assert_array_equal(got, expect)
+
+    def test_axis_aligned_ray(self):
+        got = self.grid.find_cells_intersecting_line(
+            np.array([-2.0, -0.9, -0.9]), np.array([2.0, -0.9, -0.9]))
+        # passes through all 8 x-cells of the (j=0, k=0) row
+        np.testing.assert_array_equal(np.sort(got), np.arange(8))
+
+    def test_miss(self):
+        got = self.grid.find_cells_intersecting_line(
+            np.array([-2.0, 5.0, 0.0]), np.array([2.0, 5.0, 0.0]))
+        assert got.size == 0
+
+    def test_segment_inside(self):
+        got = self.grid.find_cells_intersecting_line(
+            np.array([-0.05, -0.05, -0.05]), np.array([0.05, 0.05, 0.05]))
+        assert got.size >= 2  # crosses the center corner
+
+    def test_cell_centers_ordering(self):
+        g = VoxelGrid((0, 0, 0), (1, 1, 1), (2, 2, 2))
+        cc = g.cell_centers()
+        np.testing.assert_allclose(cc[0], [0.5, 0.5, 0.5])
+        np.testing.assert_allclose(cc[1], [1.5, 0.5, 0.5])   # x fastest
+        np.testing.assert_allclose(cc[2], [0.5, 1.5, 0.5])   # then y
+        np.testing.assert_allclose(cc[4], [0.5, 0.5, 1.5])   # then z
+
+
+class TestCamera:
+    def _cam(self, **kw):
+        args = dict(p_cam=np.array([0, 0, 2.0, 1.0]),
+                    theta=np.array([0.0, 0.0, 0.0]),
+                    f_length=0.05, n_aper=2.8, d_sensor=0.06,
+                    sensor_size_px=np.array([8, 8]), px_size=1e-3)
+        args.update(kw)
+        return camera(**args)
+
+    def test_extrinsics_identity(self):
+        cam = self._cam(theta=np.array([0.0, 0.0, 0.0]))
+        E = cam._extr_matrix()
+        np.testing.assert_allclose(E[:3, :3], np.eye(3), atol=1e-12)
+        np.testing.assert_allclose(E @ cam.p_cam, [0, 0, 0, 1], atol=1e-12)
+
+    def test_extrinsics_maps_camera_to_origin(self):
+        cam = self._cam(p_cam=np.array([0.3, -0.2, 1.5, 1.0]),
+                        theta=np.array([0.2, -0.1, 0.4]))
+        E = cam._extr_matrix()
+        np.testing.assert_allclose((E @ cam.p_cam)[:3], 0.0, atol=1e-12)
+
+    def test_magnification(self):
+        cam = self._cam(f_length=0.05, d_sensor=0.06)
+        np.testing.assert_allclose(cam.m, 0.2, atol=1e-12)
+        np.testing.assert_allclose(cam.d_object, 0.05 / (1 - 0.05 / 0.06))
+        cam_inf = self._cam(f_length=0.05, d_sensor=0.05)
+        assert cam_inf.m == 0 and cam_inf.d_object == -1
+
+    def test_parallel_projection_hits_grid(self):
+        grid = VoxelGrid.from_bounds((-0.1, 0.1, -0.1, 0.1, -0.1, 0.1),
+                                     (8, 8, 8))
+        cam = self._cam(p_cam=np.array([0, 0, 1.0, 1.0]),
+                        sensor_size_px=np.array([16, 16]),
+                        px_size=0.3 / 16 / 1.0)
+        C = cam.project(grid, type_rec="parallel")
+        assert C.shape == (256, 512)
+        assert C.nnz > 0
+        assert set(np.unique(C.data)) == {1}
+        # central pixels should see through the whole depth (8 cells)
+        row_counts = np.asarray(C.sum(axis=1)).ravel()
+        assert row_counts.max() >= 8
+
+    def test_pinhole_and_thin_lens_run(self):
+        grid = VoxelGrid.from_bounds((-0.1, 0.1, -0.1, 0.1, -0.1, 0.1),
+                                     (6, 6, 6))
+        cam = self._cam(p_cam=np.array([0, 0, 1.0, 1.0]),
+                        sensor_size_px=np.array([6, 6]), px_size=2e-3)
+        C_p = cam.project(grid, type_rec="pinhole", N_rand=5, seed=0)
+        C_t = cam.project(grid, type_rec="thin_lens", N_rand=5, seed=0)
+        assert C_p.nnz > 0 and C_t.nnz > 0
+        with pytest.raises(NotImplementedError):
+            cam.project(grid, type_rec="bogus")
+
+    def test_thin_lens_focus_at_infinity_raises(self):
+        grid = VoxelGrid.from_bounds((-1, 1, -1, 1, -1, 1), (4, 4, 4))
+        cam = self._cam(f_length=0.05, d_sensor=0.05)
+        with pytest.raises(ValueError):
+            cam.project(grid, type_rec="thin_lens")
+
+    def test_projection_determinism_with_seed(self):
+        grid = VoxelGrid.from_bounds((-0.1, 0.1, -0.1, 0.1, -0.1, 0.1),
+                                     (6, 6, 6))
+        cam = self._cam(p_cam=np.array([0, 0, 1.0, 1.0]),
+                        sensor_size_px=np.array([6, 6]), px_size=2e-3)
+        C1 = cam.project(grid, type_rec="pinhole", N_rand=4, seed=42)
+        C2 = cam.project(grid, type_rec="pinhole", N_rand=4, seed=42)
+        assert (C1 != C2).nnz == 0
+
+
+class TestResample:
+    def test_resample_recovers_smooth_field(self):
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(-1, 1, (4000, 3))
+        f1 = np.sin(np.pi * pts[:, 0]) * np.cos(np.pi * pts[:, 1])
+        f2 = pts[:, 2] ** 2
+        X = np.concatenate([np.stack([f1, 2 * f1]).T.reshape(-1, 2)[:, :1],
+                            ], axis=0)
+        # simpler: two features, two snapshots
+        X = np.zeros((2 * 4000, 2))
+        X[:4000, 0], X[:4000, 1] = f1, 2 * f1
+        X[4000:, 0], X[4000:, 1] = f2, -f2
+
+        grid, X_int, xyz_int = resample_to_grid(pts, X, [9, 9, 9])
+        assert grid.n_cells == 8 ** 3
+        assert X_int.shape == (2 * 512, 2)
+        g1 = np.sin(np.pi * xyz_int[:, 0]) * np.cos(np.pi * xyz_int[:, 1])
+        err = np.abs(X_int[:512, 0] - g1)
+        assert np.median(err) < 0.05
+
+    def test_dimension_arrays(self):
+        pts = np.random.default_rng(1).uniform(0, 1, (500, 3))
+        X = np.ones((500, 1))
+        xs, ys, zs = np.meshgrid(np.linspace(0, 1, 5),
+                                 np.linspace(0, 1, 5),
+                                 np.linspace(0, 1, 5), indexing="ij")
+        grid, X_int, xyz = resample_to_grid(pts, X, [xs, ys, zs])
+        assert grid.n_cells == 4 ** 3
+        np.testing.assert_allclose(X_int, 1.0)
+
+    def test_bad_dimensions_type(self):
+        with pytest.raises(TypeError):
+            resample_to_grid(np.zeros((10, 3)), np.zeros((10, 1)),
+                             ["a", "b", "c"])
+
+
+class TestCTCWorkflow:
+    def test_tomographic_reconstruction(self):
+        """Full CTC flow (reference ctc_doc cells 9-14) with numeric bars:
+        project a parameterized 3D emission field with 2 cameras, train SPR
+        on the sparse projections, reconstruct a held-out field."""
+        grid = VoxelGrid.from_bounds((-0.1, 0.1, -0.1, 0.1, -0.1, 0.1),
+                                     (8, 8, 8))
+        xyz = grid.cell_centers()
+        n_cells = grid.n_cells
+
+        # emission fields: gaussian blobs with parameterized width/center
+        params = np.linspace(0.3, 1.0, 12)
+        fields = []
+        for a in params:
+            f = np.exp(-np.sum(xyz ** 2, axis=1) / (2 * (0.05 * a) ** 2))
+            fields.append(f)
+        X = np.stack(fields, axis=1)  # (n_cells, 12) single feature
+
+        cams = [
+            camera(np.array([0, 0, 1.0, 1.0]), np.zeros(3), 0.05, 2.8,
+                   0.06, np.array([8, 8]), 0.25 / 8 / 1.0),
+            camera(np.array([1.0, 0, 0.0, 1.0]),
+                   np.array([0.0, np.pi / 2, 0.0]), 0.05, 2.8, 0.06,
+                   np.array([8, 8]), 0.25 / 8 / 1.0),
+        ]
+        import scipy.sparse as sp
+        C = sp.vstack([c.project(grid, "parallel") for c in cams]).tocsr()
+        C = C.astype(float)
+        assert C.shape == (128, n_cells)
+
+        spr = SPR(X[:, :10], 1, xyz)
+        spr.fit(select_modes="number", n_modes=5)
+        spr.train(C, is_Theta=False)
+
+        # measure held-out snapshot through the cameras
+        y = np.zeros((C.shape[0], 3))
+        y[:, 0] = C @ X[:, 11]
+        a, _ = spr.predict(y)
+        x_rec = np.asarray(spr.reconstruct(a))[:, 0]
+        nrmse = np.sqrt(np.mean((x_rec - X[:, 11]) ** 2)) / X[:, 11].max()
+        assert nrmse < 0.05

@@ -1,0 +1,161 @@
+"""Multifidelity tier tests: MFK kriging correctness on analytic problems
+(the Forrester multi-fidelity benchmark) and CoKriging end-to-end."""
+
+import numpy as np
+import pytest
+
+from openmeasure_tpu.multifi.mfk import MultiFiCoKriging
+from openmeasure_tpu import CoKriging
+
+
+def forrester_hf(x):
+    return (6 * x - 2) ** 2 * np.sin(12 * x - 4)
+
+
+def forrester_lf(x, A=0.5, B=10, C=-5):
+    return A * forrester_hf(x) + B * (x - 0.5) + C
+
+
+class TestMFK:
+    def test_single_level_interpolates(self):
+        # with one fidelity this is plain universal kriging — must
+        # interpolate the training data (nugget-level error)
+        X = np.linspace(0, 1, 8)[:, None]
+        y = forrester_hf(X[:, 0])
+        m = MultiFiCoKriging(regr="constant").fit([X], [y])
+        mean, mse = m.predict(X)
+        np.testing.assert_allclose(mean.ravel(), y, atol=1e-4)
+        assert np.all(mse.ravel() < 1e-4)
+
+    def test_two_level_beats_hf_only(self):
+        # classic Forrester setup: dense LF + sparse HF
+        X_lf = np.linspace(0, 1, 11)[:, None]
+        X_hf = np.array([0.0, 0.4, 0.6, 1.0])[:, None]
+        y_lf = forrester_lf(X_lf[:, 0])
+        y_hf = forrester_hf(X_hf[:, 0])
+
+        mf = MultiFiCoKriging(regr="constant", rho_regr="constant")
+        mf.fit([X_lf, X_hf], [y_lf, y_hf])
+
+        hf_only = MultiFiCoKriging(regr="constant")
+        hf_only.fit([X_hf], [y_hf])
+
+        X_t = np.linspace(0, 1, 101)[:, None]
+        y_t = forrester_hf(X_t[:, 0])
+        err_mf = np.sqrt(np.mean((mf.predict(X_t)[0].ravel() - y_t) ** 2))
+        err_hf = np.sqrt(np.mean(
+            (hf_only.predict(X_t)[0].ravel() - y_t) ** 2))
+        assert err_mf < err_hf * 0.5  # LF information must help a lot
+        assert err_mf < 1.0
+
+    def test_hf_points_interpolated(self):
+        X_lf = np.linspace(0, 1, 11)[:, None]
+        X_hf = np.array([0.1, 0.35, 0.65, 0.9])[:, None]
+        mf = MultiFiCoKriging().fit(
+            [X_lf, X_hf],
+            [forrester_lf(X_lf[:, 0]), forrester_hf(X_hf[:, 0])])
+        mean, mse = mf.predict(X_hf)
+        np.testing.assert_allclose(mean.ravel(), forrester_hf(X_hf[:, 0]),
+                                   atol=1e-3)
+
+    def test_linear_regr_and_rho(self):
+        X_lf = np.linspace(0, 1, 12)[:, None]
+        X_hf = np.linspace(0, 1, 5)[:, None]
+        mf = MultiFiCoKriging(regr="linear", rho_regr="linear")
+        mf.fit([X_lf, X_hf],
+               [forrester_lf(X_lf[:, 0]), forrester_hf(X_hf[:, 0])])
+        mean, _ = mf.predict(X_hf)
+        np.testing.assert_allclose(mean.ravel(), forrester_hf(X_hf[:, 0]),
+                                   atol=1e-2)
+
+    def test_fixed_theta_skips_optimization(self):
+        X = np.linspace(0, 1, 8)[:, None]
+        y = forrester_hf(X[:, 0])
+        m = MultiFiCoKriging(theta=5.0).fit([X], [y])
+        np.testing.assert_allclose(np.asarray(m.levels[0]["theta"]), [5.0])
+
+    def test_2d_inputs(self):
+        rng = np.random.default_rng(0)
+        X_lf = rng.random((30, 2))
+        X_hf = X_lf[::3]
+        f = lambda X: np.sin(3 * X[:, 0]) + np.cos(2 * X[:, 1])
+        mf = MultiFiCoKriging().fit(
+            [X_lf, X_hf], [0.7 * f(X_lf) - 1.0, f(X_hf)])
+        X_t = rng.random((50, 2))
+        err = np.sqrt(np.mean((mf.predict(X_t)[0].ravel() - f(X_t)) ** 2))
+        assert err < 0.2
+
+
+class TestCoKriging:
+    def _make_problem(self, seed=0):
+        """Two-fidelity field problem: HF field on a fine grid, LF = coarse
+        corrupted version, linked/unlinked conditions."""
+        rng = np.random.default_rng(seed)
+        n_cells_hf, n_cells_lf, n_features = 60, 40, 2
+        n_linked, n_unlinked, d = 10, 14, 2
+
+        X_l = rng.random((n_linked, d))
+        X_u = rng.random((n_unlinked, d))
+
+        xyz_hf = np.zeros((n_cells_hf, 3))
+        xyz_hf[:, 0] = np.linspace(0, 1, n_cells_hf)
+        xyz_lf = np.zeros((n_cells_lf, 3))
+        xyz_lf[:, 0] = np.linspace(0, 1, n_cells_lf)
+
+        def field(xyz, P, lofi):
+            # smooth parameterized field
+            out = np.zeros((n_features * xyz.shape[0], P.shape[0]))
+            for j in range(P.shape[0]):
+                base = np.sin(2 * np.pi * xyz[:, 0] * (1 + P[j, 0])) \
+                    + P[j, 1] * xyz[:, 0]
+                f2 = np.cos(np.pi * xyz[:, 0] * (2 + P[j, 1]))
+                v = np.concatenate([base, f2])
+                if lofi:
+                    v = 0.6 * v + 0.1
+                out[:, j] = v
+            return out
+
+        Y_hf_l = field(xyz_hf, X_l, False)
+        Y_lf_l = field(xyz_lf, X_l, True)
+        Y_lf_u = field(xyz_lf, X_u, True)
+        return dict(X_l=X_l, X_u=X_u, Y_hf_l=Y_hf_l, Y_lf_l=Y_lf_l,
+                    Y_lf_u=Y_lf_u, xyz_hf=xyz_hf, xyz_lf=xyz_lf,
+                    n_features=n_features, field=field)
+
+    def test_validation(self):
+        p = self._make_problem()
+        with pytest.raises(Exception):
+            CoKriging(p["X_l"], p["X_u"], p["Y_lf_l"][:, :-1], p["Y_lf_u"],
+                      p["Y_hf_l"], p["xyz_lf"], p["xyz_hf"], p["n_features"])
+
+    def test_end_to_end(self):
+        p = self._make_problem()
+        ck = CoKriging(p["X_l"], p["X_u"], p["Y_lf_l"], p["Y_lf_u"],
+                       p["Y_hf_l"], p["xyz_lf"], p["xyz_hf"],
+                       p["n_features"])
+        ck.manifold_alignment(n_modes_hf=99.9, n_modes_lf=99.9)
+        assert ck.n_latent >= 1
+        ck.fit()
+
+        rng = np.random.default_rng(99)
+        X_test = rng.random((5, 2))
+        Y_pred, Y_mse = ck.predict(X_test)
+        Y_true = p["field"](p["xyz_hf"], X_test, False)
+        assert Y_pred.shape == Y_true.shape
+        # NOTE: Y_mse goes through full unscaling incl. the centering offset
+        # (reference cokriging.py:142), so it is not a positive variance —
+        # only check shape/finiteness for parity.
+        assert Y_mse.shape == Y_true.shape and np.all(np.isfinite(Y_mse))
+        nrmse = np.sqrt(np.mean((Y_pred - Y_true) ** 2)) \
+            / (Y_true.max() - Y_true.min())
+        assert nrmse < 0.1
+
+    def test_truncated_predict(self):
+        p = self._make_problem()
+        ck = CoKriging(p["X_l"], p["X_u"], p["Y_lf_l"], p["Y_lf_u"],
+                       p["Y_hf_l"], p["xyz_lf"], p["xyz_hf"],
+                       p["n_features"])
+        ck.manifold_alignment(n_modes_hf=99.9, n_modes_lf=99.9)
+        ck.fit()
+        Y_pred, _ = ck.predict(p["X_l"][:2], n_truncated=1)
+        assert Y_pred.shape[1] == 2
