@@ -38,16 +38,17 @@ def gp_log_prob(mean_spec, kernel_spec, params: Dict, noise: jax.Array,
                 X: jax.Array, y: jax.Array) -> jax.Array:
     """log N(y | μ(X), K(X,X) + diag(noise)).  ``noise`` is a scalar or a
     per-point vector (FixedNoise path)."""
-    n = X.shape[0]
-    K = kernel_spec(params["kernel"], X, X)
-    K = K + jnp.eye(n, dtype=K.dtype) * noise
-    mu = mean_spec(params["mean"], X)
-    L = _chol_with_jitter(K)
-    resid = y - mu
-    alpha = jax.scipy.linalg.cho_solve((L, True), resid)
-    return (-0.5 * resid @ alpha
-            - jnp.sum(jnp.log(jnp.diagonal(L)))
-            - 0.5 * n * jnp.log(2.0 * jnp.pi))
+    with jax.default_matmul_precision("highest"):
+        n = X.shape[0]
+        K = kernel_spec(params["kernel"], X, X)
+        K = K + jnp.eye(n, dtype=K.dtype) * noise
+        mu = mean_spec(params["mean"], X)
+        L = _chol_with_jitter(K)
+        resid = y - mu
+        alpha = jax.scipy.linalg.cho_solve((L, True), resid)
+        return (-0.5 * resid @ alpha
+                - jnp.sum(jnp.log(jnp.diagonal(L)))
+                - 0.5 * n * jnp.log(2.0 * jnp.pi))
 
 
 def gp_posterior(mean_spec, kernel_spec, params: Dict, noise: jax.Array,
@@ -61,20 +62,21 @@ def gp_posterior(mean_spec, kernel_spec, params: Dict, noise: jax.Array,
     observation-noise-inclusive predictive the reference reads mean/stddev
     from (``gpr.py:565-567``).  ``pred_noise`` overrides the noise added at
     the test points (defaults to the training noise)."""
-    n = X.shape[0]
-    K = kernel_spec(params["kernel"], X, X) + jnp.eye(n) * noise
-    Ks = kernel_spec(params["kernel"], Xs, X)              # (s, n)
-    kss = jnp.diagonal(kernel_spec(params["kernel"], Xs, Xs))
-    mu = mean_spec(params["mean"], X)
-    mus = mean_spec(params["mean"], Xs)
-    L = _chol_with_jitter(K)
-    alpha = jax.scipy.linalg.cho_solve((L, True), y - mu)
-    mean_s = mus + Ks @ alpha
-    v = jax.scipy.linalg.solve_triangular(L, Ks.T, lower=True)
-    var_s = jnp.maximum(kss - jnp.sum(v * v, axis=0), 0.0)
-    if include_noise:
-        var_s = var_s + (noise if pred_noise is None else pred_noise)
-    return mean_s, var_s
+    with jax.default_matmul_precision("highest"):
+        n = X.shape[0]
+        K = kernel_spec(params["kernel"], X, X) + jnp.eye(n) * noise
+        Ks = kernel_spec(params["kernel"], Xs, X)              # (s, n)
+        kss = jnp.diagonal(kernel_spec(params["kernel"], Xs, Xs))
+        mu = mean_spec(params["mean"], X)
+        mus = mean_spec(params["mean"], Xs)
+        L = _chol_with_jitter(K)
+        alpha = jax.scipy.linalg.cho_solve((L, True), y - mu)
+        mean_s = mus + Ks @ alpha
+        v = jax.scipy.linalg.solve_triangular(L, Ks.T, lower=True)
+        var_s = jnp.maximum(kss - jnp.sum(v * v, axis=0), 0.0)
+        if include_noise:
+            var_s = var_s + (noise if pred_noise is None else pred_noise)
+        return mean_s, var_s
 
 
 def gp_prior_stddev(mean_spec, kernel_spec, params: Dict, X: jax.Array
@@ -93,15 +95,20 @@ class TrainResult(NamedTuple):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("loss_fn", "lr", "max_iter", "rel_error",
-                                    "verbose"))
+                   static_argnames=("loss_fn", "lr", "max_iter",
+                                    "rel_error"))
 def adam_early_stop(loss_fn: Callable, params0: Dict, lr: float = 0.1,
                     max_iter: int = 1000, rel_error: float = 1e-5,
                     verbose: bool = False) -> TrainResult:
     """Minimize ``loss_fn(params) -> (B,) losses`` with Adam; per-model early
     stop when |Δloss_b| < rel_error (reference stopping rule,
     ``gpr.py:230``).  Converged models are frozen in place while the rest
-    keep stepping, all in one while_loop."""
+    keep stepping, all in one while_loop.
+
+    ``verbose`` is accepted for signature parity but per-iteration printing
+    happens at the caller after training (device host-callbacks are
+    unavailable on some TPU runtimes)."""
+    del verbose
     opt = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)  # torch Adam defaults
     opt_state0 = opt.init(params0)
 
@@ -121,9 +128,6 @@ def adam_early_stop(loss_fn: Callable, params0: Dict, lr: float = 0.1,
             params)
         e = jnp.abs(losses - loss_old)
         conv_new = conv | (e <= rel_error)
-        if verbose:
-            jax.debug.print("Iter {j}: mean loss {l:.3e}", j=j + 1,
-                            l=jnp.mean(losses))
         updates, opt_state_new = opt.update(grads, opt_state, params)
         params_new = optax.apply_updates(params, updates)
 

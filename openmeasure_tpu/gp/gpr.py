@@ -178,6 +178,11 @@ class GPR(ROM):
             )(self.params).T
 
         self.Vr_sigma = Vr_sigma
+        if verbose:
+            import numpy as _np
+            print(f"GP training done - final loss per model: "
+                  f"{_np.asarray(res.loss)}; iterations: "
+                  f"{_np.asarray(res.iterations)}")
         # API-compat return: per-mode parameter pytrees + likelihood specs
         if self.gpr_type == "MultiTask":
             self.models = [self.params]

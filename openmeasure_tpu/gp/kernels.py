@@ -78,12 +78,15 @@ class LinearMean:
 # --------------------------------------------------------------------- #
 
 def _scaled_sqdist(X1, X2, lengthscale):
+    # Explicit pairwise differences (VPU, full fp32) rather than the
+    # norm+matmul identity: on TPU the default matmul precision is bf16,
+    # whose ~1e-2 error makes nearby points exactly coincident and the
+    # kernel matrix singular.  GP point counts are small, so O(n² d)
+    # elementwise work is free.
     x1 = X1 / lengthscale
     x2 = X2 / lengthscale
-    n1 = jnp.sum(x1 * x1, axis=-1, keepdims=True)
-    n2 = jnp.sum(x2 * x2, axis=-1, keepdims=True)
-    d2 = n1 + n2.T - 2.0 * (x1 @ x2.T)
-    return jnp.maximum(d2, 0.0)
+    diff = x1[:, None, :] - x2[None, :, :]
+    return jnp.sum(diff * diff, axis=-1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -123,14 +126,22 @@ class MaternKernel:
 
     def __call__(self, params: Dict, X1: jax.Array, X2: jax.Array) -> jax.Array:
         d2 = _scaled_sqdist(X1, X2, self.lengthscale(params))
-        r = jnp.sqrt(d2 + 1e-30)
+        # sqrt has an unbounded derivative at 0: on the diagonal (d2 == 0)
+        # autodiff produces inf·0 → NaN gradients, catastrophically in fp32.
+        # Guard with a where-branch — k(0) = 1 with zero local gradient,
+        # which is the correct limit since d2 is identically 0 there.
+        eps = jnp.asarray(jnp.finfo(d2.dtype).eps, d2.dtype) ** 2
+        safe = d2 > eps
+        r = jnp.sqrt(jnp.where(safe, d2, 1.0))
         if self.nu == 0.5:
-            return jnp.exp(-r)
-        if self.nu == 1.5:
+            k = jnp.exp(-r)
+        elif self.nu == 1.5:
             c = jnp.sqrt(3.0) * r
-            return (1.0 + c) * jnp.exp(-c)
-        c = jnp.sqrt(5.0) * r
-        return (1.0 + c + (5.0 / 3.0) * d2) * jnp.exp(-c)
+            k = (1.0 + c) * jnp.exp(-c)
+        else:
+            c = jnp.sqrt(5.0) * r
+            k = (1.0 + c + (5.0 / 3.0) * d2) * jnp.exp(-c)
+        return jnp.where(safe, k, 1.0)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -61,8 +61,9 @@ def admm_box_qp(
     """
     r = H.shape[0]
     dtype = H.dtype
+    hp = jax.lax.Precision.HIGHEST
     if AtA is None:
-        AtA = A.T @ A
+        AtA = jnp.matmul(A.T, A, precision=hp)
     if rho is None:
         rho = (jnp.trace(H) + jnp.asarray(1e-12, dtype)) / (
             jnp.trace(AtA) + jnp.asarray(1e-12, dtype))
@@ -72,7 +73,7 @@ def admm_box_qp(
     chol = cho_factor(M)
 
     g0 = cho_solve(chol, c)  # warm start: ρ-regularized unconstrained solve
-    z0 = jnp.clip(A @ g0, lo, hi)
+    z0 = jnp.clip(jnp.matmul(A, g0, precision=hp), lo, hi)
     w0 = jnp.zeros_like(z0)
     alpha = jnp.asarray(over_relax, dtype)
 
@@ -83,13 +84,14 @@ def admm_box_qp(
 
     def body(state):
         g, z, w, k, _, _ = state
-        g = cho_solve(chol, c + rho * (A.T @ (z - w)))
-        Ag = A @ g
+        g = cho_solve(chol, c + rho * jnp.matmul(A.T, z - w, precision=hp))
+        Ag = jnp.matmul(A, g, precision=hp)
         Ag_relaxed = alpha * Ag + (1.0 - alpha) * z
         z_new = jnp.clip(Ag_relaxed + w, lo, hi)
         w = w + Ag_relaxed - z_new
         pri = jnp.linalg.norm(Ag - z_new) / jnp.sqrt(jnp.asarray(A.shape[0], dtype))
-        dua = rho * jnp.linalg.norm(A.T @ (z_new - z)) / jnp.sqrt(
+        dua = rho * jnp.linalg.norm(
+            jnp.matmul(A.T, z_new - z, precision=hp)) / jnp.sqrt(
             jnp.asarray(r, dtype))
         return g, z_new, w, k + 1, pri, dua
 
@@ -119,10 +121,11 @@ def box_constrained_lstsq(
     The half-factor convention cancels: stationary points match the
     reference's CVXPY objective exactly.
     """
+    hp = jax.lax.Precision.HIGHEST
     Wt = Theta * w_diag[:, None]
     Wy = y * w_diag
-    H = Wt.T @ Wt
-    c = Wt.T @ Wy
+    H = jnp.matmul(Wt.T, Wt, precision=hp)
+    c = jnp.matmul(Wt.T, Wy, precision=hp)
     return admm_box_qp(H, c, A, lo, hi, AtA=AtA, max_iter=max_iter, tol=tol)
 
 

@@ -32,6 +32,7 @@ def qrcp_pivots(A: jax.Array, k: int) -> jax.Array:
     pivoting=True)[2][:k]`` up to floating-point ties.
     """
     r, n = A.shape
+    hp = jax.lax.Precision.HIGHEST  # pivot fidelity needs full fp32
     norms2 = jnp.sum(A * A, axis=0)
     neg_inf = jnp.asarray(-jnp.inf, dtype=norms2.dtype)
 
@@ -41,8 +42,8 @@ def qrcp_pivots(A: jax.Array, k: int) -> jax.Array:
         col = jax.lax.dynamic_slice(Aw, (0, j), (r, 1))  # (r, 1)
         nrm = jnp.sqrt(jnp.maximum(jnp.sum(col * col), jnp.finfo(Aw.dtype).tiny))
         q = col / nrm
-        proj = (q.T @ Aw)[0]  # (n,) — one VPU pass
-        Aw = Aw - q @ proj[None, :]
+        proj = jnp.matmul(q.T, Aw, precision=hp)[0]  # (n,) — one pass
+        Aw = Aw - jnp.matmul(q, proj[None, :], precision=hp)
         norms2 = norms2 - proj * proj
         norms2 = norms2.at[j].set(neg_inf)  # never re-pick
         pivots = pivots.at[i].set(j.astype(jnp.int32))

@@ -46,19 +46,23 @@ def svd_tall(
     ``np.linalg.svd(X0, full_matrices=False)`` for ``n >= m``.
     """
     n, m = X0.shape
-    G = X0.T @ X0  # (m, m) — single MXU pass over the panel
+    # TPU default matmul precision is bf16; the Gram squares the condition
+    # number, so these panel matmuls must run at full fp32 ('highest').
+    # They are compute-trivial (m ≈ tens), still bandwidth-bound.
+    hp = jax.lax.Precision.HIGHEST
+    G = jnp.matmul(X0.T, X0, precision=hp)  # (m, m) — one panel pass
     evals, V = jnp.linalg.eigh(G)  # ascending
     V = V[:, ::-1]
 
-    B = X0 @ V  # (n, m) — second panel pass
+    B = jnp.matmul(X0, V, precision=hp)  # (n, m) — second panel pass
     for _ in range(refine):
         # One orthogonal-iteration step: re-diagonalize B's Gram.  Recovers
         # float32 accuracy lost to condition-number squaring.
-        G2 = B.T @ B
+        G2 = jnp.matmul(B.T, B, precision=hp)
         e2, V2 = jnp.linalg.eigh(G2)
         V2 = V2[:, ::-1]
-        V = V @ V2
-        B = B @ V2
+        V = jnp.matmul(V, V2, precision=hp)
+        B = jnp.matmul(B, V2, precision=hp)
 
     S = jnp.linalg.norm(B, axis=0)
     eps = jnp.finfo(X0.dtype).eps

@@ -54,40 +54,84 @@ def _corr(theta: jax.Array, X1: jax.Array, X2: jax.Array) -> jax.Array:
     return jnp.exp(-jnp.sum(theta[None, None, :] * d * d, axis=-1))
 
 
-@functools.partial(jax.jit, static_argnames=())
+def _nugget_for(dtype) -> float:
+    # fp32 kriging matrices need a larger diagonal nugget than fp64
+    return 1e-10 if dtype == jnp.float64 else 1e-5
+
+
 def _level_nll(log10_theta: jax.Array, X: jax.Array, F: jax.Array,
-               y: jax.Array, nugget: float = 1e-10) -> jax.Array:
+               y: jax.Array) -> jax.Array:
     """Concentrated negative log-likelihood of one kriging level."""
-    theta = 10.0 ** log10_theta
-    n = X.shape[0]
-    R = _corr(theta, X, X) + nugget * jnp.eye(n, dtype=X.dtype)
-    L = jnp.linalg.cholesky(R)
-    Fi = jax.scipy.linalg.cho_solve((L, True), F)
-    yi = jax.scipy.linalg.cho_solve((L, True), y)
-    G = F.T @ Fi
-    beta = jnp.linalg.solve(G, F.T @ yi)
-    resid = y - F @ beta
-    ri = jax.scipy.linalg.cho_solve((L, True), resid)
-    sigma2 = (resid @ ri) / n
-    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
-    return n * jnp.log(jnp.maximum(sigma2, 1e-300)) + logdet
+    with jax.default_matmul_precision("highest"):
+        theta = 10.0 ** log10_theta
+        n = X.shape[0]
+        R = _corr(theta, X, X) + _nugget_for(X.dtype) * jnp.eye(
+            n, dtype=X.dtype)
+        L = jnp.linalg.cholesky(R)
+        Fi = jax.scipy.linalg.cho_solve((L, True), F)
+        yi = jax.scipy.linalg.cho_solve((L, True), y)
+        G = F.T @ Fi
+        beta = jnp.linalg.solve(G, F.T @ yi)
+        resid = y - F @ beta
+        ri = jax.scipy.linalg.cho_solve((L, True), resid)
+        sigma2 = (resid @ ri) / n
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+        tiny = jnp.finfo(X.dtype).tiny
+        return n * jnp.log(jnp.maximum(sigma2, tiny)) + logdet
 
 
 @jax.jit
 def _level_fit_terms(theta: jax.Array, X: jax.Array, F: jax.Array,
-                     y: jax.Array, nugget: float = 1e-10):
+                     y: jax.Array):
     """Quantities cached after θ is chosen: (beta, gamma, sigma2, L, FtRiF)."""
-    n = X.shape[0]
-    R = _corr(theta, X, X) + nugget * jnp.eye(n, dtype=X.dtype)
-    L = jnp.linalg.cholesky(R)
-    Fi = jax.scipy.linalg.cho_solve((L, True), F)
-    yi = jax.scipy.linalg.cho_solve((L, True), y)
-    G = F.T @ Fi
-    beta = jnp.linalg.solve(G, F.T @ yi)
-    resid = y - F @ beta
-    gamma = jax.scipy.linalg.cho_solve((L, True), resid)
-    sigma2 = (resid @ gamma) / n
-    return beta, gamma, sigma2, L, G
+    with jax.default_matmul_precision("highest"):
+        n = X.shape[0]
+        R = _corr(theta, X, X) + _nugget_for(X.dtype) * jnp.eye(
+            n, dtype=X.dtype)
+        L = jnp.linalg.cholesky(R)
+        Fi = jax.scipy.linalg.cho_solve((L, True), F)
+        yi = jax.scipy.linalg.cho_solve((L, True), y)
+        G = F.T @ Fi
+        beta = jnp.linalg.solve(G, F.T @ yi)
+        resid = y - F @ beta
+        gamma = jax.scipy.linalg.cho_solve((L, True), resid)
+        sigma2 = (resid @ gamma) / n
+        return beta, gamma, sigma2, L, G
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "lr"))
+def _multistart_opt(starts: jax.Array, X, F, y, lo, hi,
+                    tol: float = 1e-6, n_steps: int = 400,
+                    lr: float = 0.05) -> jax.Array:
+    """Projected Adam on the concentrated NLL, vmapped over starts; returns
+    the best log10(θ) found (best-iterate, not last-iterate)."""
+    import optax
+    opt = optax.adam(lr)
+    vg = jax.value_and_grad(lambda lt: _level_nll(lt, X, F, y))
+
+    def run_one(lt0):
+        state0 = opt.init(lt0)
+        f0 = _level_nll(lt0, X, F, y)
+
+        def body(i, carry):
+            lt, st, f_old, best_lt, best_f, done = carry
+            f, g = vg(lt)
+            upd, st = opt.update(g, st, lt)
+            lt_new = jnp.clip(lt + upd, lo, hi)
+            improved = f < best_f
+            best_lt = jnp.where(improved, lt, best_lt)
+            best_f = jnp.where(improved, f, best_f)
+            done = done | (jnp.abs(f - f_old) < tol)
+            lt = jnp.where(done, lt, lt_new)
+            return lt, st, f, best_lt, best_f, done
+
+        _, _, _, best_lt, best_f, _ = jax.lax.fori_loop(
+            0, n_steps, body,
+            (lt0, state0, jnp.inf, lt0, f0, jnp.asarray(False)))
+        return best_lt, best_f
+
+    best_lts, best_fs = jax.vmap(run_one)(starts)
+    return best_lts[jnp.argmin(best_fs)]
 
 
 class MultiFiCoKriging:
@@ -118,30 +162,22 @@ class MultiFiCoKriging:
 
     def _optimize_theta(self, X, F, y, theta0, thetaL, thetaU,
                         initial_range, tol):
-        """Multistart L-BFGS-B on the concentrated NLL in log10(θ)."""
-        from scipy.optimize import minimize
-
-        obj = jax.jit(lambda lt: _level_nll(lt, X, F, y))
-        grad = jax.jit(jax.grad(lambda lt: _level_nll(lt, X, F, y)))
-
-        lo, hi = np.log10(thetaL), np.log10(thetaU)
-        starts = [np.log10(theta0)]
+        """Multistart bounded optimization of the concentrated NLL in
+        log10(θ) — fully on device: all starts advance together as one
+        vmapped projected-Adam program (a host-side quasi-Newton loop would
+        cost thousands of device round-trips on a remote accelerator).
+        ``tol`` sets the per-start early-stop on |Δnll|."""
+        lo = jnp.asarray(np.log10(thetaL))
+        hi = jnp.asarray(np.log10(thetaU))
         rng = np.random.default_rng(0)
+        starts = [np.clip(np.log10(theta0), np.log10(thetaL),
+                          np.log10(thetaU))]
         for _ in range(4):
-            starts.append(lo + (hi - lo) * rng.random(len(theta0)))
-
-        best, best_val = None, np.inf
-        for s0 in starts:
-            res = minimize(
-                lambda v: float(obj(jnp.asarray(v))),
-                np.clip(s0, lo, hi),
-                jac=lambda v: np.asarray(grad(jnp.asarray(v)), dtype=float),
-                method="L-BFGS-B",
-                bounds=list(zip(lo, hi)),
-                options={"maxiter": 200, "ftol": tol, "gtol": tol * 10},
-            )
-            if res.fun < best_val:
-                best, best_val = res.x, res.fun
+            starts.append(np.log10(thetaL) + (
+                np.log10(thetaU) - np.log10(thetaL)) * rng.random(
+                    len(theta0)))
+        starts = jnp.asarray(np.stack(starts))
+        best = _multistart_opt(starts, X, F, y, lo, hi, float(tol))
         return 10.0 ** np.asarray(best)
 
     # ------------------------------------------------------------------ #
@@ -222,15 +258,16 @@ class MultiFiCoKriging:
             f_tilde = jnp.concatenate(
                 [G * m_prev[:, None], _regr(self.regr, Xs)], axis=1)
 
-        mean = f_tilde @ lev["beta"] + r @ lev["gamma"]
+        with jax.default_matmul_precision("highest"):
+            mean = f_tilde @ lev["beta"] + r @ lev["gamma"]
 
-        # GLS-corrected kriging variance
-        Ri_rT = jax.scipy.linalg.cho_solve((lev["L"], True), r.T)  # (n, s)
-        rRr = jnp.sum(r.T * Ri_rT, axis=0)
-        u = lev["F"].T @ Ri_rT - f_tilde.T                          # (p, s)
-        Gi_u = jnp.linalg.solve(lev["G"], u)
-        uGu = jnp.sum(u * Gi_u, axis=0)
-        var = lev["sigma2"] * jnp.maximum(1.0 - rRr + uGu, 0.0)
+            # GLS-corrected kriging variance
+            Ri_rT = jax.scipy.linalg.cho_solve((lev["L"], True), r.T)
+            rRr = jnp.sum(r.T * Ri_rT, axis=0)
+            u = lev["F"].T @ Ri_rT - f_tilde.T                      # (p, s)
+            Gi_u = jnp.linalg.solve(lev["G"], u)
+            uGu = jnp.sum(u * Gi_u, axis=0)
+            var = lev["sigma2"] * jnp.maximum(1.0 - rRr + uGu, 0.0)
 
         if l > 0:
             var = var + rho ** 2 * s2_prev

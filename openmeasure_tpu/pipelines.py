@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from .core import scaling as _scaling
 from .linalg import svd as _svd
 from .linalg import qrcp as _qrcp
+from .linalg import qrcp_pallas as _qrcp_pl
 
 
 class SPRResult(NamedTuple):
@@ -51,7 +52,7 @@ def spr_end_to_end(
     Ur = U[:, :r]
     exp_var = _svd.explained_variance(S)[:r]
 
-    pivots = _qrcp.qrcp_pivots(Ur.T, r)
+    pivots = _qrcp_pl.qrcp_pivots_auto(Ur.T, r)
 
     Theta = Ur[pivots, :]               # (r, r)
     y = X_test[pivots, :]               # raw sensor readings, (r, m_test)

@@ -1,22 +1,92 @@
 """Greedy entropy maximization (GEM) sensor placement.
 
-Re-implementation of ``SPR.gem`` (``sparse_sensing.py:586-698``) with the
-per-candidate Python loop (``:670-678``) replaced by one batched einsum over
-all surviving candidates per step — the conditional variance
-``σ²_y − Σ_yA Σ_AA⁻¹ Σ_Ay`` for every candidate is a single (n, s) matmul.
+Re-implementation of ``SPR.gem`` (``sparse_sensing.py:586-698``) as ONE
+jit-compiled fixed-shape program: the per-candidate Python loop
+(``:670-678``) becomes a batched einsum over all surviving candidates, and
+the sensor loop is a ``lax.fori_loop`` with padded (n_sensors-sized) buffers
+— so the whole selection compiles once regardless of how many sensors are
+requested (the growing-shape formulation recompiles per step, which is
+prohibitive on remote TPU).
+
+Covariance bookkeeping with fixed shapes: the selected-rows buffer ``Cs``
+(n_sensors, r) is zero-padded; Σ_AA = Cs Csᵀ/(r−1) + I_pad, where I_pad puts
+1 on not-yet-selected diagonal slots.  Since the corresponding rows/columns
+are otherwise zero, the padded inverse is block-diagonal and the conditional
+variance quadratic form is exact.
 
 Determinism: the reference adds *random* 1e-5 Gaussian noise to Σ_AA before
-inverting (``sparse_sensing.py:667``), making placements nondeterministic.
-We use a deterministic 1e-5 diagonal jitter, which serves the same
-conditioning purpose (flagged in SURVEY §4 as a quirk not to replicate).
+inverting (``sparse_sensing.py:667``); we use a deterministic 1e-5 diagonal
+jitter (SURVEY §4 flags the randomness as a quirk not to replicate).
 """
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+import functools
+from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("n_sensors",))
+def _gem_select_jit(Ur, xyz, mask, d_min, n_sensors: int):
+    n, r = Ur.shape
+    dtype = Ur.dtype
+
+    var_masked = jnp.var(jnp.where(mask[:, None], Ur, jnp.nan), ddof=1,
+                         axis=1)
+    coef = 2.0 / jnp.sqrt(jnp.nanmax(var_masked))
+    Ur_scl = Ur * coef
+
+    row_mean = jnp.mean(Ur_scl, axis=1, keepdims=True)
+    Uc = Ur_scl - row_mean                     # row-centered (np.cov style)
+    sigma2y_all = jnp.sum(Uc * Uc, axis=1) / (r - 1)
+    sigma_coef = jnp.var(Ur_scl, ddof=1, axis=1)
+
+    neg_inf = jnp.asarray(-jnp.inf, dtype)
+    log2pi1 = 0.5 * (jnp.log(2 * jnp.pi) + 1.0)
+
+    def body(s, carry):
+        alive, Cs, selected, H_tot, step_scores, step_H = carry
+
+        def first_step(_):
+            return jnp.where(alive, sigma_coef, neg_inf), jnp.asarray(
+                0.0, dtype)
+
+        def later_step(_):
+            slot = jax.lax.broadcasted_iota(jnp.int32, (n_sensors,), 0)
+            pad = (slot >= s).astype(dtype)
+            Sigma_aa = (Cs @ Cs.T) / (r - 1) + jnp.diag(pad) \
+                + 1e-5 * jnp.eye(n_sensors, dtype=dtype)
+            Sigma_aa_inv = jnp.linalg.inv(Sigma_aa)
+            Sigma_ya = (Uc @ Cs.T) / (r - 1)   # (n, n_sensors), zero pad cols
+            cond_var = sigma2y_all - jnp.einsum(
+                "ns,st,nt->n", Sigma_ya, Sigma_aa_inv, Sigma_ya)
+            return jnp.where(alive, cond_var, neg_inf), jnp.asarray(
+                1.0, dtype)
+
+        scores, is_later = jax.lax.cond(s == 0, first_step, later_step, None)
+        i_sensor = jnp.argmax(scores)
+        H_tot = H_tot + is_later * (0.5 * jnp.log(scores[i_sensor])
+                                    + log2pi1)
+        Cs = Cs.at[s].set(Uc[i_sensor])
+        selected = selected.at[s].set(i_sensor.astype(jnp.int32))
+        step_scores = step_scores.at[s].set(scores[i_sensor])
+        step_H = step_H.at[s].set(H_tot)
+        d = jnp.linalg.norm(xyz - xyz[i_sensor][None, :], axis=1)
+        alive = alive & (d >= d_min)
+        return alive, Cs, selected, H_tot, step_scores, step_H
+
+    carry0 = (mask,
+              jnp.zeros((n_sensors, r), dtype),
+              jnp.zeros((n_sensors,), jnp.int32),
+              jnp.asarray(0.0, dtype),
+              jnp.zeros((n_sensors,), dtype),
+              jnp.zeros((n_sensors,), dtype))
+    _, _, selected, H_tot, step_scores, step_H = jax.lax.fori_loop(
+        0, n_sensors, body, carry0)
+    return selected, step_scores, step_H, sigma_coef
 
 
 def gem_select(
@@ -45,64 +115,25 @@ def gem_select(
     else:
         mask_np = np.asarray(mask, dtype=bool)
 
-    # Scale so the covariance determinant stays > 1 (reference :622-625).
-    r = Ur.shape[1]
-    var_masked = jnp.var(Ur[jnp.asarray(mask_np)], ddof=1, axis=1)
-    coef = 2.0 / jnp.sqrt(jnp.max(var_masked))
-    Ur_scl = Ur * coef
-
-    xyz = jnp.asarray(xyz_tiled)
-
-    # `alive` tracks candidates still eligible (region mask ∧ distance masks).
-    alive = jnp.asarray(mask_np)
-    sigma_coef = jnp.var(Ur_scl, ddof=1, axis=1)
-
-    neg_inf = -jnp.inf
-    selected: list[int] = []
-    H_tot = 0.0
-
-    # Row-centered copies used by the covariance formulas (np.cov centers
-    # each row by its own mean, ddof=1 over the r mode-columns).
-    row_mean = jnp.mean(Ur_scl, axis=1, keepdims=True)
-    Uc = Ur_scl - row_mean  # (n, r)
-    sigma2y_all = jnp.sum(Uc * Uc, axis=1) / (r - 1)
-
+    selected, step_scores, step_H, sigma_coef = _gem_select_jit(
+        Ur, jnp.asarray(xyz_tiled), jnp.asarray(mask_np),
+        jnp.asarray(float(d_min), Ur.dtype), n_sensors)
+    selected = np.asarray(selected, dtype=np.int64)
     if verbose:
+        # Host-side entropy table (the reference prints it inline,
+        # sparse_sensing.py:633-694; device callbacks are unavailable on
+        # some TPU runtimes so the per-step stats return from the jit).
+        scores = np.asarray(step_scores)
+        Hs = np.asarray(step_H)
+        sc = np.asarray(sigma_coef)
         header = ["# sensors", "sigma^2 y", "sigma^2 y|a", "Htot"]
         print(f"{'-'*70} \n {header[0]:^10} {header[1]:^10} "
               f"{header[2]:^10} {header[3]:^10} \n ")
-
-    for s in range(n_sensors):
-        if s == 0:
-            scores = jnp.where(alive, sigma_coef, neg_inf)
-            i_sensor = int(jnp.argmax(scores))
-            if verbose:
-                print(f"{s+1:^10} {float(sigma_coef[i_sensor]):^10.2e} "
+        for s_i in range(n_sensors):
+            if s_i == 0:
+                print(f"{s_i+1:^10} {sc[selected[s_i]]:^10.2e} "
                       f"{'  -':^10} {'  -':^10}")
-        else:
-            sel = jnp.asarray(selected)
-            Cs = Uc[sel]                       # (s, r) centered selected rows
-            Sigma_aa = (Cs @ Cs.T) / (r - 1)   # (s, s)
-            if s == 1:
-                Sigma_aa_inv = 1.0 / Sigma_aa
             else:
-                jitter = 1e-5 * jnp.eye(s, dtype=Ur.dtype)
-                Sigma_aa_inv = jnp.linalg.inv(Sigma_aa + jitter)
-
-            Sigma_ya = (Uc @ Cs.T) / (r - 1)   # (n, s) — all candidates at once
-            cond_var = sigma2y_all - jnp.einsum(
-                "ns,st,nt->n", Sigma_ya, Sigma_aa_inv, Sigma_ya)
-
-            scores = jnp.where(alive, cond_var, neg_inf)
-            i_sensor = int(jnp.argmax(scores))
-            H_tot += 0.5 * float(jnp.log(scores[i_sensor])) \
-                + 0.5 * (np.log(2 * np.pi) + 1)
-            if verbose:
-                print(f"{s+1:^10} {float(sigma_coef[i_sensor]):^10.2e} "
-                      f"{float(scores[i_sensor]):^10.2e} {H_tot:^10.2e}")
-
-        selected.append(i_sensor)
-        d = jnp.linalg.norm(xyz - xyz[i_sensor][None, :], axis=1)
-        alive = alive & (d >= d_min)
-
-    return np.asarray(selected, dtype=np.int64)
+                print(f"{s_i+1:^10} {sc[selected[s_i]]:^10.2e} "
+                      f"{scores[s_i]:^10.2e} {Hs[s_i]:^10.2e}")
+    return selected

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ..rom.rom import ROM, apply_sampling, _as_device
 from ..linalg import qrcp as _qrcp
+from ..linalg import qrcp_pallas as _qrcp_pl
 from ..linalg import boxls as _boxls
 from .gem import gem_select
 
@@ -79,7 +80,7 @@ class SPR(ROM):
             if mask is not None:
                 keep = jnp.asarray(np.asarray(mask, dtype=bool))
                 self.Ur = jnp.where(keep[:, None], self.Ur, 0.0)
-            pivots = _qrcp.qrcp_pivots(self.Ur.T, self.r)
+            pivots = _qrcp_pl.qrcp_pivots_auto(self.Ur.T, self.r)
             C = _qrcp.pivots_to_onehot(pivots, n).astype(self.Ur.dtype)
         elif calc_type == "gem":
             P = self.gem(self.Ur, n_sensors, mask, d_min, verbose)

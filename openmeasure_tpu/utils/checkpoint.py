@@ -1,0 +1,219 @@
+"""Checkpoint / resume for fitted models.
+
+The reference has no persistence — trained state lives in object attributes
+and the only resume affordance is ``fit(basis=(Ur, Ar))`` (SURVEY §5).  Here
+every fitted model (ROM / SPR / GPR / PIGPR) serializes to a single ``.npz``
+archive: array attributes flattened under path-like keys, scalars/specs in an
+embedded JSON header.  ``load_model`` reconstructs a ready-to-predict object
+without re-running the SVD or GP training.
+
+GP mean/kernel/likelihood specs are frozen dataclasses; they round-trip by
+class name + field dict (nested specs like ScaleKernel recurse).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from ..rom.rom import ROM
+from ..sensing.spr import SPR
+from ..gp import kernels as K
+
+_SPEC_CLASSES = {
+    cls.__name__: cls for cls in (
+        K.ZeroMean, K.ConstantMean, K.LinearMean,
+        K.RBFKernel, K.MaternKernel, K.ScaleKernel, K.LinearKernel,
+        K.GaussianLikelihood, K.FixedNoiseGaussianLikelihood,
+        K.MultitaskGaussianLikelihood,
+    )
+}
+
+
+def _spec_to_json(spec) -> Optional[Dict]:
+    if spec is None:
+        return None
+    fields = {}
+    for f in dataclasses.fields(spec):
+        v = getattr(spec, f.name)
+        if dataclasses.is_dataclass(v):
+            v = _spec_to_json(v)
+            fields[f.name] = {"__spec__": v}
+        else:
+            fields[f.name] = v
+    return {"cls": type(spec).__name__, "fields": fields}
+
+
+def _spec_from_json(d: Optional[Dict]):
+    if d is None:
+        return None
+    cls = _SPEC_CLASSES[d["cls"]]
+    kw = {}
+    for k, v in d["fields"].items():
+        if isinstance(v, dict) and "__spec__" in v:
+            v = _spec_from_json(v["__spec__"])
+        kw[k] = v
+    return cls(**kw)
+
+
+def _flatten_tree(tree, prefix, out):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            _flatten_tree(v, f"{prefix}/{k}", out)
+    else:
+        out[prefix] = np.asarray(tree)
+
+
+def _unflatten_tree(arrays: Dict[str, np.ndarray], prefix: str):
+    tree: Dict[str, Any] = {}
+    plen = len(prefix) + 1
+    for key, v in arrays.items():
+        if not key.startswith(prefix + "/"):
+            continue
+        parts = key[plen:].split("/")
+        d = tree
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = v
+    return tree
+
+
+_ARRAY_ATTRS = [
+    "X_cnt", "X_scl", "Ur", "Ar", "Vr", "Sigma_r", "xyz", "Theta",
+    "P", "P_cnt", "P_scl", "P0", "Vr_sigma", "_train_X", "_train_Y",
+]
+_META_ATTRS = ["r", "n_features", "n_points", "scale_type", "method",
+               "solver", "gpr_type", "d", "max_iter", "rel_error", "lr",
+               "scaleX_type", "scaleP_type"]
+
+
+def save_model(obj, path: str, include_data: bool = False) -> None:
+    """Serialize a fitted ROM/SPR/GPR/PIGPR to ``path`` (.npz)."""
+    arrays: Dict[str, np.ndarray] = {}
+    meta: Dict[str, Any] = {"class": type(obj).__name__}
+
+    for a in _ARRAY_ATTRS:
+        if hasattr(obj, a) and getattr(obj, a) is not None:
+            arrays[f"attr/{a}"] = np.asarray(getattr(obj, a))
+    for a in _META_ATTRS:
+        if hasattr(obj, a):
+            meta[a] = getattr(obj, a)
+    if include_data and hasattr(obj, "X"):
+        arrays["attr/X"] = np.asarray(obj.X)
+
+    if hasattr(obj, "limits") and getattr(obj, "limits") is not None:
+        arrays["limits/lo"] = np.asarray(obj.limits[0])
+        arrays["limits/hi"] = np.asarray(obj.limits[1])
+
+    if hasattr(obj, "C"):
+        C = obj.C
+        try:
+            import scipy.sparse as sp
+            if sp.issparse(C):
+                Cc = C.tocsr()
+                arrays["C_sparse/data"] = Cc.data
+                arrays["C_sparse/indices"] = Cc.indices
+                arrays["C_sparse/indptr"] = Cc.indptr
+                meta["C_sparse_shape"] = list(Cc.shape)
+                C = None
+        except ImportError:  # pragma: no cover
+            pass
+        if C is not None:
+            arrays["attr/C"] = np.asarray(C)
+
+    if hasattr(obj, "params"):
+        _flatten_tree(obj.params, "params", arrays)
+        meta["mean_spec"] = _spec_to_json(getattr(obj, "mean", None))
+        meta["kernel_spec"] = _spec_to_json(getattr(obj, "kernel", None))
+        meta["likelihood_spec"] = _spec_to_json(
+            getattr(obj, "likelihood", None))
+
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **arrays)
+
+
+def load_model(path: str):
+    """Reconstruct a fitted model saved by :func:`save_model`.  The returned
+    object supports predict/reconstruct without retraining."""
+    with np.load(path, allow_pickle=False) as z:
+        arrays = {k: z[k] for k in z.files}
+    meta = json.loads(bytes(arrays.pop("__meta__")).decode())
+
+    cls_name = meta["class"]
+    n_features = int(meta["n_features"])
+    xyz = arrays.get("attr/xyz")
+    X = arrays.get("attr/X")
+    if X is None:
+        # placeholder with correct row count so __init__ validation passes
+        n = int(arrays["attr/X_cnt"].shape[0])
+        m = int(arrays["attr/Ar"].shape[0]) if "attr/Ar" in arrays else 1
+        X = np.zeros((n, m))
+
+    if cls_name == "ROM":
+        obj = ROM(X, n_features, xyz)
+    elif cls_name == "SPR":
+        obj = SPR(X, n_features, xyz)
+    elif cls_name in ("GPR", "PIGPR"):
+        from ..gp.gpr import GPR
+        P = arrays.get("attr/P")
+        obj = GPR(X, n_features, xyz,
+                  P if P is not None else np.zeros((X.shape[1], 1)),
+                  gpr_type=meta.get("gpr_type", "SingleTask"))
+    else:
+        raise ValueError(f"unknown checkpointed class {cls_name!r}")
+
+    import jax.numpy as jnp
+    for a in _ARRAY_ATTRS:
+        key = f"attr/{a}"
+        if key in arrays:
+            setattr(obj, a, jnp.asarray(arrays[key]))
+    for a in _META_ATTRS:
+        if a in meta:
+            setattr(obj, a, meta[a])
+
+    if "limits/lo" in arrays:
+        obj.limits = [arrays["limits/lo"], arrays["limits/hi"]]
+    elif cls_name == "SPR":
+        obj.limits = None
+    if cls_name == "SPR" and not hasattr(obj, "verbose"):
+        obj.verbose = False
+        obj.admm_max_iter = 4000
+        obj.admm_tol = 1e-9
+
+    if "C_sparse_shape" in meta:
+        import scipy.sparse as sp
+        obj.C = sp.csr_matrix(
+            (arrays["C_sparse/data"], arrays["C_sparse/indices"],
+             arrays["C_sparse/indptr"]),
+            shape=tuple(meta["C_sparse_shape"]))
+    elif "attr/C" in arrays:
+        obj.C = jnp.asarray(arrays["attr/C"])
+
+    if any(k.startswith("params/") for k in arrays):
+        import jax
+        params = _unflatten_tree(arrays, "params")
+        obj.params = _tree_to_jnp(params)
+        obj.mean = _spec_from_json(meta.get("mean_spec"))
+        obj.kernel = _spec_from_json(meta.get("kernel_spec"))
+        obj.likelihood = _spec_from_json(meta.get("likelihood_spec"))
+        if obj.gpr_type == "MultiTask":
+            obj.models = [obj.params]
+            obj.likelihoods = [obj.likelihood]
+        else:
+            obj.models = [
+                jax.tree_util.tree_map(lambda x: x[i], obj.params)
+                for i in range(obj.r)]
+            obj.likelihoods = [obj.likelihood] * obj.r
+    return obj
+
+
+def _tree_to_jnp(tree):
+    import jax.numpy as jnp
+    if isinstance(tree, dict):
+        return {k: _tree_to_jnp(v) for k, v in tree.items()}
+    return jnp.asarray(tree)

@@ -1,0 +1,129 @@
+"""Utils tier: metrics, checkpoint round-trips, configs, logging."""
+
+import logging
+
+import numpy as np
+import pytest
+
+from openmeasure_tpu import ROM, SPR, GPR
+from openmeasure_tpu.utils import metrics
+from openmeasure_tpu.utils.checkpoint import save_model, load_model
+from openmeasure_tpu.utils.logging import timed, set_verbosity, logger
+from openmeasure_tpu.core.config import (FitConfig, GPTrainConfig,
+                                         SolverConfig)
+
+
+class TestMetrics:
+    def test_nrmse(self):
+        x = np.array([0.0, 1.0, 2.0])
+        np.testing.assert_allclose(metrics.nrmse(x, x), 0.0)
+        np.testing.assert_allclose(
+            metrics.rmse(x + 1.0, x), 1.0)
+        np.testing.assert_allclose(
+            metrics.nrmse(x + 1.0, x), 0.5)
+
+    def test_r2_and_mae(self):
+        rng = np.random.default_rng(0)
+        x = rng.random(100)
+        np.testing.assert_allclose(metrics.r2(x, x), 1.0)
+        assert metrics.mae(x + 0.1, x) == pytest.approx(0.1)
+
+    def test_nrmse_per_feature(self):
+        x_true = np.concatenate([np.linspace(0, 1, 10),
+                                 np.linspace(0, 100, 10)])
+        x_pred = x_true.copy()
+        x_pred[:10] += 0.1    # 10% of feature-0 range
+        x_pred[10:] += 10.0   # 10% of feature-1 range
+        out = metrics.nrmse_per_feature(x_pred, x_true, 2)
+        np.testing.assert_allclose(out, [0.1, 0.1], rtol=1e-6)
+
+
+class TestCheckpoint:
+    def setup_method(self, method):
+        rng = np.random.default_rng(1)
+        self.X = rng.random((20, 6))
+        self.xyz = rng.random((10, 3))
+
+    def test_rom_roundtrip(self, tmp_path):
+        rom = ROM(self.X, 2, self.xyz)
+        rom.fit(select_modes="number", n_modes=3)
+        x_rec = np.asarray(rom.reconstruct(np.asarray(rom.Ar)[0]))
+
+        path = str(tmp_path / "rom.npz")
+        save_model(rom, path)
+        rom2 = load_model(path)
+        x_rec2 = np.asarray(rom2.reconstruct(np.asarray(rom2.Ar)[0]))
+        np.testing.assert_allclose(x_rec2, x_rec, rtol=1e-12)
+
+    def test_spr_roundtrip(self, tmp_path):
+        spr = SPR(self.X, 2, self.xyz)
+        spr.fit(select_modes="number", n_modes=4)
+        C = np.asarray(spr.optimal_placement())
+        spr.train(C)
+        y = np.zeros((4, 3))
+        y[:, 0] = C @ self.X[:, 1]
+        y[:, 2] = (np.argmax(C, axis=1) // 10)
+        a, _ = spr.predict(y)
+
+        path = str(tmp_path / "spr.npz")
+        save_model(spr, path)
+        spr2 = load_model(path)
+        a2, _ = spr2.predict(y)
+        np.testing.assert_allclose(np.asarray(a2), np.asarray(a), rtol=1e-10)
+
+    def test_spr_sparse_C_roundtrip(self, tmp_path):
+        import scipy.sparse as sp
+        spr = SPR(self.X, 2, self.xyz)
+        spr.fit(select_modes="number", n_modes=3)
+        C = sp.csr_matrix(np.asarray(spr.optimal_placement()))
+        spr.train(C)
+        path = str(tmp_path / "spr_sp.npz")
+        save_model(spr, path)
+        spr2 = load_model(path)
+        assert sp.issparse(spr2.C)
+        np.testing.assert_array_equal(spr2.C.toarray(), C.toarray())
+
+    def test_gpr_roundtrip(self, tmp_path):
+        P = np.linspace(0, 1, 6)[:, None]
+        gpr = GPR(self.X, 2, self.xyz, P)
+        gpr.fit(select_modes="number", n_modes=2)
+        gpr.train(max_iter=50)
+        P_star = np.array([[0.25], [0.85]])
+        A, S = gpr.predict(P_star)
+
+        path = str(tmp_path / "gpr.npz")
+        save_model(gpr, path)
+        gpr2 = load_model(path)
+        A2, S2 = gpr2.predict(P_star)
+        np.testing.assert_allclose(np.asarray(A2), np.asarray(A), rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(S2), np.asarray(S), rtol=1e-8)
+
+    def test_gpr_multitask_roundtrip(self, tmp_path):
+        P = np.linspace(0, 1, 6)[:, None]
+        gpr = GPR(self.X, 2, self.xyz, P, gpr_type="MultiTask")
+        gpr.fit(select_modes="number", n_modes=2)
+        gpr.train(max_iter=50)
+        A, _ = gpr.predict(np.array([[0.4]]))
+        path = str(tmp_path / "gpr_mt.npz")
+        save_model(gpr, path)
+        gpr2 = load_model(path)
+        A2, _ = gpr2.predict(np.array([[0.4]]))
+        np.testing.assert_allclose(np.asarray(A2), np.asarray(A), rtol=1e-8)
+
+
+class TestConfigLogging:
+    def test_config_defaults_match_reference(self):
+        assert FitConfig().scale_type == "std"
+        assert FitConfig().n_modes == 99
+        assert GPTrainConfig().max_iter == 1000
+        assert GPTrainConfig().rel_error == 1e-5
+        assert GPTrainConfig().lr == 0.1
+        assert SolverConfig().tol == 1e-9
+
+    def test_timed_logs(self, caplog):
+        set_verbosity(logging.INFO)
+        with caplog.at_level(logging.INFO, logger="openmeasure_tpu"):
+            with timed("unit-test-block"):
+                pass
+        assert any("unit-test-block" in r.message for r in caplog.records)
+        set_verbosity(logging.WARNING)
