@@ -4,5 +4,7 @@ from .grid import VoxelGrid
 from .camera import camera
 from .resample import resample_to_grid
 from .raytrace import trace_rays
+from .unstructured import UnstructuredMesh
 
-__all__ = ["VoxelGrid", "camera", "resample_to_grid", "trace_rays"]
+__all__ = ["VoxelGrid", "UnstructuredMesh", "camera", "resample_to_grid",
+           "trace_rays"]

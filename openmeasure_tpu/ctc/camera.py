@@ -11,8 +11,9 @@ C (n_pixels, n_cells) for three projection models ('parallel', 'pinhole',
 TPU-native difference: when the object mesh is a
 :class:`openmeasure_tpu.ctc.grid.VoxelGrid`, ALL rays trace in one vmapped
 DDA program on device (the reference loops over pixels in Python calling
-VTK per ray, its hot loop ``utils.py:365-463``).  Any mesh exposing
-``find_cells_intersecting_line`` (e.g. a pyvista mesh) still works via the
+VTK per ray, its hot loop ``utils.py:365-463``).  Unstructured meshes go through the native C++
+uniform-grid AABB caster (``openmeasure_tpu.ctc.unstructured``); any other
+mesh exposing ``find_cells_intersecting_line`` (e.g. pyvista) works via the
 per-ray host path.
 
 Determinism: the reference draws fresh OS-seeded RNG per pixel
@@ -203,6 +204,10 @@ class camera:
             valid = flat >= 0
             rows = pix[ray_ids[valid]]
             cols = flat[valid]
+        elif hasattr(obj_mesh, "trace_batch"):
+            # native batched path (UnstructuredMesh): all rays in one call
+            ray_ids, cols = obj_mesh.trace_batch(p1, p2)
+            rows = pix[ray_ids]
         else:
             rows_l, cols_l = [], []
             for i in range(p1.shape[0]):

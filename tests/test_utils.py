@@ -127,3 +127,37 @@ class TestConfigLogging:
                 pass
         assert any("unit-test-block" in r.message for r in caplog.records)
         set_verbosity(logging.WARNING)
+
+
+class TestFlameLoader:
+    def test_synthetic_fallback(self, tmp_path):
+        from openmeasure_tpu.datasets.flame import load_flame_dataset
+        out = load_flame_dataset(str(tmp_path))
+        assert out["synthetic"] is True
+        assert out["X_train"].shape[1] == 41
+
+    def test_real_layout(self, tmp_path):
+        import numpy as np
+        from openmeasure_tpu.datasets.flame import load_flame_dataset
+        n_cells, nf = 50, 2
+        np.save(tmp_path / "X_2D_train.npy",
+                np.random.rand(n_cells * nf, 5))
+        np.save(tmp_path / "X_2D_test.npy", np.random.rand(n_cells * nf, 2))
+        np.save(tmp_path / "xz.npy", np.random.rand(n_cells, 2))
+        np.savetxt(tmp_path / "parameters_train.csv",
+                   np.random.rand(6, 3), delimiter=",",
+                   header="D,H2,phi")
+        np.savetxt(tmp_path / "parameters_test.csv",
+                   np.random.rand(3, 3), delimiter=",",
+                   header="D,H2,phi")
+        out = load_flame_dataset(str(tmp_path))
+        assert out["synthetic"] is False
+        assert out["n_features"] == nf
+        assert out["xyz"].shape == (n_cells, 3)
+
+    def test_strict_raises(self, tmp_path):
+        import pytest as _pytest
+        from openmeasure_tpu.datasets.flame import load_flame_dataset
+        with _pytest.raises(FileNotFoundError):
+            load_flame_dataset(str(tmp_path),
+                               allow_synthetic_fallback=False)
