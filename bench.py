@@ -108,6 +108,26 @@ def main():
     our_time = max((float(np.median(times)) - roundtrip) / K, 1e-9)
     our_nrmse = float(nrmse_val)
 
+    # --- 3D scale (reference pyvista_doc: 191,511 cells x 9 features = 1.7M
+    # rows, 45 sims) — demonstrates the same pipeline at 10x the state dim ---
+    data3d = make_flame_dataset(n_cells=191511, n_features=9, m_train=45,
+                                m_test=4, seed=1, dtype=np.float32)
+    X3 = jnp.asarray(data3d["X_train"])
+    X3t = jnp.asarray(data3d["X_test"])
+    K3 = 5
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def bench_loop_3d(Xt, Xs, k):
+        def body(i, acc):
+            res = spr_end_to_end(Xt + acc * 1e-30, Xs, 9, R)
+            return res.nrmse.astype(jnp.float32)
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    _ = float(bench_loop_3d(X3, X3t, K3))
+    t0 = time.perf_counter()
+    nrmse_3d = float(bench_loop_3d(X3, X3t, K3))
+    t3d = max((time.perf_counter() - t0 - roundtrip) / K3, 1e-9)
+
     print(json.dumps({
         "metric": "SPR end-to-end (POD fit + QRCP placement + gappy-POD "
                   "reconstruction, 165258x41 flame, r=14)",
@@ -118,6 +138,8 @@ def main():
             "reference_cpu_s": round(ref_time, 6),
             "our_nrmse": round(our_nrmse, 6),
             "reference_nrmse": round(ref_nrmse, 6),
+            "pipeline_3d_1p7M_rows_s": round(t3d, 6),
+            "nrmse_3d": round(nrmse_3d, 6),
             "device": str(jax.devices()[0]),
         },
     }))

@@ -97,6 +97,58 @@ def sharded_spr_step(Xb_train: jax.Array, Xb_test: jax.Array, r: int):
     return nrmse, pivots
 
 
+def sharded_gp_train_step(mesh: Mesh, params, P0: jax.Array, Vr: jax.Array,
+                          opt_state=None, lr: float = 0.1):
+    """One Adam step of the vmapped multi-mode GP hyperparameter training
+    with the mode axis sharded over the 'mode' mesh axis.
+
+    The r per-mode exact GPs are independent (reference trains them serially,
+    ``gpr.py:497-509``); their stacked parameter pytrees shard along the
+    leading mode axis, each device computes the MLL gradient for its modes,
+    and no collective is needed beyond the scalar loss psum.  Returns
+    (params, opt_state, per-mode losses).
+    """
+    import optax
+    from ..gp import kernels as K
+    from ..gp import exact_gp as E
+
+    mean, kernel, lik = K.ConstantMean(), K.MaternKernel(2.5), \
+        K.GaussianLikelihood()
+    opt = optax.adam(lr)
+
+    mode_sharding = NamedSharding(mesh, P("mode"))
+    params = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(
+            mesh, P(*(("mode",) + (None,) * (x.ndim - 1))))), params)
+    if opt_state is None:
+        opt_state = opt.init(params)
+
+    loss_fn = E.make_single_task_loss(mean, kernel, lik, P0, Vr.T)
+
+    @jax.jit
+    def step(params, opt_state):
+        def total(p):
+            losses = loss_fn(p)
+            return jnp.sum(losses), losses
+        (_, losses), grads = jax.value_and_grad(total, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, losses
+
+    return step(params, opt_state)
+
+
+def init_mode_stacked_params(r: int, d: int):
+    """Initial stacked single-task GP params (leading axis = mode)."""
+    from ..gp import kernels as K
+    mean, kernel, lik = K.ConstantMean(), K.MaternKernel(2.5), \
+        K.GaussianLikelihood()
+    p = {"mean": mean.init_params(d), "kernel": kernel.init_params(d),
+         "likelihood": lik.init_params()}
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (r,) + x.shape), p)
+
+
 def sharded_mode_lstsq(mesh: Mesh, P0: jax.Array, Vr: jax.Array):
     """Mode-parallel batched solve: one ridge LS per POD mode, sharded over
     the 'mode' mesh axis — the communication-free pattern the GP training

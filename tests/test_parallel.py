@@ -57,3 +57,24 @@ def test_sharded_mode_lstsq_matches_dense(mesh):
     G = np.asarray(P0.T @ P0) + 1e-6 * np.eye(d)
     expect = np.linalg.solve(G, np.asarray(P0.T @ Vr)).T
     np.testing.assert_allclose(coefs, expect, rtol=1e-6)
+
+
+def test_sharded_gp_train_step(mesh):
+    from openmeasure_tpu.parallel.sharded import (
+        sharded_gp_train_step, init_mode_stacked_params)
+    rng = np.random.default_rng(9)
+    m, d, r = 16, 3, 4
+    P0 = jnp.asarray(rng.standard_normal((m, d)))
+    Vr = jnp.asarray(rng.standard_normal((m, r)))
+    with mesh:
+        params = init_mode_stacked_params(r, d)
+        opt_state = None
+        losses_hist = []
+        for _ in range(5):
+            params, opt_state, losses = sharded_gp_train_step(
+                mesh, params, P0, Vr, opt_state)
+            losses_hist.append(np.asarray(losses))
+    # loss decreases for every mode, and params are mode-sharded
+    assert np.all(losses_hist[-1] < losses_hist[0])
+    leaf = params["kernel"]["raw_lengthscale"]
+    assert len({s.device for s in leaf.addressable_shards}) > 1
