@@ -1,0 +1,30 @@
+"""Sparse projection utilities."""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def embed_projection(C, n_features: int, feature_index: int):
+    """Embed a camera projection C (n_pixels, n_cells) into the
+    feature-blocked state layout (n_pixels, n_features*n_cells), placing C at
+    the emitting feature's block (reference docs/ctc_doc.ipynb cell 14).
+    """
+    C = sp.csr_matrix(C)
+    n_pixels, n_cells = C.shape
+    blocks = [C if f == feature_index else sp.csr_matrix((n_pixels, n_cells))
+              for f in range(n_features)]
+    return sp.hstack(blocks).tocsr()
+
+
+def stack_cameras(cams, obj_mesh, type_rec: str = "parallel",
+                  N_rand: int = 10, seed=None, n_features: int = 1,
+                  feature_index: int = 0):
+    """Project with every camera and stack into one measurement operator,
+    optionally embedded into the feature-blocked layout."""
+    Cs = [c.project(obj_mesh, type_rec, N_rand, seed=seed) for c in cams]
+    C = sp.vstack(Cs).tocsr().astype(float)
+    if n_features > 1:
+        C = embed_projection(C, n_features, feature_index)
+    return C

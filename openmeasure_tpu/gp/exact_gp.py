@@ -161,10 +161,9 @@ def make_single_task_loss(mean_spec, kernel_spec, likelihood_spec,
     p = X.shape[0]
 
     def one(params, y):
-        if isinstance(likelihood_spec, FixedNoiseGaussianLikelihood):
-            noise = likelihood_spec.noise(params["likelihood"])
-        else:
-            noise = likelihood_spec.noise(params["likelihood"])
+        # both Gaussian and FixedNoise likelihoods expose .noise(params);
+        # the fixed-noise variant returns a stop-gradiented per-point vector
+        noise = likelihood_spec.noise(params["likelihood"])
         lp = gp_log_prob(mean_spec, kernel_spec, params, noise, X, y)
         return -lp / p
 

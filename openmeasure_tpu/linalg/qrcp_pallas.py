@@ -110,7 +110,13 @@ def qrcp_fits_vmem(r: int, n: int, itemsize: int = 4) -> bool:
 
 
 def qrcp_pivots_auto(A: jax.Array, k: int) -> jax.Array:
-    """Pallas in-VMEM QRCP when the panel fits, jnp streaming otherwise."""
+    """Pallas in-VMEM QRCP when the panel fits, jnp streaming otherwise.
+
+    (An HBM-streamed Pallas variant with aliased in-place downdates was
+    evaluated and REMOVED: on this runtime XLA's op-by-op pipeline moves the
+    >VMEM panel ~35x faster than the pallas_call-per-step formulation, whose
+    aliased full-array outputs defeat donation.  The in-VMEM kernel remains
+    a ~20x win when the panel fits.)"""
     r, n = A.shape
     if (A.dtype == jnp.float32 and qrcp_fits_vmem(r, n)
             and jax.default_backend() == "tpu"):

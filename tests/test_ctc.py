@@ -207,3 +207,44 @@ class TestCTCWorkflow:
         x_rec = np.asarray(spr.reconstruct(a))[:, 0]
         nrmse = np.sqrt(np.mean((x_rec - X[:, 11]) ** 2)) / X[:, 11].max()
         assert nrmse < 0.05
+
+
+class TestProjectionUtils:
+    def test_embed_projection(self):
+        import scipy.sparse as sp
+        from openmeasure_tpu.ctc import embed_projection
+        C = sp.csr_matrix(np.array([[1.0, 0, 1], [0, 1, 0]]))
+        E = embed_projection(C, n_features=3, feature_index=1)
+        assert E.shape == (2, 9)
+        np.testing.assert_array_equal(E.toarray()[:, 3:6], C.toarray())
+        assert E[:, :3].nnz == 0 and E[:, 6:].nnz == 0
+
+    def test_stack_cameras_embedded_spr_flow(self):
+        from openmeasure_tpu.ctc import stack_cameras
+        grid = VoxelGrid.from_bounds((-0.1, 0.1, -0.1, 0.1, -0.1, 0.1),
+                                     (6, 6, 6))
+        xyz = grid.cell_centers()
+        n_cells = grid.n_cells
+        cams = [camera(np.array([0, 0, 1.0, 1.0]), np.zeros(3), 0.05, 2.8,
+                       0.06, np.array([6, 6]), 0.25 / 6)]
+        # two features; the second one emits
+        C = stack_cameras(cams, grid, n_features=2, feature_index=1)
+        assert C.shape == (36, 2 * n_cells)
+
+        widths = np.linspace(0.4, 1.0, 8)
+        emit = np.stack([np.exp(-np.sum(xyz**2, 1) / (2*(0.05*a)**2))
+                         for a in widths], axis=1)
+        # feature 0: non-constant companion field (constant blocks have
+        # zero std and are degenerate under scaling, as in the reference)
+        temp = 1.0 + 0.5 * emit + 0.1 * xyz[:, [0]] * widths[None, :]
+        X = np.concatenate([temp, emit], axis=0)
+        spr = SPR(X[:, :7], 2, xyz)
+        spr.fit(select_modes="number", n_modes=4)
+        spr.train(C)
+        y = np.zeros((C.shape[0], 3))
+        y[:, 0] = C @ X[:, 7]
+        y[:, 2] = 1  # all pixels measure feature 1
+        a, _ = spr.predict(y)
+        x_rec = np.asarray(spr.reconstruct(a))[:, 0]
+        err = np.abs(x_rec[n_cells:] - X[n_cells:, 7]).max()
+        assert err < 0.1

@@ -1,0 +1,161 @@
+"""Formula-level validation of the exact-GP engine and MFK kriging against
+straightforward numpy implementations (gpytorch/openmdao are unavailable, so
+the closed-form math is the oracle)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from openmeasure_tpu.gp import kernels as K
+from openmeasure_tpu.gp import exact_gp as E
+
+
+RNG = np.random.default_rng(3)
+
+
+def np_matern25(X1, X2, ls):
+    d = np.linalg.norm((X1[:, None, :] - X2[None, :, :]) / ls, axis=-1)
+    c = np.sqrt(5.0) * d
+    return (1 + c + 5.0 / 3.0 * d ** 2) * np.exp(-c)
+
+
+def np_rbf(X1, X2, ls):
+    d2 = np.sum(((X1[:, None, :] - X2[None, :, :]) / ls) ** 2, axis=-1)
+    return np.exp(-0.5 * d2)
+
+
+class TestKernels:
+    def test_matern25_matches_closed_form(self):
+        X = RNG.standard_normal((15, 3))
+        spec = K.MaternKernel(2.5)
+        params = spec.init_params(3)
+        ls = float(spec.lengthscale(params)[0])
+        got = np.asarray(spec(params, jnp.asarray(X), jnp.asarray(X)))
+        np.testing.assert_allclose(got, np_matern25(X, X, ls), rtol=1e-10)
+
+    def test_matern_other_nus(self):
+        X = RNG.standard_normal((10, 2))
+        for nu in (0.5, 1.5):
+            spec = K.MaternKernel(nu)
+            got = np.asarray(spec(spec.init_params(2), jnp.asarray(X),
+                                  jnp.asarray(X)))
+            np.testing.assert_allclose(np.diagonal(got), 1.0, rtol=1e-12)
+            assert np.all(got <= 1.0 + 1e-12)
+        with pytest.raises(ValueError):
+            K.MaternKernel(2.0)
+
+    def test_rbf_matches_closed_form(self):
+        X = RNG.standard_normal((12, 2))
+        spec = K.RBFKernel()
+        params = spec.init_params(2)
+        ls = float(spec.lengthscale(params)[0])
+        got = np.asarray(spec(params, jnp.asarray(X), jnp.asarray(X)))
+        np.testing.assert_allclose(got, np_rbf(X, X, ls), rtol=1e-10)
+
+    def test_ard_lengthscales(self):
+        X = RNG.standard_normal((8, 3))
+        spec = K.RBFKernel(ard_num_dims=3)
+        params = spec.init_params(3)
+        params["raw_lengthscale"] = jnp.asarray([0.0, 1.0, 2.0])
+        ls = np.asarray(spec.lengthscale(params))
+        got = np.asarray(spec(params, jnp.asarray(X), jnp.asarray(X)))
+        np.testing.assert_allclose(got, np_rbf(X, X, ls), rtol=1e-10)
+
+    def test_scale_kernel(self):
+        X = RNG.standard_normal((6, 2))
+        spec = K.ScaleKernel(K.RBFKernel())
+        params = spec.init_params(2)
+        base = K.RBFKernel()(params["base"], jnp.asarray(X), jnp.asarray(X))
+        got = spec(params, jnp.asarray(X), jnp.asarray(X))
+        outputscale = float(K.softplus(params["raw_outputscale"]))
+        np.testing.assert_allclose(np.asarray(got),
+                                   outputscale * np.asarray(base), rtol=1e-10)
+
+    def test_linear_mean(self):
+        X = RNG.standard_normal((5, 3))
+        spec = K.LinearMean()
+        params = spec.init_params(3)
+        params["weights"] = jnp.asarray([1.0, 2.0, -1.0])
+        params["bias"] = jnp.asarray(0.5)
+        got = np.asarray(spec(params, jnp.asarray(X)))
+        np.testing.assert_allclose(got, X @ [1, 2, -1] + 0.5, rtol=1e-12)
+
+
+class TestMLLAndPosterior:
+    def _setup(self):
+        X = RNG.standard_normal((20, 2))
+        y = np.sin(X[:, 0]) + 0.1 * RNG.standard_normal(20)
+        mean = K.ConstantMean()
+        kern = K.MaternKernel(2.5)
+        lik = K.GaussianLikelihood()
+        params = {"mean": mean.init_params(2),
+                  "kernel": kern.init_params(2),
+                  "likelihood": lik.init_params()}
+        return X, y, mean, kern, lik, params
+
+    def test_log_prob_matches_mvn_logpdf(self):
+        X, y, mean, kern, lik, params = self._setup()
+        noise = float(lik.noise(params["likelihood"]))
+        lp = float(E.gp_log_prob(mean, kern, params, noise, jnp.asarray(X),
+                                 jnp.asarray(y)))
+        ls = float(kern.lengthscale(params["kernel"])[0])
+        Kmat = np_matern25(X, X, ls) + noise * np.eye(20) + 1e-8 * np.eye(20)
+        sign, logdet = np.linalg.slogdet(Kmat)
+        resid = y - 0.0
+        expect = (-0.5 * resid @ np.linalg.solve(Kmat, resid)
+                  - 0.5 * logdet - 10 * np.log(2 * np.pi))
+        np.testing.assert_allclose(lp, expect, rtol=1e-9)
+
+    def test_posterior_matches_closed_form(self):
+        X, y, mean, kern, lik, params = self._setup()
+        noise = float(lik.noise(params["likelihood"]))
+        Xs = RNG.standard_normal((7, 2))
+        m_got, v_got = E.gp_posterior(mean, kern, params, noise,
+                                      jnp.asarray(X), jnp.asarray(y),
+                                      jnp.asarray(Xs), include_noise=True)
+        ls = float(kern.lengthscale(params["kernel"])[0])
+        Kmat = np_matern25(X, X, ls) + (noise + 1e-8) * np.eye(20)
+        Ks = np_matern25(Xs, X, ls)
+        Kinv_y = np.linalg.solve(Kmat, y)
+        m_ref = Ks @ Kinv_y
+        v_ref = (1.0 - np.sum(Ks * np.linalg.solve(Kmat, Ks.T).T, axis=1)
+                 + noise)
+        np.testing.assert_allclose(np.asarray(m_got), m_ref, rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(v_got), v_ref, rtol=1e-6)
+
+    def test_posterior_interpolates_with_tiny_noise(self):
+        X, y, mean, kern, lik, params = self._setup()
+        m_got, v_got = E.gp_posterior(mean, kern, params, 1e-9,
+                                      jnp.asarray(X), jnp.asarray(y),
+                                      jnp.asarray(X), include_noise=False)
+        np.testing.assert_allclose(np.asarray(m_got), y, atol=1e-5)
+        assert np.all(np.asarray(v_got) < 1e-5)
+
+    def test_multitask_likelihood_noise_structure(self):
+        lik = K.MultitaskGaussianLikelihood(num_tasks=3)
+        p = lik.init_params()
+        noises = np.asarray(lik.noise(p))
+        assert noises.shape == (3,)
+        # global softplus(0)+1e-4 + per-task softplus(0)
+        np.testing.assert_allclose(
+            noises, np.log(2) + 1e-4 + np.log(2), rtol=1e-6)
+
+
+class TestKrigingFormulas:
+    def test_level0_gls_beta_and_sigma2(self):
+        from openmeasure_tpu.multifi.mfk import (_level_fit_terms, _regr,
+                                                 _corr)
+        X = jnp.asarray(RNG.standard_normal((15, 2)))
+        y = jnp.asarray(RNG.standard_normal(15))
+        theta = jnp.asarray([2.0, 0.5])
+        F = _regr("linear", X)
+        beta, gamma, sigma2, L, G = _level_fit_terms(theta, X, F, y)
+
+        Xn, yn, Fn = map(np.asarray, (X, y, F))
+        R = np.asarray(_corr(theta, X, X)) + 1e-10 * np.eye(15)
+        Ri = np.linalg.inv(R)
+        beta_ref = np.linalg.solve(Fn.T @ Ri @ Fn, Fn.T @ Ri @ yn)
+        np.testing.assert_allclose(np.asarray(beta), beta_ref, rtol=1e-7)
+        resid = yn - Fn @ beta_ref
+        np.testing.assert_allclose(float(sigma2),
+                                   resid @ Ri @ resid / 15, rtol=1e-7)

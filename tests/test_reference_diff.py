@@ -232,3 +232,54 @@ class TestSPRDiff:
         y[:, 2] = np.argmax(C1, axis=1) // n_points
         np.testing.assert_allclose(s2.scale_vector(y), s1.scale_vector(y),
                                    rtol=1e-12)
+
+
+class TestGEMDiff:
+    def test_gem_selection_matches_reference(self, ref, data):
+        """Reference GEM is RNG-jittered (sparse_sensing.py:667); on data
+        with well-separated conditional variances the 1e-5 jitter cannot
+        change the argmax, so selections must coincide exactly."""
+        from openmeasure_tpu import SPR
+        np.random.seed(0)  # reference uses the global numpy RNG
+        s1 = ref.SPR(data["X"], data["n_features"], data["xyz"])
+        s1.fit(select_modes="number", n_modes=5)
+        C1 = s1.optimal_placement(calc_type="gem", n_sensors=6)
+
+        s2 = SPR(data["X"], data["n_features"], data["xyz"])
+        s2.fit(select_modes="number", n_modes=5)
+        # align the basis signs to the reference so GEM sees identical rows
+        Ur1 = s1.Ur
+        Ur2 = np.asarray(s2.Ur)
+        signs = np.sign(np.sum(Ur1 * Ur2, axis=0))
+        s2.Ur = s2.Ur * signs[None, :]
+        C2 = np.asarray(s2.optimal_placement(calc_type="gem", n_sensors=6))
+
+        sel_ref = np.argmax(C1, axis=1)
+        sel_ours = np.argmax(C2, axis=1)
+        # The reference's random jitter can make Sigma_AA^-1 indefinite once
+        # the selected set grows, at which point it degenerately RE-SELECTS
+        # an already-chosen sensor (observed: duplicate at step 5).  Our
+        # deterministic jitter avoids that; assert exact agreement on the
+        # well-conditioned prefix and no duplicates on our side.
+        n_prefix = 4
+        np.testing.assert_array_equal(sel_ours[:n_prefix],
+                                      sel_ref[:n_prefix])
+        assert len(set(sel_ours.tolist())) == len(sel_ours)
+
+    def test_gem_with_dmin_matches_reference(self, ref, data):
+        from openmeasure_tpu import SPR
+        np.random.seed(1)
+        s1 = ref.SPR(data["X"], data["n_features"], data["xyz"])
+        s1.fit(select_modes="number", n_modes=4)
+        C1 = s1.optimal_placement(calc_type="gem", n_sensors=4, d_min=0.3)
+
+        s2 = SPR(data["X"], data["n_features"], data["xyz"])
+        s2.fit(select_modes="number", n_modes=4)
+        signs = np.sign(np.sum(s1.Ur * np.asarray(s2.Ur), axis=0))
+        s2.Ur = s2.Ur * signs[None, :]
+        C2 = np.asarray(s2.optimal_placement(calc_type="gem", n_sensors=4,
+                                             d_min=0.3))
+        sel_ref = np.argmax(C1, axis=1)
+        sel_ours = np.argmax(C2, axis=1)
+        np.testing.assert_array_equal(sel_ours[:3], sel_ref[:3])
+        assert len(set(sel_ours.tolist())) == len(sel_ours)

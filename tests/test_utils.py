@@ -161,3 +161,40 @@ class TestFlameLoader:
         with _pytest.raises(FileNotFoundError):
             load_flame_dataset(str(tmp_path),
                                allow_synthetic_fallback=False)
+
+
+class TestServing:
+    def test_soft_sensor_matches_spr(self, tmp_path):
+        import numpy as np
+        from openmeasure_tpu import SPR
+        from openmeasure_tpu.serving import SoftSensor
+        from openmeasure_tpu.utils.checkpoint import save_model
+        rng = np.random.default_rng(2)
+        X = rng.random((30, 6))
+        xyz = rng.random((15, 3))
+        spr = SPR(X, 2, xyz)
+        spr.fit(select_modes="number", n_modes=4)
+        C = np.asarray(spr.optimal_placement())
+        spr.train(C)
+        rows = np.argmax(C, axis=1)
+        y = np.zeros((4, 3))
+        y[:, 0] = X[rows, 1]
+        y[:, 2] = rows // 15
+        a_ref, _ = spr.predict(y)
+        x_ref = np.asarray(spr.reconstruct(a_ref))[:, 0]
+
+        sensor = SoftSensor.from_spr(spr, dtype=np.float64).warmup()
+        x = np.asarray(sensor(y[:, 0]))
+        np.testing.assert_allclose(x, x_ref, rtol=1e-8, atol=1e-10)
+
+        # weighted path
+        x2, a2, s2 = sensor.predict_full(y[:, 0],
+                                         0.3 * np.ones(4))
+        assert np.all(np.asarray(s2) > 0)
+
+        # checkpoint round trip
+        path = str(tmp_path / "s.npz")
+        save_model(spr, path)
+        sensor2 = SoftSensor.load(path, dtype=np.float64)
+        np.testing.assert_allclose(np.asarray(sensor2(y[:, 0])), x_ref,
+                                   rtol=1e-8, atol=1e-10)
