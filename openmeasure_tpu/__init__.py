@@ -27,4 +27,10 @@ def __getattr__(name):
     if name == "CoKriging":
         from .multifi.cokriging import CoKriging
         return CoKriging
+    if name == "MultiFiCoKriging":
+        from .multifi.mfk import MultiFiCoKriging
+        return MultiFiCoKriging
+    if name == "SoftSensor":
+        from .serving import SoftSensor
+        return SoftSensor
     raise AttributeError(f"module 'openmeasure_tpu' has no attribute {name!r}")

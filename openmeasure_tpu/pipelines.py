@@ -68,6 +68,75 @@ def spr_end_to_end(
     return SPRResult(X_rec, pivots, Ar, nrmse, exp_var)
 
 
+class GPRResult(NamedTuple):
+    X_rec: jax.Array        # (n, n_test) reconstructed fields
+    A_pred: jax.Array       # (n_test, r)
+    A_sigma: jax.Array      # (n_test, r)
+    nrmse: jax.Array
+    gp_loss: jax.Array      # (r,) final per-mode -MLL
+
+
+@functools.partial(jax.jit, static_argnames=("n_features", "r", "scale_type",
+                                             "max_iter", "rel_error", "lr"))
+def gpr_end_to_end(
+    X_train: jax.Array,
+    P_train: jax.Array,
+    P_test: jax.Array,
+    X_test: jax.Array,
+    n_features: int,
+    r: int,
+    scale_type: str = "std",
+    max_iter: int = 1000,
+    rel_error: float = 1e-5,
+    lr: float = 0.1,
+) -> GPRResult:
+    """Full GPR-ROM flow as ONE XLA program: scale → POD → normalize → scale
+    parameters → train r per-mode GPs (vmapped Adam with early stop) →
+    posterior at P_test → rescale → reconstruct → NRMSE.
+
+    Equivalent reference flow: ``GPR(...).fit(); train(); predict();
+    reconstruct()`` (README.md:194-202 there), which crosses into
+    libtorch r times serially."""
+    from .gp import kernels as K
+    from .gp import exact_gp as E
+
+    X0, cnt, scl = _scaling.scale_data(X_train, n_features, scale_type, 1)
+    U, S, Vt = _svd.svd_tall(X0, refine=1, canonicalize=False)
+    Ur = U[:, :r]
+    Ar = (S[:r, None] * Vt[:r]).T
+    Sigma_r = jnp.linalg.norm(Ar, axis=0)
+    Vr = Ar / Sigma_r[None, :]
+
+    P0, P_cnt, P_scl = _scaling.scale_parameters(P_train, scale_type)
+    P0_test = (P_test - P_cnt[0][None, :]) / P_scl[0][None, :]
+
+    mean, kernel, lik = K.ConstantMean(), K.MaternKernel(2.5), \
+        K.GaussianLikelihood()
+    d = P_train.shape[1]
+    task0 = {"mean": mean.init_params(d), "kernel": kernel.init_params(d),
+             "likelihood": lik.init_params()}
+    params0 = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (r,) + x.shape), task0)
+    loss_fn = E.make_single_task_loss(mean, kernel, lik, P0, Vr.T)
+    res = E.adam_early_stop(loss_fn, params0, lr=lr, max_iter=max_iter,
+                            rel_error=rel_error)
+
+    def post_one(tp, y):
+        nz = lik.noise(tp["likelihood"])
+        return E.gp_posterior(mean, kernel, tp, nz, P0, y, P0_test,
+                              include_noise=True)
+    means, variances = jax.vmap(post_one)(res.params, Vr.T)
+    V_pred, V_sigma = means.T, jnp.sqrt(variances).T
+
+    A_pred = V_pred * Sigma_r[None, :]
+    A_sigma = V_sigma * Sigma_r[None, :]
+    X_rec = (Ur @ A_pred.T) * scl + cnt
+    err = X_rec - X_test
+    nrmse = jnp.sqrt(jnp.mean(err * err)) / (
+        jnp.max(X_test) - jnp.min(X_test))
+    return GPRResult(X_rec, A_pred, A_sigma, nrmse, res.loss)
+
+
 @functools.partial(jax.jit, static_argnames=("n_features", "r", "scale_type"))
 def pod_fit(
     X_train: jax.Array, n_features: int, r: int, scale_type: str = "std"

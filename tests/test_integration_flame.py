@@ -106,3 +106,16 @@ class TestGPRFlame:
         n_cells = flame["xyz"].shape[0]
         T = Xp[:n_cells]
         assert T.min() >= 200.0 - 1e-2 and T.max() <= 3000.0 + 1e-2
+
+
+class TestJittedGPRPipeline:
+    def test_gpr_end_to_end_single_program(self, flame):
+        import jax.numpy as jnp
+        from openmeasure_tpu.pipelines import gpr_end_to_end
+        res = gpr_end_to_end(
+            jnp.asarray(flame["X_train"]), jnp.asarray(flame["P_train"]),
+            jnp.asarray(flame["P_test"]), jnp.asarray(flame["X_test"]),
+            n_features=9, r=8, max_iter=300)
+        assert float(res.nrmse) < 0.15
+        assert np.all(np.isfinite(np.asarray(res.gp_loss)))
+        assert np.asarray(res.A_sigma).min() >= 0
