@@ -170,18 +170,6 @@ def unscale_data(x0: jax.Array, X_cnt: jax.Array, X_scl: jax.Array) -> jax.Array
     return scl[:, None] * x0 + cnt[:, None]
 
 
-@jax.jit
-def unscale_data_sampled(
-    x0: jax.Array, X_cnt: jax.Array, X_scl: jax.Array, sampling: jax.Array
-) -> jax.Array:
-    """Sampled unscaling: ``x = (S @ X_scl) ⊙ x0 + S @ X_cnt``."""
-    scl = sampling @ X_scl[:, 0]
-    cnt = sampling @ X_cnt[:, 0]
-    if x0.ndim == 1:
-        return scl * x0 + cnt
-    return scl[:, None] * x0 + cnt[:, None]
-
-
 @functools.partial(jax.jit, static_argnames=("scale_type",))
 def scale_parameters(P: jax.Array, scale_type: str = "std"
                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:

@@ -198,17 +198,6 @@ class GPR(ROM):
     # Posterior helpers
     # ------------------------------------------------------------------ #
 
-    def _task_noises(self):
-        """Per-mode predictive noise variances, shape (r,)."""
-        if self.gpr_type == "MultiTask":
-            return self.likelihood.noise(self.params["likelihood"])
-        if isinstance(self.likelihood, K.FixedNoiseGaussianLikelihood):
-            # fixed per-point noise: handled inside _posterior_all
-            return None
-        return jax.vmap(
-            lambda tp: self.likelihood.noise(tp["likelihood"])
-        )(self.params)
-
     def _posterior_all(self, P0_star) -> MultitaskPosterior:
         """Noise-inclusive posterior at scaled test points, all modes."""
         X, Y = self._train_X, self._train_Y
@@ -276,7 +265,8 @@ class GPR(ROM):
                     "Constrained prediction only works for MultiTask models.")
             lo, hi = self.scale_limits(limits)
             A = self.Ur * self.Sigma_r[None, :]
-            AtA = jnp.diag(self.Sigma_r ** 2)
+            AtA = jnp.matmul(A.T, A,
+                             precision=jax.lax.Precision.HIGHEST)
 
             def map_one(mu, sig):
                 cov = jnp.diag(sig ** 2)
@@ -316,6 +306,10 @@ class GPR(ROM):
             Vr_sigma_new = jnp.asarray(A_sigma_new) / self.Sigma_r[None, :]
             Vr_sigma_tot = jnp.concatenate(
                 [_as_device(self.Vr_sigma), Vr_sigma_new], axis=0)
+            # keep stored uncertainties length-consistent with the extended
+            # training set (the reference zeroes them, gpr.py:654; we keep
+            # the actual values so a later fixed-noise retrain is usable)
+            self.Vr_sigma = Vr_sigma_tot
 
         if not retrain:
             return

@@ -98,15 +98,21 @@ def qrcp_pivots_pallas(A: jax.Array, k: int) -> jax.Array:
     return pivots
 
 
-# VMEM budget for auto-dispatch: the panel lives in VMEM in place (aliased),
-# plus the norm row and Mosaic temporaries.
-_VMEM_BUDGET_BYTES = 64 * 1024 * 1024
+# VMEM budget for auto-dispatch, gated on the kernel's ACTUAL request
+# (scoped accounting counts the aliased in/out panel twice).  96 MB leaves
+# headroom under the 128 MB physical VMEM; a 68 MB request is known-good on
+# v5e.
+_VMEM_BUDGET_BYTES = 96 * 1024 * 1024
+
+
+def _kernel_vmem_request(r: int, n: int, itemsize: int = 4) -> int:
+    r_pad = _round_up(max(r, 8), 8)
+    n_pad = _round_up(n, 128)
+    return 2 * r_pad * n_pad * itemsize + 16 * n_pad * itemsize + (4 << 20)
 
 
 def qrcp_fits_vmem(r: int, n: int, itemsize: int = 4) -> bool:
-    r_pad = _round_up(max(r, 8), 8)
-    n_pad = _round_up(n, 128)
-    return (r_pad * n_pad + 8 * n_pad) * itemsize < _VMEM_BUDGET_BYTES
+    return _kernel_vmem_request(r, n, itemsize) < _VMEM_BUDGET_BYTES
 
 
 def qrcp_pivots_auto(A: jax.Array, k: int) -> jax.Array:

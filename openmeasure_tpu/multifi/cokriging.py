@@ -121,8 +121,14 @@ class CoKriging:
     # ------------------------------------------------------------------ #
 
     def fit(self):
+        # Deviation from the reference (cokriging.py:110): it concatenates
+        # the LF parameters as (unlinked, linked) while the aligned LF scores
+        # are ordered (linked, unlinked) from manifold_alignment — scrambling
+        # every (x, y) pair of the LF kriging level whenever the two sets
+        # differ.  We pair them correctly: linked first, matching the score
+        # column order.
         X_train = np.concatenate(
-            (np.asarray(self.X_train_u), np.asarray(self.X_train_l)), axis=0)
+            (np.asarray(self.X_train_l), np.asarray(self.X_train_u)), axis=0)
         Za = np.asarray(self.Zr_aligned)
         Zh = np.asarray(self.Zr_hf)
 

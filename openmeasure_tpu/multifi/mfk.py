@@ -167,15 +167,21 @@ class MultiFiCoKriging:
         vmapped projected-Adam program (a host-side quasi-Newton loop would
         cost thousands of device round-trips on a remote accelerator).
         ``tol`` sets the per-start early-stop on |Δnll|."""
-        lo = jnp.asarray(np.log10(thetaL))
-        hi = jnp.asarray(np.log10(thetaU))
+        llo, lhi = np.log10(thetaL), np.log10(thetaU)
+        lo = jnp.asarray(llo)
+        hi = jnp.asarray(lhi)
         rng = np.random.default_rng(0)
-        starts = [np.clip(np.log10(theta0), np.log10(thetaL),
-                          np.log10(thetaU))]
-        for _ in range(4):
-            starts.append(np.log10(thetaL) + (
-                np.log10(thetaU) - np.log10(thetaL)) * rng.random(
-                    len(theta0)))
+        s0 = np.clip(np.log10(theta0), llo, lhi)
+        starts = [s0]
+        # two LOCAL starts within ±initial_range (log10 units) of theta0 —
+        # the openmdao knob localizes the search around the initial guess
+        for _ in range(2):
+            starts.append(np.clip(
+                s0 + initial_range * (2 * rng.random(len(theta0)) - 1),
+                llo, lhi))
+        # two GLOBAL starts for multistart robustness
+        for _ in range(2):
+            starts.append(llo + (lhi - llo) * rng.random(len(theta0)))
         starts = jnp.asarray(np.stack(starts))
         best = _multistart_opt(starts, X, F, y, lo, hi, float(tol))
         return 10.0 ** np.asarray(best)

@@ -188,13 +188,15 @@ class ROM:
                 raise ValueError("CPOD requires `limits` (or a solver_fn).")
             lo, hi = self.scale_limits(limits)
             Ur = self.Ur
-            # Ur has orthonormal columns: H = UrᵀUr = I, c = Urᵀx0.
-            eye = jnp.eye(Ur.shape[1], dtype=Ur.dtype)
+            # H = UrᵀUr (== I only for an unmasked orthonormal basis — a
+            # masked placement zeroes rows of Ur destructively).
+            hp = jax.lax.Precision.HIGHEST
+            H = jnp.matmul(Ur.T, Ur, precision=hp)
 
             def solve_one(x0_col):
                 g, _ = _boxls.admm_box_qp(
-                    eye, Ur.T @ x0_col, Ur, lo, hi, AtA=eye,
-                    max_iter=max_iter, tol=tol)
+                    H, jnp.matmul(Ur.T, x0_col, precision=hp), Ur, lo, hi,
+                    AtA=H, max_iter=max_iter, tol=tol)
                 return g
 
             Gr = jax.vmap(solve_one, in_axes=1)(self.X0)

@@ -119,6 +119,14 @@ def gem_select(
         Ur, jnp.asarray(xyz_tiled), jnp.asarray(mask_np),
         jnp.asarray(float(d_min), Ur.dtype), n_sensors)
     selected = np.asarray(selected, dtype=np.int64)
+    scores_np = np.asarray(step_scores)
+    if not np.all(np.isfinite(scores_np)):
+        bad = int(np.argmax(~np.isfinite(scores_np)))
+        raise ValueError(
+            f"GEM ran out of candidates at sensor {bad + 1}/{n_sensors}: "
+            f"the d_min={float(d_min)} exclusion (and/or the region mask) "
+            "eliminated every remaining location. Reduce d_min, enlarge the "
+            "mask, or request fewer sensors.")
     if verbose:
         # Host-side entropy table (the reference prints it inline,
         # sparse_sensing.py:633-694; device callbacks are unavailable on

@@ -165,19 +165,19 @@ class SPR(ROM):
 
         Theta = self.Theta
 
-        def sigma_one(w_i, sig_i, use_w):
+        # one pinv per vector serves both the sigma propagation and OLS
+        def pinv_paths(w_i, y_i, sig_i, use_w):
             pinv = jnp.linalg.pinv(Theta * w_i[:, None])
-            ar_sigma = jnp.abs(pinv @ sig_i)
-            return jnp.where(use_w, ar_sigma, jnp.zeros_like(ar_sigma))
+            ar = pinv @ (w_i * y_i)
+            ar_sigma = jnp.where(use_w, jnp.abs(pinv @ sig_i),
+                                 jnp.zeros(Theta.shape[1], dtype=y_i.dtype))
+            return ar, ar_sigma
 
-        Ar_sigma = jax.vmap(sigma_one)(w, y0_stack[:, :, 1],
-                                       jnp.asarray(has_sigma))
+        Ar_ols, Ar_sigma = jax.vmap(pinv_paths)(
+            w, y0_stack[:, :, 0], y0_stack[:, :, 1], jnp.asarray(has_sigma))
 
         if self.method == "OLS":
-            def ols_one(w_i, y_i):
-                pinv = jnp.linalg.pinv(Theta * w_i[:, None])
-                return pinv @ (w_i * y_i)
-            Ar = jax.vmap(ols_one)(w, y0_stack[:, :, 0])
+            Ar = Ar_ols
 
         elif self.method == "COLS":
             if self.limits is None:
@@ -186,11 +186,14 @@ class SPR(ROM):
                     "train(C, limits=[min_per_feature, max_per_feature]).")
             lo, hi = self.scale_limits(self.limits)
             Ur = self.Ur
-            eye = jnp.eye(Ur.shape[1], dtype=Ur.dtype)
+            # One cheap panel pass for the exact Gram: Ur^T Ur == I only for
+            # an unmasked POD basis (optimal_placement(mask=...) zeroes rows
+            # destructively, reference sparse_sensing.py:737-738).
+            AtA = jnp.matmul(Ur.T, Ur, precision=jax.lax.Precision.HIGHEST)
 
             def cols_one(w_i, y_i):
                 g, _ = _boxls.box_constrained_lstsq(
-                    Theta, y_i, w_i, Ur, lo, hi, AtA=eye,
+                    Theta, y_i, w_i, Ur, lo, hi, AtA=AtA,
                     max_iter=self.admm_max_iter, tol=self.admm_tol)
                 return g
             Ar = jax.vmap(cols_one)(w, y0_stack[:, :, 0])

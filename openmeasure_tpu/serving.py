@@ -44,22 +44,54 @@ class SoftSensor:
     # ------------------------------------------------------------------ #
 
     @classmethod
-    def from_spr(cls, spr, dtype=jnp.float32) -> "SoftSensor":
+    def from_spr(cls, spr, feature_ids=None, dtype=jnp.float32
+                 ) -> "SoftSensor":
         """Package a trained :class:`openmeasure_tpu.SPR` (after fit +
-        train with a one-hot C)."""
-        C = np.asarray(spr.C)
-        sensor_rows = np.argmax(C, axis=1)
+        train).  C may be dense or scipy.sparse.
+
+        For a one-hot C (QR/GEM placement) the per-measurement scaling is
+        derived automatically.  For a general C (e.g. CTC projection
+        operators) pass ``feature_ids`` (s,) — the feature index each
+        measurement belongs to, as in the third column of the reference's
+        measurement vectors."""
+        import scipy.sparse as sp
+        C = spr.C
         X_cnt = np.asarray(spr.X_cnt)[:, 0]
         X_scl = np.asarray(spr.X_scl)[:, 0]
-        return cls(spr.Ur, spr.Theta, X_cnt[sensor_rows],
-                   X_scl[sensor_rows], X_cnt, X_scl, dtype)
+
+        # measurement centering is always C @ X_cnt (reference
+        # sparse_sensing.py:573)
+        if sp.issparse(C):
+            cnt_sensors = np.asarray(C.dot(X_cnt)).ravel()
+            row_nnz = np.diff(C.tocsr().indptr)
+            one_hot = bool(np.all(row_nnz == 1) and
+                           np.all(C.data == 1.0))
+            argmax_rows = np.asarray(C.tocsr().argmax(axis=1)).ravel()
+        else:
+            Cd = np.asarray(C)
+            cnt_sensors = Cd @ X_cnt
+            one_hot = bool(np.all((Cd != 0).sum(axis=1) == 1)
+                           and np.all(Cd[Cd != 0] == 1.0))
+            argmax_rows = np.argmax(Cd, axis=1)
+
+        if feature_ids is not None:
+            n_points = spr.n_points
+            scl_sensors = X_scl[np.asarray(feature_ids, int) * n_points]
+        elif one_hot:
+            scl_sensors = X_scl[argmax_rows]
+        else:
+            raise ValueError(
+                "C is not one-hot: pass feature_ids (the per-measurement "
+                "feature indices) so measurement scaling is well-defined.")
+        return cls(spr.Ur, spr.Theta, cnt_sensors, scl_sensors,
+                   X_cnt, X_scl, dtype)
 
     @classmethod
     def load(cls, path: str, dtype=jnp.float32) -> "SoftSensor":
         """Build from a checkpoint written by
         :func:`openmeasure_tpu.utils.checkpoint.save_model`."""
         from .utils.checkpoint import load_model
-        return cls.from_spr(load_model(path), dtype)
+        return cls.from_spr(load_model(path), dtype=dtype)
 
     # ------------------------------------------------------------------ #
 

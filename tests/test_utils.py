@@ -198,3 +198,39 @@ class TestServing:
         sensor2 = SoftSensor.load(path, dtype=np.float64)
         np.testing.assert_allclose(np.asarray(sensor2(y[:, 0])), x_ref,
                                    rtol=1e-8, atol=1e-10)
+
+    def test_soft_sensor_sparse_C_and_feature_ids(self, tmp_path):
+        import numpy as np
+        import scipy.sparse as sp
+        from openmeasure_tpu import SPR
+        from openmeasure_tpu.serving import SoftSensor
+        from openmeasure_tpu.utils.checkpoint import save_model
+        rng = np.random.default_rng(4)
+        X = rng.random((30, 6))
+        xyz = rng.random((15, 3))
+        spr = SPR(X, 2, xyz)
+        spr.fit(select_modes="number", n_modes=4)
+        C = sp.csr_matrix(np.asarray(spr.optimal_placement()))
+        spr.train(C)
+        rows = np.asarray(C.argmax(axis=1)).ravel()
+        y = np.zeros((4, 3)); y[:, 0] = X[rows, 2]; y[:, 2] = rows // 15
+        a_ref, _ = spr.predict(y)
+        x_ref = np.asarray(spr.reconstruct(a_ref))[:, 0]
+
+        path = str(tmp_path / "sp.npz")
+        save_model(spr, path)
+        sensor = SoftSensor.load(path, dtype=np.float64)
+        np.testing.assert_allclose(np.asarray(sensor(y[:, 0])), x_ref,
+                                   rtol=1e-8, atol=1e-10)
+
+        # general (non-one-hot) C requires explicit feature_ids
+        C2 = sp.csr_matrix(rng.random((5, 30)))
+        spr.train(C2)
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            SoftSensor.from_spr(spr)
+        s2 = SoftSensor.from_spr(spr, feature_ids=np.zeros(5, int),
+                                 dtype=np.float64)
+        y2 = np.asarray(C2 @ X[:, 0])
+        out = np.asarray(s2(y2))
+        assert out.shape == (30,) and np.all(np.isfinite(out))
