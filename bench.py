@@ -128,6 +128,17 @@ def main():
     nrmse_3d = float(bench_loop_3d(X3, X3t, K3))
     t3d = max((time.perf_counter() - t0 - roundtrip) / K3, 1e-9)
 
+    # --- GPR ROM pipeline (second model family): full fit + 1000-iteration
+    # vmapped GP training of all 14 modes + posterior + reconstruction ---
+    from openmeasure_tpu.pipelines import gpr_end_to_end
+    P_train = jnp.asarray(data["P_train"], jnp.float32)
+    P_test = jnp.asarray(data["P_test"], jnp.float32)
+    _ = float(gpr_end_to_end(X_train, P_train, P_test, X_test, 9, R).nrmse)
+    t0 = time.perf_counter()
+    res_gpr = gpr_end_to_end(X_train + 1e-7, P_train, P_test, X_test, 9, R)
+    gpr_nrmse = float(res_gpr.nrmse)
+    t_gpr = max(time.perf_counter() - t0 - roundtrip, 1e-9)
+
     print(json.dumps({
         "metric": "SPR end-to-end (POD fit + QRCP placement + gappy-POD "
                   "reconstruction, 165258x41 flame, r=14)",
@@ -140,6 +151,8 @@ def main():
             "reference_nrmse": round(ref_nrmse, 6),
             "pipeline_3d_1p7M_rows_s": round(t3d, 6),
             "nrmse_3d": round(nrmse_3d, 6),
+            "gpr_fit_train1000_predict_s": round(t_gpr, 6),
+            "gpr_nrmse": round(gpr_nrmse, 6),
             "device": str(jax.devices()[0]),
         },
     }))

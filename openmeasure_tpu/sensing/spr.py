@@ -129,6 +129,18 @@ class SPR(ROM):
                                          compute_uv=False)
             self.k = float(S_theta[0] / S_theta[-1])
 
+    def fit_predict(self, C, y, scale_type: str = "std",
+                    select_modes: str = "variance", n_modes=99, **train_kw):
+        """Convenience: fit + train + predict in one call.
+
+        The reference *declares* this method in the SPR class docstring
+        (``sparse_sensing.py:541-543``) but never defines it; implemented
+        here with the documented signature semantics."""
+        self.fit(scale_type=scale_type, select_modes=select_modes,
+                 n_modes=n_modes)
+        self.train(C, **train_kw)
+        return self.predict(y)
+
     # ------------------------------------------------------------------ #
     # Predict (reference :822-901)
     # ------------------------------------------------------------------ #

@@ -163,3 +163,11 @@ class TestSPR:
         x_pred = self.spr.reconstruct(a)
         np.testing.assert_allclose(x_pred, self.X[:, [0]], rtol=1e-7,
                                    atol=1e-9)
+
+    def test_fit_predict_convenience(self):
+        spr = SPR(self.X, self.n_features, self.xyz)
+        a, sig = spr.fit_predict(self.C, self._identity_y(),
+                                 select_modes="number", n_modes=5)
+        x_pred = spr.reconstruct(a)
+        np.testing.assert_allclose(x_pred, self.X[:, [0]], rtol=1e-7,
+                                   atol=1e-9)
