@@ -74,6 +74,8 @@ class SPR(ROM):
         ``calc_type='qr'``: first-r column pivots of Urᵀ (LAPACK-geqp3
         semantics, s = r).  A region ``mask`` zeroes the excluded rows of Ur
         destructively, as in the reference (``sparse_sensing.py:737-738``).
+        ``calc_type='dg'`` (beyond-reference): determinant-based greedy,
+        D-optimal for any n_sensors including more sensors than modes.
         """
         n = self.X.shape[0]
         if calc_type == "qr":
@@ -84,6 +86,14 @@ class SPR(ROM):
             C = _qrcp.pivots_to_onehot(pivots, n).astype(self.Ur.dtype)
         elif calc_type == "gem":
             P = self.gem(self.Ur, n_sensors, mask, d_min, verbose)
+            C = np.zeros((P.size, n), dtype=np.asarray(self.Ur).dtype)
+            C[np.arange(P.size), P] = 1.0
+            C = jnp.asarray(C)
+        elif calc_type == "dg":
+            # determinant-based greedy (beyond-reference): D-optimal
+            # selection supporting n_sensors > r (see sensing/dg.py)
+            from .dg import dg_select
+            P = dg_select(self.Ur, n_sensors, mask)
             C = np.zeros((P.size, n), dtype=np.asarray(self.Ur).dtype)
             C[np.arange(P.size), P] = 1.0
             C = jnp.asarray(C)

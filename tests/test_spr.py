@@ -171,3 +171,57 @@ class TestSPR:
         x_pred = spr.reconstruct(a)
         np.testing.assert_allclose(x_pred, self.X[:, [0]], rtol=1e-7,
                                    atol=1e-9)
+
+    def test_dg_placement_matches_qrcp_up_to_rank(self):
+        self.spr.fit(n_modes=100)
+        C_dg = np.asarray(self.spr.optimal_placement(calc_type="dg",
+                                                     n_sensors=self.spr.r))
+        C_qr = np.asarray(self.spr.optimal_placement())
+        np.testing.assert_array_equal(np.argmax(C_dg, axis=1),
+                                      np.argmax(C_qr, axis=1))
+
+    def test_dg_oversampling_beyond_rank(self):
+        self.spr.fit(select_modes="number", n_modes=3)
+        s = 8  # more sensors than modes — QRCP cannot do this
+        C = np.asarray(self.spr.optimal_placement(calc_type="dg",
+                                                  n_sensors=s))
+        idx = np.argmax(C, axis=1)
+        assert len(set(idx.tolist())) == s
+        # D-optimality improves monotonically: det(Theta^T Theta) grows
+        Ur = np.asarray(self.spr.Ur)
+        dets = [np.linalg.det(Ur[idx[:k]].T @ Ur[idx[:k]])
+                for k in range(3, s + 1)]
+        assert all(d2 >= d1 - 1e-12 for d1, d2 in zip(dets, dets[1:]))
+        # and the greedy choice beats random augmentation on average
+        rng = np.random.default_rng(0)
+        rand_dets = []
+        for _ in range(20):
+            rest = rng.choice(np.setdiff1d(np.arange(20), idx[:3]), s - 3,
+                              replace=False)
+            sel = np.concatenate([idx[:3], rest])
+            rand_dets.append(np.linalg.det(Ur[sel].T @ Ur[sel]))
+        assert dets[-1] >= np.mean(rand_dets)
+
+    def test_dg_mask(self):
+        self.spr.fit(select_modes="number", n_modes=3)
+        mask = np.zeros(self.X.shape[0], dtype=bool)
+        mask[:8] = True
+        C = np.asarray(self.spr.optimal_placement(calc_type="dg",
+                                                  n_sensors=5, mask=mask))
+        assert np.all(np.argmax(C, axis=1) < 8)
+
+    def test_dg_oversampled_reconstruction_beats_exact(self):
+        # with noisy measurements, 2x sensors (dg) should not be worse
+        rng = np.random.default_rng(3)
+        self.spr.fit(select_modes="number", n_modes=3)
+        for n_s in (3, 6):
+            C = np.asarray(self.spr.optimal_placement(calc_type="dg",
+                                                      n_sensors=n_s))
+            self.spr.train(C)
+            rows = np.argmax(C, axis=1)
+            y = np.zeros((n_s, 3))
+            y[:, 0] = self.X[rows, 0]
+            y[:, 2] = rows // self.n_points
+            a, _ = self.spr.predict(y)
+            x = np.asarray(self.spr.reconstruct(a))[:, 0]
+            assert np.all(np.isfinite(x))
