@@ -133,9 +133,11 @@ def main():
     from openmeasure_tpu.pipelines import gpr_end_to_end
     P_train = jnp.asarray(data["P_train"], jnp.float32)
     P_test = jnp.asarray(data["P_test"], jnp.float32)
-    _ = float(gpr_end_to_end(X_train, P_train, P_test, X_test, 9, R).nrmse)
+    _ = float(gpr_end_to_end(X_train, P_train, P_test, X_test,
+                              n_features, R).nrmse)
     t0 = time.perf_counter()
-    res_gpr = gpr_end_to_end(X_train + 1e-7, P_train, P_test, X_test, 9, R)
+    res_gpr = gpr_end_to_end(X_train + 1e-7, P_train, P_test,
+                             X_test, n_features, R)
     gpr_nrmse = float(res_gpr.nrmse)
     t_gpr = max(time.perf_counter() - t0 - roundtrip, 1e-9)
 

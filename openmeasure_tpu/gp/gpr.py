@@ -301,15 +301,24 @@ class GPR(ROM):
         self._train_X = P0_tot
         self._train_Y = Vr_tot
 
-        Vr_sigma_tot = None
         if A_sigma_new is not None:
             Vr_sigma_new = jnp.asarray(A_sigma_new) / self.Sigma_r[None, :]
-            Vr_sigma_tot = jnp.concatenate(
-                [_as_device(self.Vr_sigma), Vr_sigma_new], axis=0)
-            # keep stored uncertainties length-consistent with the extended
-            # training set (the reference zeroes them, gpr.py:654; we keep
-            # the actual values so a later fixed-noise retrain is usable)
-            self.Vr_sigma = Vr_sigma_tot
+        else:
+            # no uncertainties supplied: extend with the prior stddev at the
+            # new points (the same quantity Vr_sigma holds for the original
+            # training set), keeping Vr_sigma length-consistent with
+            # _train_X so a later fixed-noise retrain remains well-formed
+            if self.gpr_type == "MultiTask":
+                task_params = self.params["tasks"]
+            else:
+                task_params = self.params
+            Vr_sigma_new = jax.vmap(
+                lambda tp: E.gp_prior_stddev(self.mean, self.kernel, tp,
+                                             P0_new))(task_params).T
+        Vr_sigma_tot = jnp.concatenate(
+            [_as_device(self.Vr_sigma), Vr_sigma_new], axis=0)
+        # (the reference zeroes these, gpr.py:654; we keep actual values)
+        self.Vr_sigma = Vr_sigma_tot
 
         if not retrain:
             return
@@ -334,7 +343,7 @@ class GPR(ROM):
         else:
             # Reference swaps in FixedNoiseGaussianLikelihood(Vr_sigma²)
             # (gpr.py:671-672); requires the uncertainties.
-            if Vr_sigma_tot is None:
+            if A_sigma_new is None:
                 raise ValueError(
                     "retrain=True for SingleTask requires A_sigma_new "
                     "(fixed-noise retraining uses the data uncertainties).")

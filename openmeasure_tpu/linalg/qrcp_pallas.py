@@ -35,6 +35,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _kernel_vmem_request(r: int, n: int, itemsize: int = 4) -> int:
+    """Scoped-VMEM bytes the in-VMEM kernel requests (aliased in+out panel
+    counted twice, norm rows, Mosaic temporaries) — also the dispatch gate."""
+    r_pad = _round_up(max(r, 8), 8)
+    n_pad = _round_up(n, 128)
+    return 2 * r_pad * n_pad * itemsize + 16 * n_pad * itemsize + (4 << 20)
+
+
 def _qrcp_kernel(A_ref, piv_ref, Aw_ref, norms_ref, *, k: int, n: int):
     # A_ref is donated to Aw_ref (input_output_aliases) — the panel is
     # mutated in place, halving the VMEM footprint.
@@ -78,8 +86,8 @@ def qrcp_pivots_pallas(A: jax.Array, k: int) -> jax.Array:
     A_pad = jax.lax.dynamic_update_slice(A_pad, A, (0, 0))
 
     # Scoped-VMEM accounting counts the aliased input and output buffers
-    # separately, so budget 2× the panel plus the norm row and temporaries.
-    vmem_bytes = 2 * r_pad * n_pad * 4 + 16 * n_pad * 4 + (4 << 20)
+    # separately — single source of truth shared with the dispatch gate.
+    vmem_bytes = _kernel_vmem_request(r, n)
 
     pivots, _ = pl.pallas_call(
         functools.partial(_qrcp_kernel, k=k, n=n),
@@ -103,12 +111,6 @@ def qrcp_pivots_pallas(A: jax.Array, k: int) -> jax.Array:
 # headroom under the 128 MB physical VMEM; a 68 MB request is known-good on
 # v5e.
 _VMEM_BUDGET_BYTES = 96 * 1024 * 1024
-
-
-def _kernel_vmem_request(r: int, n: int, itemsize: int = 4) -> int:
-    r_pad = _round_up(max(r, 8), 8)
-    n_pad = _round_up(n, 128)
-    return 2 * r_pad * n_pad * itemsize + 16 * n_pad * itemsize + (4 << 20)
 
 
 def qrcp_fits_vmem(r: int, n: int, itemsize: int = 4) -> bool:

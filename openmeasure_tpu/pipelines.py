@@ -100,11 +100,7 @@ def gpr_end_to_end(
     from .gp import kernels as K
     from .gp import exact_gp as E
 
-    X0, cnt, scl = _scaling.scale_data(X_train, n_features, scale_type, 1)
-    U, S, Vt = _svd.svd_tall(X0, refine=1, canonicalize=False)
-    Ur = U[:, :r]
-    Ar = (S[:r, None] * Vt[:r]).T
-    Sigma_r = jnp.linalg.norm(Ar, axis=0)
+    Ur, Ar, Sigma_r, cnt, scl = pod_fit(X_train, n_features, r, scale_type)
     Vr = Ar / Sigma_r[None, :]
 
     P0, P_cnt, P_scl = _scaling.scale_parameters(P_train, scale_type)

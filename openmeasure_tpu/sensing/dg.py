@@ -78,8 +78,20 @@ def dg_select(Ur, n_sensors: int, mask=None) -> np.ndarray:
     k1 = min(n_sensors, r)
     piv = qrcp_pivots(Ur_m.T, k1)
     if n_sensors <= r:
-        return np.asarray(piv[:n_sensors], dtype=np.int64)
+        out = np.asarray(piv[:n_sensors], dtype=np.int64)
+        if len(set(out.tolist())) != n_sensors:
+            raise ValueError(
+                f"dg placement ran out of candidates: {n_sensors} sensors "
+                "requested but the masked basis has fewer independent rows.")
+        return out
 
     alive = keep.at[piv].set(False)
     extra = _dg_phase2(Ur_m, piv, alive, n_sensors - r)
-    return np.asarray(jnp.concatenate([piv, extra]), dtype=np.int64)
+    out = np.asarray(jnp.concatenate([piv, extra]), dtype=np.int64)
+    if len(set(out.tolist())) != n_sensors:
+        n_avail = int(np.asarray(keep).sum()) + r
+        raise ValueError(
+            f"dg placement ran out of candidates: {n_sensors} sensors "
+            f"requested but only {n_avail} rows are selectable (mask/size). "
+            "Request fewer sensors or enlarge the mask.")
+    return out

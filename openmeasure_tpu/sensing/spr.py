@@ -91,8 +91,14 @@ class SPR(ROM):
             C = jnp.asarray(C)
         elif calc_type == "dg":
             # determinant-based greedy (beyond-reference): D-optimal
-            # selection supporting n_sensors > r (see sensing/dg.py)
+            # selection supporting n_sensors > r (see sensing/dg.py).
+            # Mask contract matches 'qr': excluded rows of Ur are zeroed
+            # destructively so downstream COLS/reconstruct see the same
+            # basis regardless of calc_type.
             from .dg import dg_select
+            if mask is not None:
+                keep = jnp.asarray(np.asarray(mask, dtype=bool))
+                self.Ur = jnp.where(keep[:, None], self.Ur, 0.0)
             P = dg_select(self.Ur, n_sensors, mask)
             C = np.zeros((P.size, n), dtype=np.asarray(self.Ur).dtype)
             C[np.arange(P.size), P] = 1.0

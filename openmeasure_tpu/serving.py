@@ -87,11 +87,14 @@ class SoftSensor:
                    X_cnt, X_scl, dtype)
 
     @classmethod
-    def load(cls, path: str, dtype=jnp.float32) -> "SoftSensor":
+    def load(cls, path: str, feature_ids=None, dtype=jnp.float32
+             ) -> "SoftSensor":
         """Build from a checkpoint written by
-        :func:`openmeasure_tpu.utils.checkpoint.save_model`."""
+        :func:`openmeasure_tpu.utils.checkpoint.save_model`.  Pass
+        ``feature_ids`` for models trained with a general (non-one-hot) C."""
         from .utils.checkpoint import load_model
-        return cls.from_spr(load_model(path), dtype=dtype)
+        return cls.from_spr(load_model(path), feature_ids=feature_ids,
+                            dtype=dtype)
 
     # ------------------------------------------------------------------ #
 

@@ -198,3 +198,22 @@ class TestPIGPR:
         X_pred = pig.reconstruct(A_pred)
         np.testing.assert_allclose(d["X_test"], np.asarray(X_pred),
                                    rtol=1e-10, atol=1.0)
+
+
+class TestUpdateBookkeeping:
+    def test_update_without_sigma_keeps_lengths_consistent(self):
+        d = make_rank1()
+        g = GPR(d["X_train"], d["n_features"], d["xyz"], d["P_train"])
+        g.fit(scaleX_type="none")
+        g.train(max_iter=50)
+        p0 = len(d["P_train"])
+        A1, _ = g.predict(d["P_test"][:2])
+        g.update(d["P_test"][:2], np.asarray(A1))          # no sigma
+        assert np.asarray(g.Vr_sigma).shape[0] == p0 + 2
+        A2, S2 = g.predict(d["P_test"][2:4])
+        # a later retrain WITH sigma must now be well-formed
+        g.update(d["P_test"][2:4], np.asarray(A2),
+                 A_sigma_new=np.asarray(S2) + 1e-3, retrain=True)
+        assert np.asarray(g.Vr_sigma).shape[0] == p0 + 4
+        A, _ = g.predict(d["P_test"])
+        assert np.all(np.isfinite(np.asarray(A)))

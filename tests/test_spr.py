@@ -3,6 +3,7 @@
 its notebook/plot tier."""
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from openmeasure_tpu import SPR
@@ -225,3 +226,21 @@ class TestSPR:
             a, _ = self.spr.predict(y)
             x = np.asarray(self.spr.reconstruct(a))[:, 0]
             assert np.all(np.isfinite(x))
+
+    def test_bcoo_sparse_C(self):
+        from jax.experimental import sparse as jsparse
+        self.spr.fit(n_modes=100)
+        C_bcoo = jsparse.BCOO.fromdense(jnp.asarray(self.C))
+        self.spr.train(C_bcoo)
+        a, _ = self.spr.predict(self._identity_y())
+        x_pred = self.spr.reconstruct(a)
+        np.testing.assert_allclose(x_pred, self.X[:, [0]], rtol=1e-7,
+                                   atol=1e-9)
+
+    def test_dg_exhaustion_raises(self):
+        self.spr.fit(select_modes="number", n_modes=3)
+        mask = np.zeros(self.X.shape[0], dtype=bool)
+        mask[:5] = True
+        with pytest.raises(ValueError, match="ran out of candidates"):
+            self.spr.optimal_placement(calc_type="dg", n_sensors=8,
+                                       mask=mask)
