@@ -13,6 +13,15 @@ first-max scan).
 
 Under a row-sharded mesh the argmax reduces per-shard maxima with a single
 ``psum``-style collective (see ``openmeasure_tpu.parallel``).
+
+Alternatives evaluated and rejected on measurement (TPU v5e, 1.7M columns):
+a cached-projection Gram–Schmidt variant (read-only passes over A, CGS2
+column reorthogonalization) produced LAPACK-identical pivots but ran ~1.7×
+SLOWER — the (k, n) projection-cache row update copies the whole cache per
+step under XLA; and a pallas_call-per-step streamed kernel ran ~35× slower
+(aliased full-array outputs defeat donation).  The in-place downdate below
+is what XLA pipelines best; the in-VMEM Pallas kernel
+(``qrcp_pallas.qrcp_pivots_pallas``) wins ~20× when the panel fits on-chip.
 """
 
 from __future__ import annotations
