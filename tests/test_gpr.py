@@ -217,3 +217,25 @@ class TestUpdateBookkeeping:
         assert np.asarray(g.Vr_sigma).shape[0] == p0 + 4
         A, _ = g.predict(d["P_test"])
         assert np.all(np.isfinite(np.asarray(A)))
+
+
+class TestPIGPRLossDict:
+    def test_loss_dict_reaches_callback(self):
+        d = make_rank1()
+        seen = {}
+
+        def added_loss(ctx):
+            # record statically-visible structure at trace time
+            seen["keys"] = sorted(ctx.keys())
+            seen["loss_dict"] = ctx["loss_dict"]
+            seen["has_mean"] = hasattr(ctx["output"], "mean")
+            return -ctx["loss_dict"]["coef"] * jnp.sum(ctx["output"].mean**2)
+
+        P_cstr = np.linspace(0, 1, 5)[:, None]
+        pig = PIGPR(d["X_train"], d["n_features"], d["xyz"], d["P_train"],
+                    P_cstr, added_loss)
+        pig.fit(scaleX_type="none")
+        pig.train(max_iter=30, loss_dict={"coef": 0.5})
+        assert seen["keys"] == ["loss_dict", "loss_ml", "output", "verbose"]
+        assert seen["loss_dict"] == {"coef": 0.5}
+        assert seen["has_mean"]
