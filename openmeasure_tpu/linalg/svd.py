@@ -15,6 +15,14 @@ In float32 the Gram squares the condition number, so we run one extra
 orthogonal-iteration refinement pass by default (``refine=1``): with
 ``B = X0 V``, the Gram of ``B`` is re-diagonalized, which restores most of the
 accuracy for the dominant modes at the cost of one more panel matmul.
+
+Evaluated and rejected on measurement (TPU v5e, 165k×41 fp32): a Pallas
+fused scale+Gram kernel (grid-accumulated per-tile ``X0bᵀX0b``, never
+materializing X0) ran ~4× SLOWER than XLA's scale-then-matmul and only
+reached bf16-level accuracy — Mosaic schedules the small-output
+reduction-shaped matmul poorly, while XLA's HIGH-precision pipeline is
+already near the bandwidth floor.  The kernel tier earns its keep only
+where on-chip residency changes the algorithm (see qrcp_pallas).
 """
 
 from __future__ import annotations
