@@ -132,16 +132,19 @@ class CoKriging:
         Za = np.asarray(self.Zr_aligned)
         Zh = np.asarray(self.Zr_hf)
 
-        self.model_list = []
-        for k in range(self.n_latent):
-            model = MultiFiCoKriging(
-                regr=self.regr_type, rho_regr=self.rho_regr,
-                theta=self.theta, theta0=self.theta0, thetaL=self.thetaL,
-                thetaU=self.thetaU, normalize=self.normalize)
-            model.fit([X_train, np.asarray(self.X_train_l)],
-                      [Za[k, :], Zh[k, :]],
-                      initial_range=self.initial_range, tol=self.tol)
-            self.model_list.append(model)
+        # All latent dimensions share the same parameter sets, so the K
+        # models fit as ONE batched program per level (θ optimization
+        # vmapped over outputs×starts) instead of a Python loop of K
+        # independent fits; model_list keeps the per-model view API.
+        from .mfk import BatchedMFK, _BatchedMFKView
+        self._batch = BatchedMFK(
+            regr=self.regr_type, rho_regr=self.rho_regr, theta=self.theta,
+            theta0=self.theta0, thetaL=self.thetaL, thetaU=self.thetaU,
+            normalize=self.normalize)
+        self._batch.fit([X_train, np.asarray(self.X_train_l)], [Za, Zh],
+                        initial_range=self.initial_range, tol=self.tol)
+        self.model_list = [_BatchedMFKView(self._batch, k)
+                           for k in range(self.n_latent)]
 
     def predict(self, X_test, n_truncated: Optional[int] = None
                 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -149,12 +152,17 @@ class CoKriging:
         if n_truncated is None:
             n_truncated = self.n_latent
 
-        Z_pred = np.zeros((n_truncated, n_test))
-        Z_mse = np.zeros((n_truncated, n_test))
-        for i in range(n_truncated):
-            mean, mse = self.model_list[i].predict(X_test)
-            Z_pred[i, :] = mean.ravel()
-            Z_mse[i, :] = mse.ravel()
+        if hasattr(self, "_batch"):
+            means, mses = self._batch.predict(np.asarray(X_test))
+            Z_pred = means[:n_truncated]
+            Z_mse = mses[:n_truncated]
+        else:  # model_list supplied externally
+            Z_pred = np.zeros((n_truncated, n_test))
+            Z_mse = np.zeros((n_truncated, n_test))
+            for i in range(n_truncated):
+                mean, mse = self.model_list[i].predict(X_test)
+                Z_pred[i, :] = mean.ravel()
+                Z_mse[i, :] = mse.ravel()
 
         # The reference projects with the full Ur_hf, which shape-errors for
         # n_truncated < n_latent (cokriging.py:135); use the first

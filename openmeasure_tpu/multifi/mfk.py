@@ -134,6 +134,214 @@ def _multistart_opt(starts: jax.Array, X, F, y, lo, hi,
     return best_lts[jnp.argmin(best_fs)]
 
 
+@functools.partial(jax.jit, static_argnames=("n_steps", "lr"))
+def _multistart_opt_batch(starts: jax.Array, X, F_batch, Y, lo, hi,
+                          tol: float = 1e-6, n_steps: int = 400,
+                          lr: float = 0.05) -> jax.Array:
+    """θ optimization for K independent outputs sharing X: vmap of
+    :func:`_multistart_opt`'s inner loop over (k, start) pairs — ONE device
+    program for a whole co-kriging level across all latent dimensions.
+
+    F_batch: (K, n, p) per-output regression matrices; Y: (K, n)."""
+    import optax
+    opt = optax.adam(lr)
+
+    def run_one(lt0, F, y):
+        vg = jax.value_and_grad(lambda lt: _level_nll(lt, X, F, y))
+        state0 = opt.init(lt0)
+        f0 = _level_nll(lt0, X, F, y)
+
+        def body(i, carry):
+            lt, st, f_old, best_lt, best_f, done = carry
+            f, g = vg(lt)
+            upd, st = opt.update(g, st, lt)
+            lt_new = jnp.clip(lt + upd, lo, hi)
+            improved = f < best_f
+            best_lt = jnp.where(improved, lt, best_lt)
+            best_f = jnp.where(improved, f, best_f)
+            done = done | (jnp.abs(f - f_old) < tol)
+            lt = jnp.where(done, lt, lt_new)
+            return lt, st, f, best_lt, best_f, done
+
+        _, _, _, best_lt, best_f, _ = jax.lax.fori_loop(
+            0, n_steps, body,
+            (lt0, state0, jnp.inf, lt0, f0, jnp.asarray(False)))
+        return best_lt, best_f
+
+    # vmap over starts (inner) and outputs (outer)
+    per_output = jax.vmap(
+        lambda F, y: jax.vmap(lambda s: run_one(s, F, y))(starts))
+    best_lts, best_fs = per_output(F_batch, Y)   # (K, S, d), (K, S)
+    idx = jnp.argmin(best_fs, axis=1)
+    return jnp.take_along_axis(best_lts, idx[:, None, None], axis=1)[:, 0]
+
+
+class BatchedMFK:
+    """K independent recursive co-kriging models sharing the SAME input
+    sites — the CoKriging workload shape (one model per latent POD
+    dimension, all on identical parameter sets, ``cokriging.py:113-119``).
+
+    Fitting all K models is two jitted device programs (one θ optimization
+    per level, vmapped over outputs×starts) instead of 2·K dispatch rounds;
+    prediction is one vmapped program.  Same math and knobs as
+    :class:`MultiFiCoKriging`."""
+
+    def __init__(self, regr: str = "constant", rho_regr: str = "constant",
+                 theta=None, theta0=None, thetaL=None, thetaU=None,
+                 normalize: bool = True):
+        self._proto = MultiFiCoKriging(regr, rho_regr, theta, theta0,
+                                       thetaL, thetaU, normalize)
+        self.regr = regr
+        self.rho_regr = rho_regr
+        self.normalize = normalize
+
+    def fit(self, X: Sequence, Y: Sequence, initial_range: float = 0.3,
+            tol: float = 1e-6) -> "BatchedMFK":
+        """X: level inputs (lowest fidelity first); Y: per-level (K, n_l)
+        stacked outputs."""
+        p = self._proto
+        X = [np.atleast_2d(np.asarray(Xi, dtype=float)) for Xi in X]
+        Y = [np.atleast_2d(np.asarray(Yi, dtype=float)) for Yi in Y]
+        self.n_levels = len(X)
+        K = Y[0].shape[0]
+        self.K = K
+        d = X[0].shape[1]
+
+        if p.normalize:
+            Xall = np.concatenate(X, axis=0)
+            self._X_mean = Xall.mean(axis=0)
+            self._X_std = Xall.std(axis=0)
+            self._X_std[self._X_std == 0.0] = 1.0
+            yall = np.concatenate(Y, axis=1)                # (K, n_tot)
+            self._y_mean = yall.mean(axis=1)                # (K,)
+            self._y_std = yall.std(axis=1)
+            self._y_std[self._y_std == 0.0] = 1.0
+        else:
+            self._X_mean, self._X_std = np.zeros(d), np.ones(d)
+            self._y_mean, self._y_std = np.zeros(K), np.ones(K)
+        Xn = [jnp.asarray((Xi - self._X_mean) / self._X_std) for Xi in X]
+        Yn = [jnp.asarray((Yi - self._y_mean[:, None])
+                          / self._y_std[:, None]) for Yi in Y]
+
+        theta_fixed = (None if p.theta is None
+                       else p._broadcast_theta_opt(p.theta, None, d))
+        theta0 = p._broadcast_theta_opt(p.theta0, 0.5, d)
+        thetaL = p._broadcast_theta_opt(p.thetaL, 1e-6, d)
+        thetaU = p._broadcast_theta_opt(p.thetaU, 100.0, d)
+        starts = self._starts(theta0, thetaL, thetaU, initial_range)
+        lo, hi = jnp.asarray(np.log10(thetaL)), jnp.asarray(np.log10(thetaU))
+
+        self.levels = []
+        for l in range(self.n_levels):
+            Xl, Yl = Xn[l], Yn[l]
+            if l == 0:
+                F1 = _regr(p.regr, Xl)                       # shared
+                F_batch = jnp.broadcast_to(F1, (K,) + F1.shape)
+                rho_cols = 0
+            else:
+                m_prev, _ = self._predict_level_batch(l - 1, Xl)  # (K, n_l)
+                G = _regr(p.rho_regr, Xl)                    # (n_l, q)
+                Fr = _regr(p.regr, Xl)
+                F_batch = jnp.concatenate(
+                    [G[None] * m_prev[:, :, None],
+                     jnp.broadcast_to(Fr, (K,) + Fr.shape)], axis=2)
+                rho_cols = G.shape[1]
+
+            if theta_fixed is not None:
+                thetas = jnp.broadcast_to(jnp.asarray(theta_fixed), (K, d))
+            else:
+                log_thetas = _multistart_opt_batch(
+                    starts, Xl, F_batch, Yl, lo, hi, float(tol))
+                thetas = 10.0 ** log_thetas
+
+            beta, gamma, sigma2, L, Ggls = jax.vmap(
+                lambda th, F, y: _level_fit_terms(th, Xl, F, y)
+            )(thetas, F_batch, Yl)
+            self.levels.append(dict(
+                X=Xl, Y=Yl, F=F_batch, theta=thetas, beta=beta, gamma=gamma,
+                sigma2=sigma2, L=L, G=Ggls, rho_cols=rho_cols))
+        return self
+
+    def _starts(self, theta0, thetaL, thetaU, initial_range):
+        llo, lhi = np.log10(thetaL), np.log10(thetaU)
+        rng = np.random.default_rng(0)
+        s0 = np.clip(np.log10(theta0), llo, lhi)
+        starts = [s0]
+        for _ in range(2):
+            starts.append(np.clip(
+                s0 + initial_range * (2 * rng.random(len(theta0)) - 1),
+                llo, lhi))
+        for _ in range(2):
+            starts.append(llo + (lhi - llo) * rng.random(len(theta0)))
+        return jnp.asarray(np.stack(starts))
+
+    def _predict_level_batch(self, l: int, Xs: jax.Array):
+        """(K, s) recursive posterior mean/variance at normalized Xs."""
+        p = self._proto
+        lev = self.levels[l]
+
+        if l == 0:
+            m_prev = jnp.zeros((self.K, Xs.shape[0]), dtype=Xs.dtype)
+            s2_prev = jnp.zeros_like(m_prev)
+        else:
+            m_prev, s2_prev = self._predict_level_batch(l - 1, Xs)
+
+        Fr = _regr(p.regr, Xs)
+        if l == 0:
+            f_tilde = jnp.broadcast_to(Fr, (self.K,) + Fr.shape)
+            rho = None
+        else:
+            G = _regr(p.rho_regr, Xs)
+            beta_rho = lev["beta"][:, : lev["rho_cols"]]     # (K, q)
+            rho = jnp.einsum("sq,kq->ks", G, beta_rho)
+            f_tilde = jnp.concatenate(
+                [G[None] * m_prev[:, :, None],
+                 jnp.broadcast_to(Fr, (self.K,) + Fr.shape)], axis=2)
+
+        def one(theta, beta, gamma, sigma2, L, Ggls, F, ft):
+            with jax.default_matmul_precision("highest"):
+                r = _corr(theta, Xs, lev["X"])
+                mean = ft @ beta + r @ gamma
+                Ri_rT = jax.scipy.linalg.cho_solve((L, True), r.T)
+                rRr = jnp.sum(r.T * Ri_rT, axis=0)
+                u = F.T @ Ri_rT - ft.T
+                Gi_u = jnp.linalg.solve(Ggls, u)
+                uGu = jnp.sum(u * Gi_u, axis=0)
+                var = sigma2 * jnp.maximum(1.0 - rRr + uGu, 0.0)
+                return mean, var
+
+        mean, var = jax.vmap(one)(lev["theta"], lev["beta"], lev["gamma"],
+                                  lev["sigma2"], lev["L"], lev["G"],
+                                  lev["F"], f_tilde)
+        if l > 0:
+            var = var + rho ** 2 * s2_prev
+        return mean, var
+
+    def predict(self, X: np.ndarray):
+        """Returns (means (K, n), mses (K, n)) for all K outputs at X."""
+        X = np.atleast_2d(np.asarray(X, dtype=float))
+        Xn = jnp.asarray((X - self._X_mean) / self._X_std)
+        mean, var = self._predict_level_batch(self.n_levels - 1, Xn)
+        means = np.asarray(mean) * self._y_std[:, None] \
+            + self._y_mean[:, None]
+        mses = np.asarray(var) * self._y_std[:, None] ** 2
+        return means, mses
+
+
+class _BatchedMFKView:
+    """Per-output view with the MultiFiCoKriging.predict convention —
+    keeps CoKriging.model_list API-compatible."""
+
+    def __init__(self, batch: BatchedMFK, k: int):
+        self._batch = batch
+        self._k = k
+
+    def predict(self, X):
+        means, mses = self._batch.predict(X)
+        return (means[self._k].reshape(-1, 1),
+                mses[self._k].reshape(-1, 1))
+
+
 class MultiFiCoKriging:
     """Recursive multi-fidelity kriging with the openmdao knob surface."""
 

@@ -159,3 +159,40 @@ class TestCoKriging:
         ck.fit()
         Y_pred, _ = ck.predict(p["X_l"][:2], n_truncated=1)
         assert Y_pred.shape[1] == 2
+
+
+class TestBatchedMFK:
+    def test_batch_matches_individual_fits(self):
+        """The batched multi-output fit must reproduce the per-model fits."""
+        from openmeasure_tpu.multifi.mfk import BatchedMFK
+        rng = np.random.default_rng(0)
+        X_lf = np.linspace(0, 1, 11)[:, None]
+        X_hf = np.array([0.0, 0.3, 0.55, 0.8, 1.0])[:, None]
+        Y_lf = np.stack([forrester_lf(X_lf[:, 0]),
+                         0.5 * forrester_lf(X_lf[:, 0]) + 1.0])
+        Y_hf = np.stack([forrester_hf(X_hf[:, 0]),
+                         0.5 * forrester_hf(X_hf[:, 0]) + 1.0])
+
+        batch = BatchedMFK().fit([X_lf, X_hf], [Y_lf, Y_hf])
+        X_t = np.linspace(0, 1, 31)[:, None]
+        m_b, s_b = batch.predict(X_t)
+
+        for k in range(2):
+            m = MultiFiCoKriging().fit([X_lf, X_hf],
+                                       [Y_lf[k], Y_hf[k]])
+            m_i, s_i = m.predict(X_t)
+            np.testing.assert_allclose(m_b[k], m_i.ravel(), rtol=1e-4,
+                                       atol=1e-6 * np.abs(m_i).max())
+
+    def test_batch_view_api(self):
+        from openmeasure_tpu.multifi.mfk import BatchedMFK, _BatchedMFKView
+        X_lf = np.linspace(0, 1, 9)[:, None]
+        X_hf = X_lf[::2]
+        Y_lf = forrester_lf(X_lf[:, 0])[None, :]
+        Y_hf = forrester_hf(X_hf[:, 0])[None, :]
+        batch = BatchedMFK().fit([X_lf, X_hf], [Y_lf, Y_hf])
+        view = _BatchedMFKView(batch, 0)
+        mean, mse = view.predict(X_hf)
+        assert mean.shape == (len(X_hf), 1) and mse.shape == (len(X_hf), 1)
+        np.testing.assert_allclose(mean.ravel(),
+                                   forrester_hf(X_hf[:, 0]), atol=1e-2)
