@@ -20,7 +20,6 @@ import jax.numpy as jnp
 
 from ..rom.rom import ROM, _as_device
 from ..linalg import svd as _svd
-from .mfk import MultiFiCoKriging
 
 
 class CoKriging:
