@@ -91,8 +91,16 @@ _META_ATTRS = ["r", "n_features", "n_points", "scale_type", "method",
                "scaleX_type", "scaleP_type"]
 
 
-def save_model(obj, path: str, include_data: bool = False) -> None:
-    """Serialize a fitted ROM/SPR/GPR/PIGPR to ``path`` (.npz)."""
+def save_model(obj, path: str, include_data: bool = False,
+               backend: str = "npz") -> None:
+    """Serialize a fitted ROM/SPR/GPR/PIGPR.
+
+    backend='npz' (default): single compressed archive at ``path``.
+    backend='orbax': an orbax-checkpoint directory at ``path`` — atomic
+    writes and async-friendly for production serving fleets (SURVEY §5's
+    suggested persistence layer); same payload, restored identically by
+    :func:`load_model`.
+    """
     arrays: Dict[str, np.ndarray] = {}
     meta: Dict[str, Any] = {"class": type(obj).__name__}
 
@@ -134,14 +142,29 @@ def save_model(obj, path: str, include_data: bool = False) -> None:
 
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
-    np.savez_compressed(path, **arrays)
+    if backend == "npz":
+        np.savez_compressed(path, **arrays)
+    elif backend == "orbax":
+        import os
+        import orbax.checkpoint as ocp
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(os.path.abspath(path), dict(arrays))
+    else:
+        raise ValueError(f"unknown checkpoint backend {backend!r}")
 
 
 def load_model(path: str):
     """Reconstruct a fitted model saved by :func:`save_model`.  The returned
     object supports predict/reconstruct without retraining."""
-    with np.load(path, allow_pickle=False) as z:
-        arrays = {k: z[k] for k in z.files}
+    import os
+    if os.path.isdir(path):  # orbax checkpoint directory
+        import orbax.checkpoint as ocp
+        ckptr = ocp.PyTreeCheckpointer()
+        restored = ckptr.restore(os.path.abspath(path))
+        arrays = {k: np.asarray(v) for k, v in restored.items()}
+    else:
+        with np.load(path, allow_pickle=False) as z:
+            arrays = {k: z[k] for k in z.files}
     meta = json.loads(bytes(arrays.pop("__meta__")).decode())
 
     cls_name = meta["class"]

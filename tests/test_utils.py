@@ -234,3 +234,37 @@ class TestServing:
         y2 = np.asarray(C2 @ X[:, 0])
         out = np.asarray(s2(y2))
         assert out.shape == (30,) and np.all(np.isfinite(out))
+
+
+class TestOrbaxBackend:
+    def test_orbax_roundtrip(self, tmp_path):
+        import numpy as np
+        from openmeasure_tpu import SPR
+        from openmeasure_tpu.utils.checkpoint import save_model, load_model
+        rng = np.random.default_rng(8)
+        X = rng.random((20, 5))
+        xyz = rng.random((10, 3))
+        spr = SPR(X, 2, xyz)
+        spr.fit(select_modes="number", n_modes=3)
+        C = np.asarray(spr.optimal_placement())
+        spr.train(C)
+        rows = np.argmax(C, axis=1)
+        y = np.zeros((3, 3)); y[:, 0] = X[rows, 1]; y[:, 2] = rows // 10
+        a_ref, _ = spr.predict(y)
+
+        path = str(tmp_path / "ckpt_orbax")
+        save_model(spr, path, backend="orbax")
+        spr2 = load_model(path)
+        a2, _ = spr2.predict(y)
+        np.testing.assert_allclose(np.asarray(a2), np.asarray(a_ref),
+                                   rtol=1e-10)
+
+    def test_unknown_backend_raises(self, tmp_path):
+        import pytest as _pytest
+        from openmeasure_tpu import ROM
+        from openmeasure_tpu.utils.checkpoint import save_model
+        import numpy as np
+        rom = ROM(np.ones((4, 2)), 1, np.zeros((4, 3)))
+        rom.fit(select_modes="number", n_modes=1)
+        with _pytest.raises(ValueError):
+            save_model(rom, str(tmp_path / "x"), backend="bogus")
