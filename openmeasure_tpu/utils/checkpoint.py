@@ -93,7 +93,7 @@ _META_ATTRS = ["r", "n_features", "n_points", "scale_type", "method",
 
 def save_model(obj, path: str, include_data: bool = False,
                backend: str = "npz") -> None:
-    """Serialize a fitted ROM/SPR/GPR/PIGPR.
+    """Serialize a fitted ROM/SPR/GPR/PIGPR/CoKriging.
 
     backend='npz' (default): single compressed archive at ``path``.
     backend='orbax': an orbax-checkpoint directory at ``path`` — atomic
@@ -103,6 +103,11 @@ def save_model(obj, path: str, include_data: bool = False,
     """
     arrays: Dict[str, np.ndarray] = {}
     meta: Dict[str, Any] = {"class": type(obj).__name__}
+
+    if type(obj).__name__ == "CoKriging":
+        _save_cokriging(obj, arrays, meta)
+        _write_arrays(arrays, meta, path, backend)
+        return
 
     for a in _ARRAY_ATTRS:
         if hasattr(obj, a) and getattr(obj, a) is not None:
@@ -140,6 +145,11 @@ def save_model(obj, path: str, include_data: bool = False,
         meta["likelihood_spec"] = _spec_to_json(
             getattr(obj, "likelihood", None))
 
+    _write_arrays(arrays, meta, path, backend)
+
+
+def _write_arrays(arrays: Dict[str, np.ndarray], meta: Dict[str, Any],
+                  path: str, backend: str) -> None:
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
     if backend == "npz":
@@ -151,6 +161,85 @@ def save_model(obj, path: str, include_data: bool = False,
         ckptr.save(os.path.abspath(path), dict(arrays))
     else:
         raise ValueError(f"unknown checkpoint backend {backend!r}")
+
+
+_COK_BATCH_SCALARS = ["_X_mean", "_X_std", "_y_mean", "_y_std"]
+_COK_LEVEL_KEYS = ["X", "Y", "F", "theta", "beta", "gamma", "sigma2",
+                   "L", "G"]
+
+
+def _save_cokriging(obj, arrays: Dict[str, np.ndarray],
+                    meta: Dict[str, Any]) -> None:
+    """Fitted-state persistence for CoKriging: HF scaling stats + aligned
+    basis + every level of the batched kriging model — enough to predict
+    without the training snapshot sets."""
+    if not hasattr(obj, "_batch"):
+        raise ValueError("CoKriging must be fit() before saving")
+    arrays["attr/Ur_hf"] = np.asarray(obj.Ur_hf)
+    arrays["attr/Zr_hf"] = np.asarray(obj.Zr_hf)
+    arrays["attr/Zr_aligned"] = np.asarray(obj.Zr_aligned)
+    arrays["romhf/X_cnt"] = np.asarray(obj.rom_hf.X_cnt)
+    arrays["romhf/X_scl"] = np.asarray(obj.rom_hf.X_scl)
+    arrays["romhf/xyz"] = np.asarray(obj.xyz_hf)
+    meta["n_features"] = obj.n_features
+    meta["n_latent"] = obj.n_latent
+    meta["regr_type"] = obj.regr_type
+    meta["rho_regr"] = obj.rho_regr
+    meta["normalize"] = obj.normalize
+
+    b = obj._batch
+    meta["batch"] = {"n_levels": b.n_levels, "K": b.K,
+                     "rho_cols": [lev["rho_cols"] for lev in b.levels]}
+    for name in _COK_BATCH_SCALARS:
+        arrays[f"batch/{name}"] = np.asarray(getattr(b, name))
+    for l, lev in enumerate(b.levels):
+        for key in _COK_LEVEL_KEYS:
+            arrays[f"batch/level{l}/{key}"] = np.asarray(lev[key])
+
+
+def _load_cokriging(arrays: Dict[str, np.ndarray], meta: Dict[str, Any]):
+    import jax.numpy as jnp
+    from ..multifi.cokriging import CoKriging
+    from ..multifi.mfk import BatchedMFK, MultiFiCoKriging, _BatchedMFKView
+
+    obj = object.__new__(CoKriging)
+    obj.n_features = int(meta["n_features"])
+    obj.n_latent = int(meta["n_latent"])
+    obj.regr_type = meta["regr_type"]
+    obj.rho_regr = meta["rho_regr"]
+    obj.normalize = meta["normalize"]
+    obj.Ur_hf = jnp.asarray(arrays["attr/Ur_hf"])
+    obj.Zr_hf = jnp.asarray(arrays["attr/Zr_hf"])
+    obj.Zr_aligned = jnp.asarray(arrays["attr/Zr_aligned"])
+    obj.xyz_hf = arrays["romhf/xyz"]
+
+    # prediction-time rom_hf only needs the scaling stats
+    n = arrays["romhf/X_cnt"].shape[0]
+    rom = ROM(np.zeros((n, 1)), obj.n_features, obj.xyz_hf)
+    rom.X_cnt = jnp.asarray(arrays["romhf/X_cnt"])
+    rom.X_scl = jnp.asarray(arrays["romhf/X_scl"])
+    obj.rom_hf = rom
+
+    bm = meta["batch"]
+    batch = object.__new__(BatchedMFK)
+    batch._proto = MultiFiCoKriging(obj.regr_type, obj.rho_regr,
+                                    normalize=obj.normalize)
+    batch.regr = obj.regr_type
+    batch.rho_regr = obj.rho_regr
+    batch.normalize = obj.normalize
+    batch.n_levels = int(bm["n_levels"])
+    batch.K = int(bm["K"])
+    for name in _COK_BATCH_SCALARS:
+        setattr(batch, name, np.asarray(arrays[f"batch/{name}"]))
+    batch.levels = []
+    for l in range(batch.n_levels):
+        lev = {key: jnp.asarray(arrays[f"batch/level{l}/{key}"])
+               for key in _COK_LEVEL_KEYS}
+        lev["rho_cols"] = int(bm["rho_cols"][l])
+        batch.levels.append(lev)
+    obj._batch = batch
+    obj.model_list = [_BatchedMFKView(batch, k) for k in range(obj.n_latent)]
+    return obj
 
 
 def load_model(path: str):
@@ -168,6 +257,8 @@ def load_model(path: str):
     meta = json.loads(bytes(arrays.pop("__meta__")).decode())
 
     cls_name = meta["class"]
+    if cls_name == "CoKriging":
+        return _load_cokriging(arrays, meta)
     n_features = int(meta["n_features"])
     xyz = arrays.get("attr/xyz")
     X = arrays.get("attr/X")

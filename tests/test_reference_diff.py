@@ -283,3 +283,62 @@ class TestGEMDiff:
         sel_ours = np.argmax(C2, axis=1)
         np.testing.assert_array_equal(sel_ours[:3], sel_ref[:3])
         assert len(set(sel_ours.tolist())) == len(sel_ours)
+
+
+class TestMoreDiff:
+    def test_reconstruct_with_sampling(self, ref, data):
+        from openmeasure_tpu import ROM
+        r1 = ref.ROM(data["X"], data["n_features"], data["xyz"])
+        r1.fit(select_modes="number", n_modes=4)
+        r2 = ROM(data["X"], data["n_features"], data["xyz"])
+        r2.fit(select_modes="number", n_modes=4)
+        S = np.zeros((7, data["X"].shape[0]))
+        S[np.arange(7), np.arange(0, 70, 10)] = 1.0
+        x1 = r1.reconstruct(r1.Ar[1, :], sampling=S)
+        # same coefficients through our basis need the sign alignment
+        signs = np.sign(np.sum(r1.Ur * np.asarray(r2.Ur), axis=0))
+        a2 = np.asarray(r2.Ar)[1, :] * 1.0
+        x2 = np.asarray(r2.reconstruct(np.asarray(r1.Ar)[1, :] * signs,
+                                       sampling=S))
+        np.testing.assert_allclose(x2, x1, rtol=1e-7, atol=1e-9)
+
+    def test_predict_list_matches_reference_loop(self, ref, data):
+        from openmeasure_tpu import SPR
+        s1 = ref.SPR(data["X"], data["n_features"], data["xyz"])
+        s1.fit(select_modes="number", n_modes=5)
+        s2 = SPR(data["X"], data["n_features"], data["xyz"])
+        s2.fit(select_modes="number", n_modes=5)
+        C = s1.optimal_placement()
+        s1.train(C)
+        s2.train(C)
+        n_points = data["n_points"]
+        ys = []
+        for col in (0, 3, 5):
+            y = np.zeros((C.shape[0], 3))
+            y[:, 0] = C @ data["X"][:, col]
+            y[:, 1] = 0.1 if col == 3 else 0.0   # mixed sigma/no-sigma list
+            y[:, 2] = np.argmax(C, axis=1) // n_points
+            ys.append(y)
+        a1, sig1 = s1.predict(ys)
+        a2, sig2 = s2.predict(ys)
+        x1 = s1.reconstruct(a1)
+        x2 = np.asarray(s2.reconstruct(a2))
+        np.testing.assert_allclose(x2, x1, rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(sig2), sig1, rtol=1e-6,
+                                   atol=1e-9)
+
+    def test_condition_number_matches(self, ref, data):
+        from openmeasure_tpu import SPR
+        s1 = ref.SPR(data["X"], data["n_features"], data["xyz"])
+        s1.fit(select_modes="number", n_modes=5)
+        s2 = SPR(data["X"], data["n_features"], data["xyz"])
+        s2.fit(select_modes="number", n_modes=5)
+        C = s1.optimal_placement()
+        s1.train(C, cond=True)     # square Theta branch
+        s2.train(C, cond=True)
+        np.testing.assert_allclose(s2.k, s1.k, rtol=1e-6)
+        # non-square branch (identity C)
+        I = np.eye(data["X"].shape[0])
+        s1.train(I, cond=True)
+        s2.train(I, cond=True)
+        np.testing.assert_allclose(s2.k, s1.k, rtol=1e-6)

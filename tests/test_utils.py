@@ -268,3 +268,49 @@ class TestOrbaxBackend:
         rom.fit(select_modes="number", n_modes=1)
         with _pytest.raises(ValueError):
             save_model(rom, str(tmp_path / "x"), backend="bogus")
+
+
+class TestCoKrigingCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        import numpy as np
+        from openmeasure_tpu import CoKriging
+        from openmeasure_tpu.utils.checkpoint import save_model, load_model
+        rng = np.random.default_rng(0)
+        n_cells, nf, nl, nu = 40, 2, 8, 10
+        X_l, X_u = rng.random((nl, 2)), rng.random((nu, 2))
+        xyz = np.zeros((n_cells, 3))
+        xyz[:, 0] = np.linspace(0, 1, n_cells)
+
+        def field(P, lofi):
+            out = np.zeros((nf * n_cells, len(P)))
+            for j in range(len(P)):
+                v = np.concatenate([
+                    np.sin(2 * np.pi * xyz[:, 0] * (1 + P[j, 0])),
+                    np.cos(np.pi * xyz[:, 0] * (2 + P[j, 1]))])
+                out[:, j] = 0.6 * v + 0.1 if lofi else v
+            return out
+
+        ck = CoKriging(X_l, X_u, field(X_l, True), field(X_u, True),
+                       field(X_l, False), xyz, xyz, nf)
+        ck.manifold_alignment(n_modes_hf=99.9, n_modes_lf=99.9)
+        ck.fit()
+        X_test = rng.random((4, 2))
+        Y1, M1 = ck.predict(X_test)
+
+        path = str(tmp_path / "cok.npz")
+        save_model(ck, path)
+        ck2 = load_model(path)
+        Y2, M2 = ck2.predict(X_test)
+        np.testing.assert_allclose(Y2, Y1, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(M2, M1, rtol=1e-8, atol=1e-10)
+
+    def test_unfit_raises(self, tmp_path):
+        import numpy as np
+        import pytest as _pytest
+        from openmeasure_tpu import CoKriging
+        from openmeasure_tpu.utils.checkpoint import save_model
+        ck = CoKriging(np.zeros((2, 1)), np.zeros((3, 1)),
+                       np.zeros((4, 2)), np.zeros((4, 3)), np.zeros((4, 2)),
+                       np.zeros((2, 3)), np.zeros((2, 3)), 2)
+        with _pytest.raises(ValueError):
+            save_model(ck, str(tmp_path / "x"))
