@@ -14,9 +14,9 @@ All reduce to  ``min ½ gᵀH g − cᵀg  s.t.  lo ≤ A g ≤ hi``  with a tin
 (r × r) Hessian and a tall constraint operator A (n × r).  The ADMM splitting
 ``z = A g`` costs two (n, r) matvecs per iteration — pure MXU work over the
 HBM-resident basis, no host round-trip, vmappable over batches of snapshots.
-A key structural win: the reference's constraint operators have orthonormal
-(-ly scaled) columns, so ``AᵀA`` is diagonal and the g-update factorization
-``chol(H + ρ AᵀA)`` is computed once.
+The (r, r) g-update factorization ``chol(H + ρ AᵀA)`` is trivial next to
+the (n, r) matvecs and is recomputed each step so the penalty ρ can adapt
+(residual balancing).
 """
 
 from __future__ import annotations
@@ -69,6 +69,7 @@ def admm_box_qp(
             jnp.trace(AtA) + jnp.asarray(1e-12, dtype))
         rho = jnp.maximum(rho, jnp.asarray(1e-8, dtype))
 
+    rho0 = rho
     g0 = cho_solve(cho_factor(H + rho * AtA), c)  # ρ-regularized warm start
     z0 = jnp.clip(jnp.matmul(A, g0, precision=hp), lo, hi)
     w0 = jnp.zeros_like(z0)
@@ -100,9 +101,12 @@ def admm_box_qp(
         grow = pri > 10.0 * dua
         shrink = dua > 10.0 * pri
         factor = jnp.where(grow, 2.0, jnp.where(shrink, 0.5, 1.0))
-        rho = rho * factor
-        w = w / factor
-        return g, z_new, w, rho, k + 1, pri, dua
+        # clamp: with singular H (e.g. fewer sensors than modes) the rho
+        # term alone keeps H + rho*AtA positive definite, so rho must not
+        # shrink to zero (nor blow up) under repeated rebalancing
+        rho_new = jnp.clip(rho * factor, rho0 * 1e-6, rho0 * 1e6)
+        w = w * (rho / rho_new)
+        return g, z_new, w, rho_new, k + 1, pri, dua
 
     big = jnp.asarray(jnp.inf, dtype)
     g, z, w, rho, k, pri, dua = jax.lax.while_loop(

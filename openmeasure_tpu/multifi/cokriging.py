@@ -152,9 +152,8 @@ class CoKriging:
             n_truncated = self.n_latent
 
         if hasattr(self, "_batch"):
-            means, mses = self._batch.predict(np.asarray(X_test))
-            Z_pred = means[:n_truncated]
-            Z_mse = mses[:n_truncated]
+            Z_pred, Z_mse = self._batch.predict(np.asarray(X_test),
+                                                n_outputs=n_truncated)
         else:  # model_list supplied externally
             Z_pred = np.zeros((n_truncated, n_test))
             Z_mse = np.zeros((n_truncated, n_test))

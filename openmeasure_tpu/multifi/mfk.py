@@ -99,39 +99,20 @@ def _level_fit_terms(theta: jax.Array, X: jax.Array, F: jax.Array,
         return beta, gamma, sigma2, L, G
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps", "lr"))
-def _multistart_opt(starts: jax.Array, X, F, y, lo, hi,
-                    tol: float = 1e-6, n_steps: int = 400,
-                    lr: float = 0.05) -> jax.Array:
-    """Projected Adam on the concentrated NLL, vmapped over starts; returns
-    the best log10(θ) found (best-iterate, not last-iterate)."""
-    import optax
-    opt = optax.adam(lr)
-    vg = jax.value_and_grad(lambda lt: _level_nll(lt, X, F, y))
-
-    def run_one(lt0):
-        state0 = opt.init(lt0)
-        f0 = _level_nll(lt0, X, F, y)
-
-        def body(i, carry):
-            lt, st, f_old, best_lt, best_f, done = carry
-            f, g = vg(lt)
-            upd, st = opt.update(g, st, lt)
-            lt_new = jnp.clip(lt + upd, lo, hi)
-            improved = f < best_f
-            best_lt = jnp.where(improved, lt, best_lt)
-            best_f = jnp.where(improved, f, best_f)
-            done = done | (jnp.abs(f - f_old) < tol)
-            lt = jnp.where(done, lt, lt_new)
-            return lt, st, f, best_lt, best_f, done
-
-        _, _, _, best_lt, best_f, _ = jax.lax.fori_loop(
-            0, n_steps, body,
-            (lt0, state0, jnp.inf, lt0, f0, jnp.asarray(False)))
-        return best_lt, best_f
-
-    best_lts, best_fs = jax.vmap(run_one)(starts)
-    return best_lts[jnp.argmin(best_fs)]
+def _make_starts(theta0, thetaL, thetaU, initial_range):
+    """5 log10-θ starting points: θ0, two local (±initial_range around θ0 —
+    the openmdao knob), two global (uniform in the bounds)."""
+    llo, lhi = np.log10(thetaL), np.log10(thetaU)
+    rng = np.random.default_rng(0)
+    s0 = np.clip(np.log10(theta0), llo, lhi)
+    starts = [s0]
+    for _ in range(2):
+        starts.append(np.clip(
+            s0 + initial_range * (2 * rng.random(len(theta0)) - 1),
+            llo, lhi))
+    for _ in range(2):
+        starts.append(llo + (lhi - llo) * rng.random(len(theta0)))
+    return jnp.asarray(np.stack(starts))
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps", "lr"))
@@ -174,6 +155,15 @@ def _multistart_opt_batch(starts: jax.Array, X, F_batch, Y, lo, hi,
     best_lts, best_fs = per_output(F_batch, Y)   # (K, S, d), (K, S)
     idx = jnp.argmin(best_fs, axis=1)
     return jnp.take_along_axis(best_lts, idx[:, None, None], axis=1)[:, 0]
+
+
+def _multistart_opt(starts: jax.Array, X, F, y, lo, hi,
+                    tol: float = 1e-6, n_steps: int = 400,
+                    lr: float = 0.05) -> jax.Array:
+    """Single-output θ optimization — the K=1 case of
+    :func:`_multistart_opt_batch` (one source of truth for the optimizer)."""
+    return _multistart_opt_batch(starts, X, F[None], y[None], lo, hi,
+                                 tol, n_steps, lr)[0]
 
 
 class BatchedMFK:
@@ -228,7 +218,7 @@ class BatchedMFK:
         theta0 = p._broadcast_theta_opt(p.theta0, 0.5, d)
         thetaL = p._broadcast_theta_opt(p.thetaL, 1e-6, d)
         thetaU = p._broadcast_theta_opt(p.thetaU, 100.0, d)
-        starts = self._starts(theta0, thetaL, thetaU, initial_range)
+        starts = _make_starts(theta0, thetaL, thetaU, initial_range)
         lo, hi = jnp.asarray(np.log10(thetaL)), jnp.asarray(np.log10(thetaU))
 
         self.levels = []
@@ -261,19 +251,6 @@ class BatchedMFK:
                 X=Xl, Y=Yl, F=F_batch, theta=thetas, beta=beta, gamma=gamma,
                 sigma2=sigma2, L=L, G=Ggls, rho_cols=rho_cols))
         return self
-
-    def _starts(self, theta0, thetaL, thetaU, initial_range):
-        llo, lhi = np.log10(thetaL), np.log10(thetaU)
-        rng = np.random.default_rng(0)
-        s0 = np.clip(np.log10(theta0), llo, lhi)
-        starts = [s0]
-        for _ in range(2):
-            starts.append(np.clip(
-                s0 + initial_range * (2 * rng.random(len(theta0)) - 1),
-                llo, lhi))
-        for _ in range(2):
-            starts.append(llo + (lhi - llo) * rng.random(len(theta0)))
-        return jnp.asarray(np.stack(starts))
 
     def _predict_level_batch(self, l: int, Xs: jax.Array):
         """(K, s) recursive posterior mean/variance at normalized Xs."""
@@ -317,27 +294,53 @@ class BatchedMFK:
             var = var + rho ** 2 * s2_prev
         return mean, var
 
-    def predict(self, X: np.ndarray):
-        """Returns (means (K, n), mses (K, n)) for all K outputs at X."""
+    def predict(self, X: np.ndarray, n_outputs: Optional[int] = None):
+        """Returns (means (K', n), mses (K', n)) for the first
+        K' = n_outputs (default all K) outputs at X — truncated predictions
+        slice the stacked level tensors BEFORE dispatch, so only the
+        requested outputs are computed."""
         X = np.atleast_2d(np.asarray(X, dtype=float))
         Xn = jnp.asarray((X - self._X_mean) / self._X_std)
-        mean, var = self._predict_level_batch(self.n_levels - 1, Xn)
-        means = np.asarray(mean) * self._y_std[:, None] \
-            + self._y_mean[:, None]
-        mses = np.asarray(var) * self._y_std[:, None] ** 2
+        view = self if n_outputs is None or n_outputs >= self.K \
+            else self._sliced(n_outputs)
+        mean, var = view._predict_level_batch(view.n_levels - 1, Xn)
+        kk = view.K
+        means = np.asarray(mean) * self._y_std[:kk, None] \
+            + self._y_mean[:kk, None]
+        mses = np.asarray(var) * self._y_std[:kk, None] ** 2
         return means, mses
+
+    def _sliced(self, k: int) -> "BatchedMFK":
+        out = object.__new__(BatchedMFK)
+        out.__dict__.update(self.__dict__)
+        out.K = k
+        out.levels = [
+            {key: (v[:k] if key in ("Y", "F", "theta", "beta", "gamma",
+                                    "sigma2", "L", "G") else v)
+             for key, v in lev.items()}
+            for lev in self.levels]
+        return out
 
 
 class _BatchedMFKView:
     """Per-output view with the MultiFiCoKriging.predict convention —
-    keeps CoKriging.model_list API-compatible."""
+    keeps CoKriging.model_list API-compatible.  Iterating all K views over
+    the same X runs the batched prediction ONCE (memoized on the batch),
+    not K times."""
 
     def __init__(self, batch: BatchedMFK, k: int):
         self._batch = batch
         self._k = k
 
     def predict(self, X):
-        means, mses = self._batch.predict(X)
+        X = np.atleast_2d(np.asarray(X, dtype=float))
+        key = (X.shape, X.tobytes())
+        cache = getattr(self._batch, "_predict_cache", None)
+        if cache is None or cache[0] != key:
+            means, mses = self._batch.predict(X)
+            self._batch._predict_cache = (key, means, mses)
+        else:
+            _, means, mses = cache
         return (means[self._k].reshape(-1, 1),
                 mses[self._k].reshape(-1, 1))
 
@@ -375,22 +378,9 @@ class MultiFiCoKriging:
         vmapped projected-Adam program (a host-side quasi-Newton loop would
         cost thousands of device round-trips on a remote accelerator).
         ``tol`` sets the per-start early-stop on |Δnll|."""
-        llo, lhi = np.log10(thetaL), np.log10(thetaU)
-        lo = jnp.asarray(llo)
-        hi = jnp.asarray(lhi)
-        rng = np.random.default_rng(0)
-        s0 = np.clip(np.log10(theta0), llo, lhi)
-        starts = [s0]
-        # two LOCAL starts within ±initial_range (log10 units) of theta0 —
-        # the openmdao knob localizes the search around the initial guess
-        for _ in range(2):
-            starts.append(np.clip(
-                s0 + initial_range * (2 * rng.random(len(theta0)) - 1),
-                llo, lhi))
-        # two GLOBAL starts for multistart robustness
-        for _ in range(2):
-            starts.append(llo + (lhi - llo) * rng.random(len(theta0)))
-        starts = jnp.asarray(np.stack(starts))
+        lo = jnp.asarray(np.log10(thetaL))
+        hi = jnp.asarray(np.log10(thetaU))
+        starts = _make_starts(theta0, thetaL, thetaU, initial_range)
         best = _multistart_opt(starts, X, F, y, lo, hi, float(tol))
         return 10.0 ** np.asarray(best)
 

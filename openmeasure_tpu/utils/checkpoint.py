@@ -158,7 +158,8 @@ def _write_arrays(arrays: Dict[str, np.ndarray], meta: Dict[str, Any],
         import os
         import orbax.checkpoint as ocp
         ckptr = ocp.PyTreeCheckpointer()
-        ckptr.save(os.path.abspath(path), dict(arrays))
+        ckptr.save(os.path.abspath(path), dict(arrays),
+                   force=True)  # overwrite like the npz backend
     else:
         raise ValueError(f"unknown checkpoint backend {backend!r}")
 

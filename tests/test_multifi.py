@@ -183,6 +183,8 @@ class TestBatchedMFK:
             m_i, s_i = m.predict(X_t)
             np.testing.assert_allclose(m_b[k], m_i.ravel(), rtol=1e-4,
                                        atol=1e-6 * np.abs(m_i).max())
+            np.testing.assert_allclose(s_b[k], s_i.ravel(), rtol=1e-2,
+                                       atol=1e-6 * np.abs(s_i).max())
 
     def test_batch_view_api(self):
         from openmeasure_tpu.multifi.mfk import BatchedMFK, _BatchedMFKView

@@ -297,7 +297,6 @@ class TestMoreDiff:
         x1 = r1.reconstruct(r1.Ar[1, :], sampling=S)
         # same coefficients through our basis need the sign alignment
         signs = np.sign(np.sum(r1.Ur * np.asarray(r2.Ur), axis=0))
-        a2 = np.asarray(r2.Ar)[1, :] * 1.0
         x2 = np.asarray(r2.reconstruct(np.asarray(r1.Ar)[1, :] * signs,
                                        sampling=S))
         np.testing.assert_allclose(x2, x1, rtol=1e-7, atol=1e-9)
