@@ -239,3 +239,28 @@ class TestPIGPRLossDict:
         assert seen["keys"] == ["loss_dict", "loss_ml", "output", "verbose"]
         assert seen["loss_dict"] == {"coef": 0.5}
         assert seen["has_mean"]
+
+
+class TestPIGPRConsistency:
+    def test_zero_added_loss_matches_multitask(self):
+        """With a zero added loss, PIGPR must train to the same model as a
+        plain MultiTask GPR (identical init, optimizer, and data)."""
+        d = make_rank1()
+        zero_loss = lambda ctx: 0.0 * jnp.sum(ctx["output"].mean)
+
+        pig = PIGPR(d["X_train"], d["n_features"], d["xyz"], d["P_train"],
+                    d["P_train"][:3], zero_loss)
+        pig.fit(scaleX_type="none")
+        pig.train(max_iter=80)
+
+        mt = GPR(d["X_train"], d["n_features"], d["xyz"], d["P_train"],
+                 gpr_type="MultiTask")
+        mt.fit(scaleX_type="none")
+        mt.train(max_iter=80)
+
+        A1, S1 = pig.predict(d["P_test"])
+        A2, S2 = mt.predict(d["P_test"])
+        np.testing.assert_allclose(np.asarray(A1), np.asarray(A2),
+                                   rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(S1), np.asarray(S2),
+                                   rtol=1e-6, atol=1e-8)
