@@ -160,3 +160,22 @@ class TestBoxQP:
         H = np.linalg.inv(cov)
         g_ref = self._slsqp(H, H @ mean, A, lo, hi, np.zeros(r))
         np.testing.assert_allclose(np.asarray(v), g_ref, atol=2e-5)
+
+
+class TestPodFit:
+    def test_pod_fit_matches_rom_fit(self):
+        from openmeasure_tpu.pipelines import pod_fit
+        from openmeasure_tpu import ROM
+        X = RNG.standard_normal((120, 9)) + 2.0
+        Ur, Ar, Sigma_r, cnt, scl = pod_fit(jnp.asarray(X), 3, 4)
+        rom = ROM(X, 3, np.zeros((40, 3)))
+        rom.fit(select_modes="number", n_modes=4)
+        np.testing.assert_allclose(np.asarray(Sigma_r),
+                                   np.asarray(rom.Sigma_r), rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(cnt), np.asarray(rom.X_cnt),
+                                   rtol=1e-12)
+        # reconstruction through either basis matches (sign-invariant)
+        x1 = np.asarray(Ur @ np.asarray(Ar)[0]) * np.asarray(scl)[:, 0] \
+            + np.asarray(cnt)[:, 0]
+        x2 = np.asarray(rom.reconstruct(np.asarray(rom.Ar)[0]))[:, 0]
+        np.testing.assert_allclose(x1, x2, rtol=1e-8, atol=1e-10)

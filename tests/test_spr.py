@@ -244,3 +244,40 @@ class TestSPR:
         with pytest.raises(ValueError, match="ran out of candidates"):
             self.spr.optimal_placement(calc_type="dg", n_sensors=8,
                                        mask=mask)
+
+    def test_masked_placement_then_cols_solves_masked_problem(self):
+        """Regression for the AtA=I assumption: after a masked placement
+        zeroes Ur rows destructively, COLS must solve the QP with the
+        actual (non-identity) Ur Gram.  Verified against SLSQP."""
+        from scipy.optimize import minimize
+        self.spr.fit(select_modes="number", n_modes=3)
+        mask = np.ones(self.X.shape[0], dtype=bool)
+        mask[12:] = False
+        C = np.asarray(self.spr.optimal_placement(mask=mask))
+        limits = [np.array([0.3, 0.3]), np.array([0.7, 0.7])]
+        self.spr.train(C, method="COLS", limits=limits)
+
+        rows = np.argmax(C, axis=1)
+        y = np.zeros((len(rows), 3))
+        y[:, 0] = self.X[rows, 0]
+        y[:, 2] = rows // self.n_points
+        a, _ = self.spr.predict(y)
+
+        # ground truth QP via SLSQP on the identical masked problem
+        Ur = np.asarray(self.spr.Ur)           # masked (zeroed) basis
+        Theta = np.asarray(self.spr.Theta)
+        y0 = self.spr.scale_vector(y)[:, 0]
+        lo, hi = map(np.asarray, self.spr.scale_limits(limits))
+        H = Theta.T @ Theta
+        c = Theta.T @ y0
+        cons = [{"type": "ineq", "fun": lambda g: Ur @ g - lo},
+                {"type": "ineq", "fun": lambda g: hi - Ur @ g}]
+        obj = lambda g: 0.5 * g @ H @ g - c @ g
+        a0 = np.asarray(a)[0]
+        # feasibility of our solution
+        assert np.all(Ur @ a0 >= lo - 1e-5) and np.all(Ur @ a0 <= hi + 1e-5)
+        # optimality: SLSQP warm-started AT our solution cannot improve it
+        res = minimize(obj, a0, jac=lambda g: H @ g - c, constraints=cons,
+                       method="SLSQP", options={"maxiter": 500,
+                                                "ftol": 1e-14})
+        assert obj(a0) <= res.fun + 1e-7 * max(1.0, abs(res.fun))
