@@ -248,36 +248,116 @@ class TestSPR:
     def test_masked_placement_then_cols_solves_masked_problem(self):
         """Regression for the AtA=I assumption: after a masked placement
         zeroes Ur rows destructively, COLS must solve the QP with the
-        actual (non-identity) Ur Gram.  Verified against SLSQP."""
+        actual (non-identity) Ur Gram.
+
+        Limits are chosen so the scaled box contains 0 for every row (the
+        zeroed rows force Ur@g = 0 there — tighter limits would make the
+        problem infeasible, in the reference's CVXPY formulation too), and
+        the measurements are amplified so the box is ACTIVE on live rows.
+        """
         from scipy.optimize import minimize
         self.spr.fit(select_modes="number", n_modes=3)
         mask = np.ones(self.X.shape[0], dtype=bool)
         mask[12:] = False
         C = np.asarray(self.spr.optimal_placement(mask=mask))
-        limits = [np.array([0.3, 0.3]), np.array([0.7, 0.7])]
+        limits = [np.array([-0.5, -0.5]), np.array([1.2, 1.2])]
         self.spr.train(C, method="COLS", limits=limits)
 
         rows = np.argmax(C, axis=1)
         y = np.zeros((len(rows), 3))
-        y[:, 0] = self.X[rows, 0]
+        y[:, 0] = 3.0 * self.X[rows, 0]   # overshoot -> active constraints
         y[:, 2] = rows // self.n_points
         a, _ = self.spr.predict(y)
 
-        # ground truth QP via SLSQP on the identical masked problem
         Ur = np.asarray(self.spr.Ur)           # masked (zeroed) basis
         Theta = np.asarray(self.spr.Theta)
         y0 = self.spr.scale_vector(y)[:, 0]
         lo, hi = map(np.asarray, self.spr.scale_limits(limits))
         H = Theta.T @ Theta
         c = Theta.T @ y0
-        cons = [{"type": "ineq", "fun": lambda g: Ur @ g - lo},
-                {"type": "ineq", "fun": lambda g: hi - Ur @ g}]
         obj = lambda g: 0.5 * g @ H @ g - c @ g
         a0 = np.asarray(a)[0]
-        # feasibility of our solution
+        # feasibility of our solution under the masked basis
         assert np.all(Ur @ a0 >= lo - 1e-5) and np.all(Ur @ a0 <= hi + 1e-5)
+        # constraints genuinely active (not an OLS-equivalent test)
+        assert np.any(np.isclose(Ur @ a0, hi, atol=1e-4)) or \
+            np.any(np.isclose(Ur @ a0, lo, atol=1e-4))
         # optimality: SLSQP warm-started AT our solution cannot improve it
+        cons = [{"type": "ineq", "fun": lambda g: Ur @ g - lo},
+                {"type": "ineq", "fun": lambda g: hi - Ur @ g}]
         res = minimize(obj, a0, jac=lambda g: H @ g - c, constraints=cons,
                        method="SLSQP", options={"maxiter": 500,
                                                 "ftol": 1e-14})
         assert obj(a0) <= res.fun + 1e-7 * max(1.0, abs(res.fun))
+
+    def test_dg_placement_matches_qrcp_up_to_rank(self):
+        self.spr.fit(n_modes=100)
+        C_dg = np.asarray(self.spr.optimal_placement(calc_type="dg",
+                                                     n_sensors=self.spr.r))
+        C_qr = np.asarray(self.spr.optimal_placement())
+        np.testing.assert_array_equal(np.argmax(C_dg, axis=1),
+                                      np.argmax(C_qr, axis=1))
+
+    def test_dg_oversampling_beyond_rank(self):
+        self.spr.fit(select_modes="number", n_modes=3)
+        s = 8  # more sensors than modes — QRCP cannot do this
+        C = np.asarray(self.spr.optimal_placement(calc_type="dg",
+                                                  n_sensors=s))
+        idx = np.argmax(C, axis=1)
+        assert len(set(idx.tolist())) == s
+        # D-optimality improves monotonically: det(Theta^T Theta) grows
+        Ur = np.asarray(self.spr.Ur)
+        dets = [np.linalg.det(Ur[idx[:k]].T @ Ur[idx[:k]])
+                for k in range(3, s + 1)]
+        assert all(d2 >= d1 - 1e-12 for d1, d2 in zip(dets, dets[1:]))
+        # and the greedy choice beats random augmentation on average
+        rng = np.random.default_rng(0)
+        rand_dets = []
+        for _ in range(20):
+            rest = rng.choice(np.setdiff1d(np.arange(20), idx[:3]), s - 3,
+                              replace=False)
+            sel = np.concatenate([idx[:3], rest])
+            rand_dets.append(np.linalg.det(Ur[sel].T @ Ur[sel]))
+        assert dets[-1] >= np.mean(rand_dets)
+
+    def test_dg_mask(self):
+        self.spr.fit(select_modes="number", n_modes=3)
+        mask = np.zeros(self.X.shape[0], dtype=bool)
+        mask[:8] = True
+        C = np.asarray(self.spr.optimal_placement(calc_type="dg",
+                                                  n_sensors=5, mask=mask))
+        assert np.all(np.argmax(C, axis=1) < 8)
+
+    def test_dg_oversampled_reconstruction_beats_exact(self):
+        # with noisy measurements, 2x sensors (dg) should not be worse
+        rng = np.random.default_rng(3)
+        self.spr.fit(select_modes="number", n_modes=3)
+        for n_s in (3, 6):
+            C = np.asarray(self.spr.optimal_placement(calc_type="dg",
+                                                      n_sensors=n_s))
+            self.spr.train(C)
+            rows = np.argmax(C, axis=1)
+            y = np.zeros((n_s, 3))
+            y[:, 0] = self.X[rows, 0]
+            y[:, 2] = rows // self.n_points
+            a, _ = self.spr.predict(y)
+            x = np.asarray(self.spr.reconstruct(a))[:, 0]
+            assert np.all(np.isfinite(x))
+
+    def test_bcoo_sparse_C(self):
+        from jax.experimental import sparse as jsparse
+        self.spr.fit(n_modes=100)
+        C_bcoo = jsparse.BCOO.fromdense(jnp.asarray(self.C))
+        self.spr.train(C_bcoo)
+        a, _ = self.spr.predict(self._identity_y())
+        x_pred = self.spr.reconstruct(a)
+        np.testing.assert_allclose(x_pred, self.X[:, [0]], rtol=1e-7,
+                                   atol=1e-9)
+
+    def test_dg_exhaustion_raises(self):
+        self.spr.fit(select_modes="number", n_modes=3)
+        mask = np.zeros(self.X.shape[0], dtype=bool)
+        mask[:5] = True
+        with pytest.raises(ValueError, match="ran out of candidates"):
+            self.spr.optimal_placement(calc_type="dg", n_sensors=8,
+                                       mask=mask)
