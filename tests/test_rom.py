@@ -144,3 +144,21 @@ class TestROM:
         s = self.rom.adaptive_sampling(P, seed=0)
         assert s.shape == (2,)
         assert np.all(s >= P.min(axis=0)) and np.all(s <= P.max(axis=0))
+
+    def test_reconstruction_with_sparse_and_bcoo_sampling(self):
+        import scipy.sparse as sp
+        from jax.experimental import sparse as jsparse
+        self.rom.fit(n_modes=100)
+        s = 5
+        C = np.zeros((s, self.X.shape[0]))
+        C[np.arange(s), np.arange(0, 2 * s, 2)] = 1.0
+        expect = C @ self.X[:, [0]]
+        a0 = np.asarray(self.rom.Ar)[0, :]
+
+        x_sp = np.asarray(self.rom.reconstruct(a0, sampling=sp.csr_matrix(C)))
+        np.testing.assert_allclose(x_sp, expect, rtol=1e-8, atol=1e-10)
+
+        import jax.numpy as jnp
+        C_bcoo = jsparse.BCOO.fromdense(jnp.asarray(C))
+        x_bc = np.asarray(self.rom.reconstruct(a0, sampling=C_bcoo))
+        np.testing.assert_allclose(x_bc, expect, rtol=1e-8, atol=1e-10)
