@@ -2,9 +2,13 @@
 
 The reference has no config system — plain keyword arguments with defaults
 scattered per method (SURVEY §5).  These dataclasses collect those defaults
-1:1 so pipelines can be configured declaratively; each maps directly onto
-the class-method kwargs of the eager API and the static args of the jitted
-pipelines.
+1:1 and thread through the eager API: ``ROM.fit(config=FitConfig(...))``,
+``GPR.fit(config=...)``, ``GPR.train(config=GPTrainConfig(...))``,
+``SPR.optimal_placement(config=PlacementConfig(...))``,
+``SPR.train(solver_config=SolverConfig(...))``,
+``ROM.CPOD(solver_config=...)``, and
+``CoKriging(..., config=CoKrigingConfig(...))``.  A config object overrides
+the individual kwargs of the call it is passed to.
 """
 
 from __future__ import annotations

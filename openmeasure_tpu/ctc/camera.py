@@ -60,45 +60,54 @@ class camera:
     # Geometry (reference utils.py:215-285)
     # ------------------------------------------------------------------ #
 
+    @staticmethod
+    def _axis_rotation(axis: int, angle: float) -> np.ndarray:
+        """Homogeneous 4×4 rotation about a coordinate axis (0=x, 1=y, 2=z)."""
+        c, s = np.cos(angle), np.sin(angle)
+        R = np.eye(4)
+        i, j = [(1, 2), (2, 0), (0, 1)][axis]  # plane rotated by this axis
+        R[i, i] = c
+        R[j, j] = c
+        R[i, j] = -s
+        R[j, i] = s
+        return R
+
     def _extr_matrix(self) -> np.ndarray:
-        cx, sx = np.cos(self.theta[0]), np.sin(self.theta[0])
-        cy, sy = np.cos(self.theta[1]), np.sin(self.theta[1])
-        cz, sz = np.cos(self.theta[2]), np.sin(self.theta[2])
-        R_x = np.array([[1, 0, 0, 0], [0, cx, -sx, 0],
-                        [0, sx, cx, 0], [0, 0, 0, 1.0]])
-        R_y = np.array([[cy, 0, sy, 0], [0, 1, 0, 0],
-                        [-sy, 0, cy, 0], [0, 0, 0, 1.0]])
-        R_z = np.array([[cz, -sz, 0, 0], [sz, cz, 0, 0],
-                        [0, 0, 1, 0], [0, 0, 0, 1.0]])
-        E = R_x @ R_y @ R_z
-        T = -E @ self.p_cam
-        E[:-1, -1] = T[:-1]
+        """World→camera extrinsics: E = Rx Ry Rz with translation −E p_cam
+        (reference ``utils.py:215-242`` composition order)."""
+        E = np.eye(4)
+        for axis, angle in enumerate(self.theta):
+            E = E @ self._axis_rotation(axis, angle)
+        E[:3, 3] = -(E @ self.p_cam)[:3]
         return E
 
     def _sensor_coordinates(self) -> np.ndarray:
-        xs = np.linspace(-self.sensor_size_m[0] / 2 + self.px_size / 2,
-                         self.sensor_size_m[0] / 2 - self.px_size / 2,
-                         self.sensor_size_px[0])
-        ys = np.linspace(self.sensor_size_m[1] / 2 - self.px_size / 2,
-                         -self.sensor_size_m[1] / 2 + self.px_size / 2,
-                         self.sensor_size_px[1])
-        xg, yg = np.meshgrid(xs, ys)
-        xyz_sl = np.zeros((xg.size, 4))
-        xyz_sl[:, 0] = xg.ravel()
-        xyz_sl[:, 1] = yg.ravel()
-        xyz_sl[:, 3] = 1.0
-        return xyz_sl
+        """Homogeneous pixel-center coordinates on the sensor plane,
+        row-major from the top-left pixel (reference ``utils.py:244-264``
+        pixel ordering: x ascending, y descending)."""
+        half_w, half_h = self.sensor_size_m / 2
+        margin = self.px_size / 2
+        cols = np.linspace(-half_w + margin, half_w - margin,
+                           self.sensor_size_px[0])
+        rows = np.linspace(half_h - margin, -half_h + margin,
+                           self.sensor_size_px[1])
+        grid_x, grid_y = np.meshgrid(cols, rows)
+        pix = np.column_stack([grid_x.ravel(), grid_y.ravel(),
+                               np.zeros(grid_x.size), np.ones(grid_x.size)])
+        return pix
 
     def _random_lens(self, N_rand: int, rng) -> np.ndarray:
-        R = self.f_length / (self.n_aper * 2)
-        r = R * np.sqrt(rng.random(size=N_rand))
-        th = rng.random(size=N_rand) * 2 * np.pi
-        xyz_ll = np.zeros((N_rand, 4))
-        xyz_ll[:, 0] = r * np.cos(th)
-        xyz_ll[:, 1] = r * np.sin(th)
-        xyz_ll[:, 2] = -self.d_sensor
-        xyz_ll[:, 3] = 1.0
-        return xyz_ll
+        """Uniform samples on the lens disc (aperture radius f/(2N)),
+        homogeneous, at the lens plane z = −d_sensor (reference
+        ``utils.py:266-285`` — area-uniform via sqrt radius)."""
+        aperture_r = self.f_length / (2 * self.n_aper)
+        radius = aperture_r * np.sqrt(rng.random(size=N_rand))
+        phase = 2 * np.pi * rng.random(size=N_rand)
+        pts = np.column_stack([radius * np.cos(phase),
+                               radius * np.sin(phase),
+                               np.full(N_rand, -self.d_sensor),
+                               np.ones(N_rand)])
+        return pts
 
     def generate_camera(self):
         """Pyvista visualization object (reference ``utils.py:287-316``);
@@ -109,17 +118,14 @@ class camera:
             raise ImportError(
                 "generate_camera() needs the optional pyvista package for "
                 "visualization") from e
-        box_length = 2 * self.f_length
-        boxl = pv.Box([-box_length / 2, box_length / 2,
-                       -box_length / 2, box_length / 2,
-                       -box_length / 2, box_length / 2])
-        conel = pv.Cone(center=(0, 0, -3 * box_length / 4),
-                        direction=(0, 0, 1), height=box_length / 2,
-                        radius=box_length / 4, resolution=20)
-        linel = pv.Line((0, 0, 0), (0, 0, -2 * self.d), resolution=2)
-        groupl = boxl.merge([conel, linel])
-        E_inv = np.linalg.inv(self._extr_matrix())
-        return groupl.transform(E_inv)
+        body_len = 2 * self.f_length
+        body = pv.Box([-body_len / 2, body_len / 2] * 3)
+        lens_cone = pv.Cone(center=(0, 0, -3 * body_len / 4),
+                            direction=(0, 0, 1), height=body_len / 2,
+                            radius=body_len / 4, resolution=20)
+        sight_line = pv.Line((0, 0, 0), (0, 0, -2 * self.d), resolution=2)
+        glyph = body.merge([lens_cone, sight_line])
+        return glyph.transform(np.linalg.inv(self._extr_matrix()))
 
     # ------------------------------------------------------------------ #
     # Ray generation (device-batched)

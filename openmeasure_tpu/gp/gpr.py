@@ -75,7 +75,16 @@ class GPR(ROM):
 
     def fit(self, scaleX_type: str = "std", scaleP_type: str = "std",
             axis_cnt: Optional[int] = 1, select_modes: str = "variance",
-            n_modes=99, verbose: bool = False, basis=None):
+            n_modes=99, verbose: bool = False, basis=None, config=None):
+        """``config`` (:class:`openmeasure_tpu.core.config.FitConfig`)
+        overrides the individual kwargs (its ``scale_type`` applies to both
+        X and P)."""
+        if config is not None:
+            scaleX_type = config.scale_type
+            scaleP_type = config.scale_type
+            axis_cnt = config.axis_cnt
+            select_modes = config.select_modes
+            n_modes = config.n_modes
         self.scaleX_type = scaleX_type
         self.scaleP_type = scaleP_type
         self.select_modes = select_modes
@@ -123,7 +132,14 @@ class GPR(ROM):
 
     def train(self, mean=None, kernel=None, likelihood=None,
               max_iter: int = 1000, rel_error: float = 1e-5, lr: float = 0.1,
-              verbose: bool = False):
+              verbose: bool = False, config=None):
+        """``config`` (:class:`openmeasure_tpu.core.config.GPTrainConfig`)
+        overrides max_iter/rel_error/lr/verbose when given."""
+        if config is not None:
+            max_iter = config.max_iter
+            rel_error = config.rel_error
+            lr = config.lr
+            verbose = config.verbose
         self.max_iter = max_iter
         self.rel_error = rel_error
         self.lr = lr
@@ -232,16 +248,33 @@ class GPR(ROM):
     # Predict (reference gpr.py:517-601)
     # ------------------------------------------------------------------ #
 
-    def predict(self, P_star, problem_dict=None, limits=None, **kwargs):
+    def predict(self, P_star, problem_dict=None, limits=None, bc=None,
+                constraints=None, **kwargs):
         """Posterior POD coefficients at new parameters.
 
         Returns (A_pred, A_sigma), each (n_p, r).
 
         Constrained prediction (MultiTask only, reference ``gpr.py:569-580``):
-        pass physical per-feature ``limits=[min, max]`` — each point's
-        posterior mean is replaced by the MAP of the Gaussian under
-        ``limits0 ≤ Ur diag(Σ_r) v ≤ limits0``, solved by ADMM on device.
-        ``problem_dict={'limits': ...}`` is accepted for signature parity.
+        each point's posterior mean is replaced by the MAP of the posterior
+        Gaussian under the constraint set, solved by a whitened ADMM QP on
+        device and vmapped over test points.  Constraints compose from:
+
+        * ``limits=[min, max]`` — physical per-feature box on the
+          reconstructed scaled field, fixed across points
+          (``limits0 ≤ Ur diag(Σ_r) v ≤ limits0``);
+        * ``bc=(rows, values)`` — per-point boundary-condition equality pins,
+          the reference's ``bc0_limits`` pattern (``gpr.py:575-578``,
+          ``tests/test_gpr_data.py:88-115``): ``rows`` (n_bc,) state-row
+          indices, ``values`` (n_bc, n_p) physical values the reconstruction
+          must take at those rows for each test point;
+        * ``constraints`` — a
+          :class:`openmeasure_tpu.linalg.boxls.LinearConstraints` acting on v
+          in scaled coefficient space (lo/hi optionally batched over points),
+          the fully general form of the reference's caller-built CVXPY
+          problem.
+
+        ``problem_dict={'limits':…, 'bc':…, 'constraints':…}`` is accepted
+        for signature parity with the reference.
         """
         if not hasattr(self, "models"):
             raise AttributeError("The function fit has to be called "
@@ -257,26 +290,58 @@ class GPR(ROM):
         post = self._posterior_all(P0_star)
         V_pred, V_sigma = post.mean, post.stddev
 
-        if problem_dict is not None and limits is None:
-            limits = problem_dict.get("limits")
+        if problem_dict is not None:
+            limits = limits if limits is not None else problem_dict.get(
+                "limits")
+            bc = bc if bc is not None else problem_dict.get("bc")
+            constraints = constraints if constraints is not None else \
+                problem_dict.get("constraints")
+        parts = []
+        S = self.Ur * self.Sigma_r[None, :]
         if limits is not None:
+            lo_b, hi_b = self.scale_limits(limits)
+            parts.append(_boxls.LinearConstraints(S, lo_b, hi_b))
+        if bc is not None:
+            rows = np.asarray(bc[0], dtype=int)
+            values = np.asarray(bc[1], dtype=float)
+            if values.ndim == 1:
+                values = values[:, None]
+            if values.shape[1] != n_p:
+                raise ValueError(
+                    f"bc values must be (n_bc, n_p={n_p}); got "
+                    f"{values.shape}")
+            cnt = np.asarray(self.X_cnt)[rows, 0]
+            scl = np.asarray(self.X_scl)[rows, 0]
+            v0 = jnp.asarray((values - cnt[:, None]) / scl[:, None]).T
+            parts.append(_boxls.LinearConstraints(S[rows, :], v0, v0))
+        if constraints is not None:
+            if isinstance(constraints, (list, tuple)) and not isinstance(
+                    constraints, _boxls.LinearConstraints):
+                parts.extend(_boxls.LinearConstraints(*c)
+                             for c in constraints)
+            else:
+                parts.append(_boxls.LinearConstraints(*constraints))
+
+        if parts:
             if self.gpr_type != "MultiTask":
                 raise NotImplementedError(
                     "Constrained prediction only works for MultiTask models.")
-            lo, hi = self.scale_limits(limits)
-            A = self.Ur * self.Sigma_r[None, :]
-            AtA = jnp.matmul(A.T, A,
-                             precision=jax.lax.Precision.HIGHEST)
+            cs = _boxls.concat_constraints(parts)
+            A = cs.A
+            AtA = jnp.matmul(A.T, A, precision=jax.lax.Precision.HIGHEST)
 
-            def map_one(mu, sig):
+            def map_one(mu, sig, lo_i, hi_i):
                 cov = jnp.diag(sig ** 2)
                 v, _ = _boxls.box_constrained_map(
-                    mu, cov, A, lo, hi, AtA=AtA,
+                    mu, cov, A, lo_i, hi_i, AtA=AtA,
                     max_iter=kwargs.get("max_iter", 4000),
                     tol=kwargs.get("tol", 1e-9))
                 return v
 
-            V_pred = jax.vmap(map_one)(V_pred, V_sigma)
+            in_axes = (0, 0, 0 if jnp.ndim(cs.lo) == 2 else None,
+                       0 if jnp.ndim(cs.hi) == 2 else None)
+            V_pred = jax.vmap(map_one, in_axes=in_axes)(
+                V_pred, V_sigma, cs.lo, cs.hi)
 
         A_pred = V_pred * self.Sigma_r[None, :]
         A_sigma = V_sigma * self.Sigma_r[None, :]

@@ -35,6 +35,60 @@ class ADMMInfo(NamedTuple):
     dual_residual: jax.Array
 
 
+class LinearConstraints(NamedTuple):
+    """Stacked linear constraint set ``lo ≤ A g ≤ hi``.
+
+    This is the device-native equivalent of the reference's "caller-built
+    CVXPY problem" (``sparse_sensing.py:434-461``, ``gpr.py:569-580``): every
+    constraint the reference actually uses is an interval on a linear map of
+    the coefficients, so a general set is expressed by STACKING operators:
+
+    * box:        rows with finite ``lo < hi``;
+    * equality:   rows with ``lo == hi`` (e.g. boundary-condition pins);
+    * one-sided:  rows with ``lo = -inf`` or ``hi = +inf``.
+
+    ``lo``/``hi`` may carry a leading batch dimension (per-snapshot CPOD
+    values, per-test-point GPR boundary conditions — the reference's
+    ``bc0_limits`` pattern, ``gpr.py:575-578``) while the operator ``A`` is
+    shared; batched solves vmap over that axis.
+    """
+    A: jax.Array    # (q, r)
+    lo: jax.Array   # (q,) or (batch, q)
+    hi: jax.Array   # (q,) or (batch, q)
+
+    @property
+    def batched(self) -> bool:
+        return jnp.ndim(self.lo) == 2 or jnp.ndim(self.hi) == 2
+
+
+def concat_constraints(parts) -> LinearConstraints:
+    """Stack multiple :class:`LinearConstraints` into one set.
+
+    Unbatched parts broadcast against batched ones (the shared-operator,
+    per-item-values pattern)."""
+    parts = [LinearConstraints(*p) for p in parts]
+    A = jnp.concatenate([jnp.atleast_2d(p.A) for p in parts], axis=0)
+    batch_sizes = {p.lo.shape[0] for p in parts if jnp.ndim(p.lo) == 2}
+    batch_sizes |= {p.hi.shape[0] for p in parts if jnp.ndim(p.hi) == 2}
+    if len(batch_sizes) > 1:
+        raise ValueError(
+            f"inconsistent constraint batch sizes: {sorted(batch_sizes)}")
+    if batch_sizes:
+        b = batch_sizes.pop()
+        lo = jnp.concatenate(
+            [jnp.broadcast_to(jnp.atleast_1d(p.lo),
+                              (b, jnp.atleast_2d(p.A).shape[0]))
+             for p in parts], axis=1)
+        hi = jnp.concatenate(
+            [jnp.broadcast_to(jnp.atleast_1d(p.hi),
+                              (b, jnp.atleast_2d(p.A).shape[0]))
+             for p in parts], axis=1)
+    else:
+        lo = jnp.concatenate([jnp.atleast_1d(p.lo) for p in parts])
+        hi = jnp.concatenate([jnp.atleast_1d(p.hi) for p in parts])
+    return LinearConstraints(A=A, lo=lo, hi=hi)
+
+
 @functools.partial(jax.jit, static_argnames=("max_iter",))
 def admm_box_qp(
     H: jax.Array,
@@ -155,11 +209,24 @@ def box_constrained_map(
 ) -> Tuple[jax.Array, ADMMInfo]:
     """Gaussian MAP under box constraints:
     ``max −(v−μ)ᵀ cov⁻¹ (v−μ)  s.t. lo ≤ A v ≤ hi`` — the constrained GPR
-    prediction QP (``gpr.py:569-580``).  ``cov⁻¹`` is applied via Cholesky,
-    never formed explicitly."""
-    chol = cho_factor(cov)
+    prediction QP (``gpr.py:569-580``).
+
+    ``cov⁻¹`` is never formed: with ``L = chol(cov)`` and the whitened
+    variable ``u = L⁻¹(v − μ)`` the problem becomes
+    ``min ½‖u‖²  s.t.  lo − Aμ ≤ (A L) u ≤ hi − Aμ`` — identity Hessian,
+    perfectly conditioned, one triangular transform each way."""
+    hp = jax.lax.Precision.HIGHEST
+    L = jnp.linalg.cholesky(cov)
     r = mean.shape[0]
-    H = cho_solve(chol, jnp.eye(r, dtype=cov.dtype))
-    H = 0.5 * (H + H.T)
-    c = H @ mean
-    return admm_box_qp(H, c, A, lo, hi, AtA=AtA, max_iter=max_iter, tol=tol)
+    H = jnp.eye(r, dtype=cov.dtype)
+    c = jnp.zeros((r,), dtype=cov.dtype)
+    A_mu = jnp.matmul(A, mean, precision=hp)
+    AL = jnp.matmul(A, L, precision=hp)
+    if AtA is not None:
+        ALtAL = jnp.matmul(L.T, jnp.matmul(AtA, L, precision=hp),
+                           precision=hp)
+    else:
+        ALtAL = None
+    u, info = admm_box_qp(H, c, AL, lo - A_mu, hi - A_mu, AtA=ALtAL,
+                          max_iter=max_iter, tol=tol)
+    return mean + jnp.matmul(L, u, precision=hp), info

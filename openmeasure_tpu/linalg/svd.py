@@ -130,8 +130,12 @@ def select_rank(
         if n_modes == 100:
             return max_rank
         ev = np.asarray(exp_variance)
+        # The reference's loop (sparse_sensing.py:300-303) is unguarded; in
+        # float32 the cumulative variance can round to e.g. 99.99999 < a
+        # requested 99.999995, which would index past the array.  Clamp at
+        # max_rank (full rank is the correct answer in that case).
         r = 1
-        while ev[r - 1] < n_modes:
+        while r < max_rank and ev[r - 1] < n_modes:
             r += 1
         return r
     if select_modes == "number":

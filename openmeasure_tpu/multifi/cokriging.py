@@ -27,7 +27,7 @@ class CoKriging:
     regression/θ knobs are mutable public attributes, as in the reference."""
 
     def __init__(self, X_train_l, X_train_u, Y_train_lf_l, Y_train_lf_u,
-                 Y_train_hf_l, xyz_lf, xyz_hf, n_features):
+                 Y_train_hf_l, xyz_lf, xyz_hf, n_features, config=None):
         self.X_train_l = X_train_l      # linked parameters
         self.X_train_u = X_train_u      # unlinked parameters
         self.Y_train_lf_l = Y_train_lf_l
@@ -49,6 +49,12 @@ class CoKriging:
         self.thetaU = None
         self.initial_range = 0.3
         self.tol = 1e-6
+        if config is not None:
+            # CoKrigingConfig fields map 1:1 onto the reference's mutable
+            # public knobs (cokriging.py:33-42)
+            import dataclasses as _dc
+            for f in _dc.fields(config):
+                setattr(self, f.name, getattr(config, f.name))
 
         if (Y_train_lf_l.shape[1] != self.n_linked
                 or Y_train_hf_l.shape[1] != self.n_linked):

@@ -131,7 +131,15 @@ class ROM:
     # ------------------------------------------------------------------ #
 
     def fit(self, scale_type: str = "std", axis_cnt: Optional[int] = 1,
-            select_modes: str = "variance", n_modes=99, basis=None):
+            select_modes: str = "variance", n_modes=99, basis=None,
+            config=None):
+        """``config`` (:class:`openmeasure_tpu.core.config.FitConfig`)
+        overrides the individual kwargs when given."""
+        if config is not None:
+            scale_type = config.scale_type
+            axis_cnt = config.axis_cnt
+            select_modes = config.select_modes
+            n_modes = config.n_modes
         self.scale_type = scale_type
         self.X0 = self.scale_data(scale_type, axis_cnt)
         if basis is None:
@@ -165,7 +173,8 @@ class ROM:
     # ------------------------------------------------------------------ #
 
     def CPOD(self, limits=None, solver_fn=None, max_iter: int = 4000,
-             tol: float = 1e-9, **kwargs):
+             tol: float = 1e-9, solver_config=None, constraints=None,
+             **kwargs):
         """Constrained POD: per snapshot i solve
         ``min ‖Ur g − x0_i‖²  s.t. limits0[0] ≤ Ur g ≤ limits0[1]``
         and replace ``Ar ← G``, ``Vr ← G / Σ_r``.
@@ -175,31 +184,56 @@ class ROM:
         (``sparse_sensing.py:449-454``); here all m snapshots are vmapped
         through the on-device ADMM box-QP in a single program.
 
-        ``solver_fn(Ur, x0_i, g_init) -> g`` is an escape hatch for custom
-        (non-box) constraint sets, applied per snapshot on host.
+        General constraint sets stay on device: pass ``constraints`` — a
+        :class:`openmeasure_tpu.linalg.boxls.LinearConstraints` (or a list of
+        them, stacked) in *scaled coefficient space*: box rows, equality pins
+        (``lo == hi``), and one-sided rows (±inf) in any mix; ``lo``/``hi``
+        may carry a leading per-snapshot batch axis (the reference's
+        caller-built per-snapshot CVXPY problems, ``sparse_sensing.py:449-454``,
+        all reduce to this form).  All m snapshots solve as one vmapped ADMM
+        program.
+
+        ``solver_fn(Ur, x0_i, g_init) -> g`` remains an escape hatch for
+        genuinely nonlinear constraint sets, applied per snapshot on host.
         """
+        if solver_config is not None:
+            max_iter = solver_config.max_iter
+            tol = solver_config.tol
         if solver_fn is not None:
             Gr = np.zeros_like(np.asarray(self.Ar))
             for i in range(Gr.shape[0]):
                 Gr[i, :] = solver_fn(self.Ur, self.X0[:, i], self.Ar[i, :])
             Gr = jnp.asarray(Gr)
         else:
-            if limits is None:
-                raise ValueError("CPOD requires `limits` (or a solver_fn).")
-            lo, hi = self.scale_limits(limits)
             Ur = self.Ur
+            hp = jax.lax.Precision.HIGHEST
             # H = UrᵀUr (== I only for an unmasked orthonormal basis — a
             # masked placement zeroes rows of Ur destructively).
-            hp = jax.lax.Precision.HIGHEST
             H = jnp.matmul(Ur.T, Ur, precision=hp)
 
-            def solve_one(x0_col):
+            if constraints is not None:
+                if isinstance(constraints, (list, tuple)) and not isinstance(
+                        constraints, _boxls.LinearConstraints):
+                    constraints = _boxls.concat_constraints(constraints)
+                A_c = _as_device(constraints.A)
+                lo, hi = _as_device(constraints.lo), _as_device(constraints.hi)
+                AtA = jnp.matmul(A_c.T, A_c, precision=hp)
+            elif limits is not None:
+                lo, hi = self.scale_limits(limits)
+                A_c, AtA = Ur, H
+            else:
+                raise ValueError(
+                    "CPOD requires `limits`, `constraints`, or a solver_fn.")
+
+            def solve_one(x0_col, lo_i, hi_i):
                 g, _ = _boxls.admm_box_qp(
-                    H, jnp.matmul(Ur.T, x0_col, precision=hp), Ur, lo, hi,
-                    AtA=H, max_iter=max_iter, tol=tol)
+                    H, jnp.matmul(Ur.T, x0_col, precision=hp), A_c,
+                    lo_i, hi_i, AtA=AtA, max_iter=max_iter, tol=tol)
                 return g
 
-            Gr = jax.vmap(solve_one, in_axes=1)(self.X0)
+            in_axes = (1, 0 if jnp.ndim(lo) == 2 else None,
+                       0 if jnp.ndim(hi) == 2 else None)
+            Gr = jax.vmap(solve_one, in_axes=in_axes)(self.X0, lo, hi)
 
         self.Ar = Gr
         self.Vr = Gr / self.Sigma_r[None, :]

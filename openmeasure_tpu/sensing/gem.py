@@ -17,6 +17,13 @@ variance quadratic form is exact.
 Determinism: the reference adds *random* 1e-5 Gaussian noise to Σ_AA before
 inverting (``sparse_sensing.py:667``); we use a deterministic 1e-5 diagonal
 jitter (SURVEY §4 flags the randomness as a quirk not to replicate).
+
+Verbose-table deviation: the reference indexes the σ²_y column of its
+entropy table with a *global* row index into the masked-local ``sigma_coef``
+array (``sparse_sensing.py:652,694``) — wrong values (or an IndexError) for
+masked / d_min runs.  The table printed here indexes ``sigma_coef`` with the
+global ``selected`` indices into the full-length array, i.e. it fixes the
+reference's global-vs-masked indexing bug.
 """
 
 from __future__ import annotations

@@ -14,6 +14,12 @@ API-parity re-implementation of the reference ``SPR``
 
 The measurement matrix C may be dense (numpy/JAX), scipy.sparse, or JAX BCOO
 — the CTC workflow feeds sparse operators of shape (n_pixels, n_features·n_cells).
+
+Documented deviation (SURVEY §4 convention): a σ=0 entry inside an
+otherwise-weighted measurement vector receives the largest finite weight of
+that vector instead of the reference's literal 1/0 → inf
+(``sparse_sensing.py:872``), which sends NaNs through LAPACK's pinv.  Exact
+measurements therefore dominate the weighted solve rather than breaking it.
 """
 
 from __future__ import annotations
@@ -68,7 +74,7 @@ class SPR(ROM):
 
     def optimal_placement(self, calc_type: str = "qr", n_sensors: int = 10,
                           mask=None, d_min: float = 0.0,
-                          verbose: bool = False):
+                          verbose: bool = False, config=None):
         """Compute the one-hot measurement matrix C (s, n).
 
         ``calc_type='qr'``: first-r column pivots of Urᵀ (LAPACK-geqp3
@@ -76,7 +82,15 @@ class SPR(ROM):
         destructively, as in the reference (``sparse_sensing.py:737-738``).
         ``calc_type='dg'`` (beyond-reference): determinant-based greedy,
         D-optimal for any n_sensors including more sensors than modes.
+
+        ``config`` (:class:`openmeasure_tpu.core.config.PlacementConfig`)
+        overrides calc_type/n_sensors/d_min/verbose when given.
         """
+        if config is not None:
+            calc_type = config.calc_type
+            n_sensors = config.n_sensors
+            d_min = config.d_min
+            verbose = config.verbose
         n = self.X.shape[0]
         if calc_type == "qr":
             if mask is not None:
@@ -115,7 +129,22 @@ class SPR(ROM):
     def train(self, C, is_Theta: bool = False, limits=None,
               method: str = "OLS", solver: str = "ADMM", cond: bool = False,
               verbose: bool = False, admm_max_iter: int = 4000,
-              admm_tol: float = 1e-9):
+              admm_tol: float = 1e-9, solver_config=None, constraints=None):
+        """``limits=[min_per_feature, max_per_feature]`` is the reference's
+        box; ``constraints`` (a
+        :class:`openmeasure_tpu.linalg.boxls.LinearConstraints`, or a list to
+        stack) generalizes it to any mix of box / equality / one-sided rows in
+        scaled coefficient space, optionally with per-measurement-vector
+        batched bounds.  ``solver_config``
+        (:class:`openmeasure_tpu.core.config.SolverConfig`) overrides the
+        ADMM knobs."""
+        if solver_config is not None:
+            admm_max_iter = solver_config.max_iter
+            admm_tol = solver_config.tol
+        if constraints is not None and isinstance(constraints, (list, tuple)) \
+                and not isinstance(constraints, _boxls.LinearConstraints):
+            constraints = _boxls.concat_constraints(constraints)
+        self.constraints = constraints
         if (C.shape[1] != self.X.shape[0]) and not is_Theta:
             raise ValueError("The number of columns of C does not match the"
                              " number of rows of X.")
@@ -167,6 +196,9 @@ class SPR(ROM):
         Returns (Ar, Ar_sigma), each (n_vectors, r).  OLS: weighted pinv.
         COLS: box-constrained LS via ADMM with the physical `limits` given to
         :meth:`train`."""
+        if not hasattr(self, "Theta"):
+            raise AttributeError("The function fit has to be called "
+                                 "before calling predict.")
         if isinstance(y, (np.ndarray, jax.Array)):
             y = [y]
         for yi in y:
@@ -176,9 +208,6 @@ class SPR(ROM):
             if yi.shape[1] != 3:
                 raise ValueError("The y array has the wrong number of columns."
                                  " y has to have dimensions (s,3).")
-        if not hasattr(self, "Theta"):
-            raise AttributeError("The function fit has to be called "
-                                 "before calling predict.")
 
         n_vec = len(y)
         y0_stack = np.stack([self.scale_vector(np.asarray(yi)) for yi in y])
@@ -186,9 +215,18 @@ class SPR(ROM):
 
         y0_stack = jnp.asarray(y0_stack)            # (n_vec, s, 2)
         s = y0_stack.shape[1]
-        w = jnp.where(jnp.asarray(has_sigma)[:, None],
-                      1.0 / jnp.where(y0_stack[:, :, 1] == 0, 1.0,
-                                      y0_stack[:, :, 1]),
+        # Weighted solve: W = diag(1/σ).  Deviation from the reference
+        # (sparse_sensing.py:872): a σ=0 entry inside an otherwise-weighted
+        # vector yields an infinite weight there (NaNs out of LAPACK pinv);
+        # here an exact measurement gets the LARGEST finite weight of its
+        # vector, so it dominates the solve without poisoning it.
+        inv_sigma = jnp.where(y0_stack[:, :, 1] > 0,
+                              1.0 / jnp.where(y0_stack[:, :, 1] > 0,
+                                              y0_stack[:, :, 1], 1.0),
+                              0.0)
+        w_max = jnp.max(inv_sigma, axis=1, keepdims=True)
+        w_weighted = jnp.where(y0_stack[:, :, 1] > 0, inv_sigma, w_max)
+        w = jnp.where(jnp.asarray(has_sigma)[:, None], w_weighted,
                       jnp.ones((n_vec, s), dtype=y0_stack.dtype))
 
         Theta = self.Theta
@@ -208,23 +246,32 @@ class SPR(ROM):
             Ar = Ar_ols
 
         elif self.method == "COLS":
-            if self.limits is None:
+            hp = jax.lax.Precision.HIGHEST
+            if getattr(self, "constraints", None) is not None:
+                A_c = _as_device(self.constraints.A)
+                lo = _as_device(self.constraints.lo)
+                hi = _as_device(self.constraints.hi)
+            elif self.limits is not None:
+                lo, hi = self.scale_limits(self.limits)
+                A_c = self.Ur
+            else:
                 raise ValueError(
-                    "method='COLS' requires physical `limits` passed to "
-                    "train(C, limits=[min_per_feature, max_per_feature]).")
-            lo, hi = self.scale_limits(self.limits)
-            Ur = self.Ur
+                    "method='COLS' requires physical `limits` (or a "
+                    "`constraints` set) passed to train(C, ...).")
             # One cheap panel pass for the exact Gram: Ur^T Ur == I only for
             # an unmasked POD basis (optimal_placement(mask=...) zeroes rows
             # destructively, reference sparse_sensing.py:737-738).
-            AtA = jnp.matmul(Ur.T, Ur, precision=jax.lax.Precision.HIGHEST)
+            AtA = jnp.matmul(A_c.T, A_c, precision=hp)
 
-            def cols_one(w_i, y_i):
+            def cols_one(w_i, y_i, lo_i, hi_i):
                 g, _ = _boxls.box_constrained_lstsq(
-                    Theta, y_i, w_i, Ur, lo, hi, AtA=AtA,
+                    Theta, y_i, w_i, A_c, lo_i, hi_i, AtA=AtA,
                     max_iter=self.admm_max_iter, tol=self.admm_tol)
                 return g
-            Ar = jax.vmap(cols_one)(w, y0_stack[:, :, 0])
+            in_axes = (0, 0, 0 if jnp.ndim(lo) == 2 else None,
+                       0 if jnp.ndim(hi) == 2 else None)
+            Ar = jax.vmap(cols_one, in_axes=in_axes)(
+                w, y0_stack[:, :, 0], lo, hi)
         else:
             raise NotImplementedError(
                 "The prediction method selected has not been implemented yet")

@@ -152,6 +152,50 @@ class TestGPRMultiTask:
         assert X_pred.min() >= 15.0 - 1e-3
         assert X_pred.max() <= 25.0 + 1e-3
 
+    def test_bc_pinned_prediction_per_point(self):
+        """Reference bc0_limits recipe (gpr.py:575-578,
+        tests/test_gpr_data.py:88-115): per-test-point equality pins on
+        chosen state rows, enforced through the constrained MAP."""
+        self.gpr.fit(scaleX_type="none")
+        self.gpr.train()
+        n_p = self.d["P_test"].shape[0]
+        rows = np.array([0, 5])
+        # pin those rows to the TRUE held-out field values, per point
+        values = np.asarray(self.d["X_test"])[rows, :]      # (2, n_p)
+        A_pred, _ = self.gpr.predict(self.d["P_test"], bc=(rows, values))
+        X_pred = np.asarray(self.gpr.reconstruct(A_pred))
+        np.testing.assert_allclose(X_pred[rows, :], values, atol=2e-4)
+        # the rest of the field should still reconstruct well
+        np.testing.assert_allclose(self.d["X_test"], X_pred, atol=0.5)
+
+    def test_bc_pins_match_closed_form_map(self):
+        """With only equality pins, the constrained MAP has a closed form:
+        v* = mu + C Aᵀ (A C Aᵀ)⁻¹ (b − A mu) with C the posterior cov."""
+        self.gpr.fit(scaleX_type="none")
+        self.gpr.train(max_iter=200)
+        rows = np.array([3])
+        n_p = self.d["P_test"].shape[0]
+        values = np.asarray(self.d["X_test"])[rows, :] + 0.3
+        A_pred, A_sigma = self.gpr.predict(self.d["P_test"],
+                                           bc=(rows, values),
+                                           max_iter=20000, tol=1e-12)
+        # unconstrained posterior for the closed form
+        A_un, A_sig = self.gpr.predict(self.d["P_test"])
+        S = np.asarray(self.gpr.Ur) * np.asarray(self.gpr.Sigma_r)[None, :]
+        cnt = np.asarray(self.gpr.X_cnt)[rows, 0]
+        scl = np.asarray(self.gpr.X_scl)[rows, 0]
+        b0 = (values - cnt[:, None]) / scl[:, None]          # scaled pins
+        A_row = S[rows, :]                                    # (1, r)
+        Sig = np.asarray(self.gpr.Sigma_r)
+        for i in range(n_p):
+            mu = np.asarray(A_un)[i] / Sig                   # v-space mean
+            C = np.diag((np.asarray(A_sig)[i] / Sig) ** 2)
+            lam = np.linalg.solve(A_row @ C @ A_row.T,
+                                  b0[:, i] - A_row @ mu)
+            v_star = mu + C @ A_row.T @ lam
+            np.testing.assert_allclose(np.asarray(A_pred)[i], v_star * Sig,
+                                       atol=5e-4)
+
     def test_constrained_prediction_single_task_raises(self):
         d = self.d
         g = GPR(d["X_train"], d["n_features"], d["xyz"], d["P_train"])

@@ -161,6 +161,59 @@ class TestBoxQP:
         g_ref = self._slsqp(H, H @ mean, A, lo, hi, np.zeros(r))
         np.testing.assert_allclose(np.asarray(v), g_ref, atol=2e-5)
 
+    def test_map_qp_equality_pins(self):
+        # mixed set: box rows + equality pins (lo == hi) — the bc0_limits
+        # pattern of reference gpr.py:575-578
+        r, n = 4, 25
+        L = RNG.standard_normal((r, r))
+        cov = L @ L.T + r * np.eye(r)
+        mean = RNG.standard_normal(r)
+        A, _ = np.linalg.qr(RNG.standard_normal((n, r)))
+        lo, hi = -0.5 * np.ones(n), 0.5 * np.ones(n)
+        pin_val = 0.17
+        lo[3] = hi[3] = pin_val          # equality row
+        lo[7] = -np.inf                  # one-sided row
+        v, _ = _boxls.box_constrained_map(mean, cov, A, lo, hi,
+                                          max_iter=40000, tol=1e-12)
+        v = np.asarray(v)
+        np.testing.assert_allclose(A[3] @ v, pin_val, atol=1e-6)
+        # SLSQP cross-check with explicit equality constraint
+        H = np.linalg.inv(cov)
+        fun = lambda g: 0.5 * (g - mean) @ H @ (g - mean)
+        jac = lambda g: H @ (g - mean)
+        ineq_rows = [i for i in range(n) if i != 3]
+        Ai = A[ineq_rows]
+        loi, hii = lo[ineq_rows], hi[ineq_rows]
+        cons = [{"type": "eq", "fun": lambda g: A[3] @ g - pin_val,
+                 "jac": lambda g: A[3]},
+                {"type": "ineq",
+                 "fun": lambda g: np.where(np.isfinite(loi),
+                                           Ai @ g - loi, 1.0)},
+                {"type": "ineq", "fun": lambda g: hii - Ai @ g}]
+        res = minimize(fun, mean, jac=jac, constraints=cons, method="SLSQP",
+                       options={"maxiter": 500, "ftol": 1e-14})
+        assert res.success
+        np.testing.assert_allclose(v, res.x, atol=5e-5)
+
+    def test_concat_constraints_batched(self):
+        A1 = RNG.standard_normal((6, 3))
+        A2 = RNG.standard_normal((2, 3))
+        vals = RNG.standard_normal((4, 2))    # batch of 4 equality values
+        cs = _boxls.concat_constraints([
+            _boxls.LinearConstraints(A1, -np.ones(6), np.ones(6)),
+            _boxls.LinearConstraints(A2, vals, vals),
+        ])
+        assert cs.A.shape == (8, 3)
+        assert cs.lo.shape == (4, 8) and cs.hi.shape == (4, 8)
+        np.testing.assert_allclose(np.asarray(cs.lo[:, :6]), -1.0)
+        np.testing.assert_allclose(np.asarray(cs.lo[:, 6:]), vals)
+        np.testing.assert_allclose(np.asarray(cs.hi[:, 6:]), vals)
+        with pytest.raises(ValueError, match="batch sizes"):
+            _boxls.concat_constraints([
+                _boxls.LinearConstraints(A1, np.zeros((3, 6)),
+                                         np.ones((3, 6))),
+                _boxls.LinearConstraints(A2, vals, vals)])
+
 
 class TestPodFit:
     def test_pod_fit_matches_rom_fit(self):

@@ -99,19 +99,31 @@ class TestScalingDiff:
         X0_ours = r2.scale_data("std", axis_cnt=None)
         np.testing.assert_allclose(np.asarray(X0_ours), X0_ref, rtol=1e-12)
 
-    def test_vast_family_when_square_block(self, ref):
-        # reference kurtosis broadcast only works when m == n_points; in
-        # that regime our flattened-kurtosis interpretation deviates by
-        # construction (theirs is per-column). Verify ours is self-consistent
-        # and reference runs without error.
+    @pytest.mark.parametrize("stype", ["vast_2", "vast_3", "vast_4"])
+    def test_vast_family_when_square_block(self, ref, stype):
+        """m == n_points is the one regime where the reference's
+        ``kurtosis(x)`` (axis=0, per-COLUMN) broadcasts into the per-row
+        scale slots (sparse_sensing.py:148) — pin down BOTH behaviors:
+        the reference must equal its literal per-column form, and ours must
+        equal the documented flattened-kurtosis deviation."""
+        from scipy.stats import kurtosis
         rng = np.random.default_rng(5)
         X = rng.random((10, 10)) + 0.5
         xyz = rng.random((10, 3))
+
         r1 = ref.ROM(X, 1, xyz)
-        r1.scale_data("vast_2")  # must not raise
+        r1.scale_data(stype)
+        denom = {"vast_2": np.average(X), "vast_3": np.max(X),
+                 "vast_4": np.max(X) - np.min(X)}[stype]
+        scl_ref = np.std(X) ** 2 * kurtosis(X) ** 2 / denom  # per-column!
+        np.testing.assert_allclose(r1.X_scl[:, 0], scl_ref, rtol=1e-12)
+
         from openmeasure_tpu import ROM
         r2 = ROM(X, 1, xyz)
-        r2.scale_data("vast_2")
+        r2.scale_data(stype)
+        scl_ours = np.std(X) ** 2 * kurtosis(X, axis=None) ** 2 / denom
+        np.testing.assert_allclose(np.asarray(r2.X_scl[:, 0]),
+                                   np.full(10, scl_ours), rtol=1e-10)
 
     def test_scale_limits(self, ref, data):
         from openmeasure_tpu import ROM

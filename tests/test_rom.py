@@ -138,6 +138,46 @@ class TestROM:
         assert np.all(recon0 >= np.asarray(lo) - 1e-5)
         assert np.all(recon0 <= np.asarray(hi) + 1e-5)
 
+    def test_cpod_mixed_equality_box_constraints(self):
+        """General constraint set on device (reference's caller-built CVXPY
+        problems, sparse_sensing.py:434-461): box on every row PLUS a
+        per-snapshot equality pin, all m snapshots in one vmapped program."""
+        from scipy.optimize import minimize
+        from openmeasure_tpu.linalg import boxls as _boxls
+        self.rom.fit(select_modes="number", n_modes=3)
+        Ur = np.asarray(self.rom.Ur)
+        X0 = np.asarray(self.rom.X0)
+        n, m = X0.shape
+        pin_row = 4
+        pins = X0[pin_row, :] * 0.5          # per-snapshot equality values
+        # box wide enough that the mixed problem is feasible for every
+        # snapshot (a tight box + equality pin can be jointly infeasible
+        # in a 3-dim coefficient space)
+        box = 2.0
+        cs = [
+            _boxls.LinearConstraints(Ur, -box * np.ones(n),
+                                     box * np.ones(n)),
+            _boxls.LinearConstraints(Ur[pin_row][None, :],
+                                     pins[:, None], pins[:, None]),
+        ]
+        self.rom.CPOD(constraints=cs, max_iter=20000, tol=1e-12)
+        G = np.asarray(self.rom.Ar)          # (m, r)
+        for i in range(m):
+            # equality pin holds
+            np.testing.assert_allclose(Ur[pin_row] @ G[i], pins[i],
+                                       atol=1e-6)
+            # matches an SLSQP solve of the same problem
+            fun = lambda g: 0.5 * np.sum((Ur @ g - X0[:, i]) ** 2)
+            jac = lambda g: Ur.T @ (Ur @ g - X0[:, i])
+            cons = [{"type": "ineq", "fun": lambda g: Ur @ g + box},
+                    {"type": "ineq", "fun": lambda g: box - Ur @ g},
+                    {"type": "eq",
+                     "fun": lambda g, i=i: Ur[pin_row] @ g - pins[i]}]
+            res = minimize(fun, G[i], jac=jac, constraints=cons,
+                           method="SLSQP",
+                           options={"maxiter": 500, "ftol": 1e-14})
+            assert fun(G[i]) <= res.fun + 1e-8 * max(1.0, abs(res.fun))
+
     def test_adaptive_sampling_shapes(self):
         rng = np.random.default_rng(3)
         P = rng.random((self.m, 2))

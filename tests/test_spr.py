@@ -245,6 +245,36 @@ class TestSPR:
             self.spr.optimal_placement(calc_type="dg", n_sensors=8,
                                        mask=mask)
 
+    def test_cols_general_constraints_with_per_vector_pins(self):
+        """COLS with a stacked constraint set: wide box + per-measurement-
+        vector equality pins (batched bounds), solved on device."""
+        from openmeasure_tpu.linalg import boxls as _boxls
+        self.spr.fit(select_modes="number", n_modes=3)
+        C = np.asarray(self.spr.optimal_placement())
+        Ur = np.asarray(self.spr.Ur)
+        n = Ur.shape[0]
+        rows = np.argmax(C, axis=1)
+        ys = []
+        for col in (0, 2):
+            y = np.zeros((len(rows), 3))
+            y[:, 0] = self.X[rows, col]
+            y[:, 2] = rows // self.n_points
+            ys.append(y)
+        # pin the scaled reconstruction at state row 6 to per-vector values
+        X0 = np.asarray(self.spr.X0)
+        pin_vals = np.array([X0[6, 0], X0[6, 2]]) * 0.5   # (n_vec,)
+        cs = [
+            _boxls.LinearConstraints(Ur, -5.0 * np.ones(n), 5.0 * np.ones(n)),
+            _boxls.LinearConstraints(Ur[6][None, :], pin_vals[:, None],
+                                     pin_vals[:, None]),
+        ]
+        self.spr.train(C, method="COLS", constraints=cs,
+                       admm_max_iter=20000, admm_tol=1e-12)
+        a, _ = self.spr.predict(ys)
+        a = np.asarray(a)
+        for v in range(2):
+            np.testing.assert_allclose(Ur[6] @ a[v], pin_vals[v], atol=1e-6)
+
     def test_masked_placement_then_cols_solves_masked_problem(self):
         """Regression for the AtA=I assumption: after a masked placement
         zeroes Ur rows destructively, COLS must solve the QP with the
@@ -290,74 +320,3 @@ class TestSPR:
                                                 "ftol": 1e-14})
         assert obj(a0) <= res.fun + 1e-7 * max(1.0, abs(res.fun))
 
-    def test_dg_placement_matches_qrcp_up_to_rank(self):
-        self.spr.fit(n_modes=100)
-        C_dg = np.asarray(self.spr.optimal_placement(calc_type="dg",
-                                                     n_sensors=self.spr.r))
-        C_qr = np.asarray(self.spr.optimal_placement())
-        np.testing.assert_array_equal(np.argmax(C_dg, axis=1),
-                                      np.argmax(C_qr, axis=1))
-
-    def test_dg_oversampling_beyond_rank(self):
-        self.spr.fit(select_modes="number", n_modes=3)
-        s = 8  # more sensors than modes — QRCP cannot do this
-        C = np.asarray(self.spr.optimal_placement(calc_type="dg",
-                                                  n_sensors=s))
-        idx = np.argmax(C, axis=1)
-        assert len(set(idx.tolist())) == s
-        # D-optimality improves monotonically: det(Theta^T Theta) grows
-        Ur = np.asarray(self.spr.Ur)
-        dets = [np.linalg.det(Ur[idx[:k]].T @ Ur[idx[:k]])
-                for k in range(3, s + 1)]
-        assert all(d2 >= d1 - 1e-12 for d1, d2 in zip(dets, dets[1:]))
-        # and the greedy choice beats random augmentation on average
-        rng = np.random.default_rng(0)
-        rand_dets = []
-        for _ in range(20):
-            rest = rng.choice(np.setdiff1d(np.arange(20), idx[:3]), s - 3,
-                              replace=False)
-            sel = np.concatenate([idx[:3], rest])
-            rand_dets.append(np.linalg.det(Ur[sel].T @ Ur[sel]))
-        assert dets[-1] >= np.mean(rand_dets)
-
-    def test_dg_mask(self):
-        self.spr.fit(select_modes="number", n_modes=3)
-        mask = np.zeros(self.X.shape[0], dtype=bool)
-        mask[:8] = True
-        C = np.asarray(self.spr.optimal_placement(calc_type="dg",
-                                                  n_sensors=5, mask=mask))
-        assert np.all(np.argmax(C, axis=1) < 8)
-
-    def test_dg_oversampled_reconstruction_beats_exact(self):
-        # with noisy measurements, 2x sensors (dg) should not be worse
-        rng = np.random.default_rng(3)
-        self.spr.fit(select_modes="number", n_modes=3)
-        for n_s in (3, 6):
-            C = np.asarray(self.spr.optimal_placement(calc_type="dg",
-                                                      n_sensors=n_s))
-            self.spr.train(C)
-            rows = np.argmax(C, axis=1)
-            y = np.zeros((n_s, 3))
-            y[:, 0] = self.X[rows, 0]
-            y[:, 2] = rows // self.n_points
-            a, _ = self.spr.predict(y)
-            x = np.asarray(self.spr.reconstruct(a))[:, 0]
-            assert np.all(np.isfinite(x))
-
-    def test_bcoo_sparse_C(self):
-        from jax.experimental import sparse as jsparse
-        self.spr.fit(n_modes=100)
-        C_bcoo = jsparse.BCOO.fromdense(jnp.asarray(self.C))
-        self.spr.train(C_bcoo)
-        a, _ = self.spr.predict(self._identity_y())
-        x_pred = self.spr.reconstruct(a)
-        np.testing.assert_allclose(x_pred, self.X[:, [0]], rtol=1e-7,
-                                   atol=1e-9)
-
-    def test_dg_exhaustion_raises(self):
-        self.spr.fit(select_modes="number", n_modes=3)
-        mask = np.zeros(self.X.shape[0], dtype=bool)
-        mask[:5] = True
-        with pytest.raises(ValueError, match="ran out of candidates"):
-            self.spr.optimal_placement(calc_type="dg", n_sensors=8,
-                                       mask=mask)

@@ -112,6 +112,11 @@ class TestCheckpoint:
 
 
 class TestConfigLogging:
+    def setup_method(self):
+        rng = np.random.default_rng(7)
+        self.X = rng.random((20, 6))
+        self.xyz = rng.random((10, 3))
+
     def test_config_defaults_match_reference(self):
         assert FitConfig().scale_type == "std"
         assert FitConfig().n_modes == 99
@@ -119,6 +124,46 @@ class TestConfigLogging:
         assert GPTrainConfig().rel_error == 1e-5
         assert GPTrainConfig().lr == 0.1
         assert SolverConfig().tol == 1e-9
+
+    def test_fit_config_threads_through_rom(self):
+        from openmeasure_tpu import ROM
+        rom_cfg = ROM(self.X, 2, self.xyz)
+        rom_cfg.fit(config=FitConfig(scale_type="pareto",
+                                     select_modes="number", n_modes=3))
+        rom_kw = ROM(self.X, 2, self.xyz)
+        rom_kw.fit(scale_type="pareto", select_modes="number", n_modes=3)
+        assert rom_cfg.r == 3 and rom_cfg.scale_type == "pareto"
+        np.testing.assert_array_equal(np.asarray(rom_cfg.Ur),
+                                      np.asarray(rom_kw.Ur))
+
+    def test_train_config_threads_through_gpr(self):
+        P = np.linspace(0, 1, 6)[:, None]
+        gpr = GPR(self.X, 2, self.xyz, P)
+        gpr.fit(config=FitConfig(select_modes="number", n_modes=2))
+        gpr.train(config=GPTrainConfig(max_iter=7, lr=0.05))
+        assert gpr.max_iter == 7 and gpr.lr == 0.05 and gpr.r == 2
+
+    def test_placement_and_solver_config_thread_through_spr(self):
+        from openmeasure_tpu import SPR
+        from openmeasure_tpu.core.config import PlacementConfig
+        spr = SPR(self.X, 2, self.xyz)
+        spr.fit(select_modes="number", n_modes=3)
+        C = np.asarray(spr.optimal_placement(
+            config=PlacementConfig(calc_type="dg", n_sensors=5)))
+        assert C.shape[0] == 5  # calc_type='qr' would give r=3 rows
+        spr.train(C, solver_config=SolverConfig(max_iter=123, tol=1e-7))
+        assert spr.admm_max_iter == 123 and spr.admm_tol == 1e-7
+
+    def test_cokriging_config_threads_through(self):
+        from openmeasure_tpu import CoKriging
+        from openmeasure_tpu.core.config import CoKrigingConfig
+        rng = np.random.default_rng(0)
+        ck = CoKriging(rng.random((3, 1)), rng.random((4, 1)),
+                       rng.random((8, 3)), rng.random((8, 4)),
+                       rng.random((8, 3)), self.xyz, self.xyz, 2,
+                       config=CoKrigingConfig(regr_type="constant",
+                                              tol=1e-4))
+        assert ck.regr_type == "constant" and ck.tol == 1e-4
 
     def test_timed_logs(self, caplog):
         set_verbosity(logging.INFO)
