@@ -43,3 +43,50 @@ print("last-request reconstruction NRMSE:", float(err))
 field, coefs, coef_sigma = sensor.predict_full(
     data["X_test"][rows, 0], 0.05 * np.abs(data["X_test"][rows, 0]))
 print("coefficient sigmas:", np.asarray(coef_sigma)[:4])
+
+# ====================================================================== #
+# Serving the CONSTRAINED model: the CTC tomography workflow end-to-end
+# (reference docs/ctc_doc.ipynb cells 9-14: camera projections -> COLS
+# with physical limits -> reconstruction), packaged for streaming.
+# ====================================================================== #
+import scipy.sparse as sp
+from openmeasure_tpu.ctc import VoxelGrid, camera
+
+grid = VoxelGrid.from_bounds((-0.1, 0.1, -0.1, 0.1, -0.1, 0.1),
+                             (12, 12, 12))
+xyz = grid.cell_centers()
+widths = np.linspace(0.3, 1.0, 12)
+X_ctc = np.stack([np.exp(-np.sum(xyz ** 2, axis=1) / (2 * (0.05 * a) ** 2))
+                  for a in widths], axis=1)
+
+cams = [
+    camera(np.array([0, 0, 1.0, 1.0]), np.zeros(3), 0.05, 2.8, 0.06,
+           np.array([12, 12]), 0.25 / 12),
+    camera(np.array([1.0, 0, 0.0, 1.0]), np.array([0.0, np.pi / 2, 0.0]),
+           0.05, 2.8, 0.06, np.array([12, 12]), 0.25 / 12),
+]
+C_ctc = sp.vstack([c.project(grid, "parallel") for c in cams]
+                  ).tocsr().astype(float)
+
+spr_ctc = SPR(X_ctc[:, :10], 1, xyz)
+spr_ctc.fit(select_modes="number", n_modes=5)
+# emission is physically non-negative and bounded by 1: the COLS limits
+spr_ctc.train(C_ctc, method="COLS", limits=[np.array([0.0]),
+                                            np.array([1.0])])
+save_model(spr_ctc, "/tmp/ctc_soft_sensor.npz")
+
+ctc_sensor = SoftSensor.load(
+    "/tmp/ctc_soft_sensor.npz", dtype=np.float32,
+    feature_ids=np.zeros(C_ctc.shape[0], int), admm_iters=400).warmup()
+assert ctc_sensor.method == "COLS"
+
+t0 = time.perf_counter()
+for j in (10, 11):
+    pix = np.asarray(C_ctc @ X_ctc[:, j])     # streaming camera frames
+    vol = ctc_sensor(pix)                      # constrained 3D field
+dt = time.perf_counter() - t0
+vol = np.asarray(vol)
+print(f"CTC COLS serving: {dt/2*1e3:.2f} ms/frame; "
+      f"field range [{vol.min():.4f}, {vol.max():.4f}] (limits [0, 1]); "
+      f"NRMSE {float(nrmse(vol, X_ctc[:, 11])):.3e}")
+assert vol.min() >= -1e-4 and vol.max() <= 1.0 + 1e-4

@@ -25,10 +25,18 @@ import jax.numpy as jnp
 
 
 class SoftSensor:
-    """Immutable, compiled gappy-POD soft sensor."""
+    """Immutable, compiled gappy-POD soft sensor.
+
+    ``method='COLS'`` serves the constrained model (the reference's flagship
+    CTC use, ``docs/ctc_doc.ipynb`` cells 9-14): the gappy solve becomes a
+    vmappable on-device ADMM QP against the constraint set captured at train
+    time, run for a FIXED iteration budget (``admm_iters``) so request
+    latency is deterministic."""
 
     def __init__(self, Ur, Theta, cnt_sensors, scl_sensors, X_cnt, X_scl,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, method: str = "OLS",
+                 constraint_A=None, constraint_lo=None, constraint_hi=None,
+                 admm_iters: int = 300):
         self.Ur = jnp.asarray(Ur, dtype)
         self.Theta = jnp.asarray(Theta, dtype)
         self.cnt_sensors = jnp.asarray(cnt_sensors, dtype)
@@ -37,6 +45,21 @@ class SoftSensor:
         self.X_scl = jnp.asarray(X_scl, dtype).reshape(-1)
         self.r = self.Theta.shape[1]
         self.s = self.Theta.shape[0]
+        self.method = method
+        self.admm_iters = admm_iters
+        if method == "COLS":
+            if constraint_A is None or constraint_lo is None \
+                    or constraint_hi is None:
+                raise ValueError(
+                    "method='COLS' needs constraint_A/lo/hi (scaled "
+                    "coefficient-space constraint set).")
+            self._A_c = jnp.asarray(constraint_A, dtype)
+            self._lo = jnp.asarray(constraint_lo, dtype)
+            self._hi = jnp.asarray(constraint_hi, dtype)
+            self._AtA = jnp.matmul(self._A_c.T, self._A_c,
+                                   precision=jax.lax.Precision.HIGHEST)
+        elif method != "OLS":
+            raise NotImplementedError(f"serving method {method!r}")
         # precompute the solve operator once (pinv for the general case)
         self._pinv = jnp.linalg.pinv(self.Theta)
         self._predict = jax.jit(self._predict_impl)
@@ -44,8 +67,8 @@ class SoftSensor:
     # ------------------------------------------------------------------ #
 
     @classmethod
-    def from_spr(cls, spr, feature_ids=None, dtype=jnp.float32
-                 ) -> "SoftSensor":
+    def from_spr(cls, spr, feature_ids=None, dtype=jnp.float32,
+                 admm_iters: int = 300) -> "SoftSensor":
         """Package a trained :class:`openmeasure_tpu.SPR` (after fit +
         train).  C may be dense or scipy.sparse.
 
@@ -53,7 +76,11 @@ class SoftSensor:
         derived automatically.  For a general C (e.g. CTC projection
         operators) pass ``feature_ids`` (s,) — the feature index each
         measurement belongs to, as in the third column of the reference's
-        measurement vectors."""
+        measurement vectors.
+
+        A model trained with ``method='COLS'`` carries its constraint set
+        (``limits`` box or a general ``constraints`` spec with unbatched
+        bounds) into the compiled server."""
         import scipy.sparse as sp
         C = spr.C
         X_cnt = np.asarray(spr.X_cnt)[:, 0]
@@ -83,29 +110,60 @@ class SoftSensor:
             raise ValueError(
                 "C is not one-hot: pass feature_ids (the per-measurement "
                 "feature indices) so measurement scaling is well-defined.")
+
+        method = getattr(spr, "method", "OLS")
+        kw = {}
+        if method == "COLS":
+            cs = getattr(spr, "constraints", None)
+            if cs is not None:
+                if np.ndim(np.asarray(cs.lo)) == 2 or \
+                        np.ndim(np.asarray(cs.hi)) == 2:
+                    raise ValueError(
+                        "per-request batched constraint bounds cannot be "
+                        "baked into a serving model; use unbatched bounds.")
+                kw = dict(constraint_A=cs.A, constraint_lo=cs.lo,
+                          constraint_hi=cs.hi)
+            elif getattr(spr, "limits", None) is not None:
+                lo, hi = spr.scale_limits(spr.limits)
+                kw = dict(constraint_A=spr.Ur, constraint_lo=lo,
+                          constraint_hi=hi)
+            else:
+                raise ValueError(
+                    "COLS model has neither limits nor constraints.")
         return cls(spr.Ur, spr.Theta, cnt_sensors, scl_sensors,
-                   X_cnt, X_scl, dtype)
+                   X_cnt, X_scl, dtype, method=method,
+                   admm_iters=admm_iters, **kw)
 
     @classmethod
-    def load(cls, path: str, feature_ids=None, dtype=jnp.float32
-             ) -> "SoftSensor":
+    def load(cls, path: str, feature_ids=None, dtype=jnp.float32,
+             admm_iters: int = 300) -> "SoftSensor":
         """Build from a checkpoint written by
         :func:`openmeasure_tpu.utils.checkpoint.save_model`.  Pass
         ``feature_ids`` for models trained with a general (non-one-hot) C."""
         from .utils.checkpoint import load_model
         return cls.from_spr(load_model(path), feature_ids=feature_ids,
-                            dtype=dtype)
+                            dtype=dtype, admm_iters=admm_iters)
 
     # ------------------------------------------------------------------ #
 
     def _predict_impl(self, y_values, y_sigma):
+        from .linalg import boxls as _boxls
         y0 = (y_values - self.cnt_sensors) / self.scl_sensors
         sig0 = y_sigma / self.scl_sensors
         use_w = jnp.any(y_sigma != 0)
         w = jnp.where(use_w, 1.0 / jnp.where(sig0 == 0, 1.0, sig0),
                       jnp.ones_like(sig0))
         pinv_w = jnp.linalg.pinv(self.Theta * w[:, None])
-        a = jnp.where(use_w, pinv_w @ (w * y0), self._pinv @ y0)
+        a_ols = jnp.where(use_w, pinv_w @ (w * y0), self._pinv @ y0)
+        if self.method == "COLS":
+            # tol=0 → the while_loop runs the full fixed budget: every
+            # request compiles to the same instruction count (deterministic
+            # latency), and the budget is the accuracy knob.
+            a, _ = _boxls.box_constrained_lstsq(
+                self.Theta, y0, w, self._A_c, self._lo, self._hi,
+                AtA=self._AtA, max_iter=self.admm_iters, tol=0.0)
+        else:
+            a = a_ols
         a_sigma = jnp.where(use_w, jnp.abs(pinv_w @ sig0),
                             jnp.zeros(self.r, dtype=y0.dtype))
         x = (self.Ur @ a) * self.X_scl + self.X_cnt

@@ -88,7 +88,7 @@ _ARRAY_ATTRS = [
 ]
 _META_ATTRS = ["r", "n_features", "n_points", "scale_type", "method",
                "solver", "gpr_type", "d", "max_iter", "rel_error", "lr",
-               "scaleX_type", "scaleP_type"]
+               "scaleX_type", "scaleP_type", "admm_max_iter", "admm_tol"]
 
 
 def save_model(obj, path: str, include_data: bool = False,
@@ -121,6 +121,10 @@ def save_model(obj, path: str, include_data: bool = False,
     if hasattr(obj, "limits") and getattr(obj, "limits") is not None:
         arrays["limits/lo"] = np.asarray(obj.limits[0])
         arrays["limits/hi"] = np.asarray(obj.limits[1])
+    if getattr(obj, "constraints", None) is not None:
+        arrays["constraints/A"] = np.asarray(obj.constraints.A)
+        arrays["constraints/lo"] = np.asarray(obj.constraints.lo)
+        arrays["constraints/hi"] = np.asarray(obj.constraints.hi)
 
     if hasattr(obj, "C"):
         C = obj.C
@@ -295,6 +299,14 @@ def load_model(path: str):
         obj.limits = [arrays["limits/lo"], arrays["limits/hi"]]
     elif cls_name == "SPR":
         obj.limits = None
+    if "constraints/A" in arrays:
+        from ..linalg.boxls import LinearConstraints
+        obj.constraints = LinearConstraints(
+            jnp.asarray(arrays["constraints/A"]),
+            jnp.asarray(arrays["constraints/lo"]),
+            jnp.asarray(arrays["constraints/hi"]))
+    elif cls_name == "SPR":
+        obj.constraints = None
     if cls_name == "SPR" and not hasattr(obj, "verbose"):
         obj.verbose = False
         obj.admm_max_iter = 4000

@@ -244,6 +244,77 @@ class TestServing:
         np.testing.assert_allclose(np.asarray(sensor2(y[:, 0])), x_ref,
                                    rtol=1e-8, atol=1e-10)
 
+    def test_soft_sensor_cols_limits_roundtrip(self, tmp_path):
+        """Serving the constrained model: COLS SoftSensor matches
+        SPR.predict(COLS), survives a checkpoint round-trip, and respects
+        the physical limits (VERDICT r1 item 5)."""
+        import numpy as np
+        from openmeasure_tpu import SPR
+        from openmeasure_tpu.serving import SoftSensor
+        from openmeasure_tpu.utils.checkpoint import save_model
+        rng = np.random.default_rng(9)
+        X = rng.random((30, 6))
+        xyz = rng.random((15, 3))
+        spr = SPR(X, 2, xyz)
+        spr.fit(select_modes="number", n_modes=3)
+        C = np.asarray(spr.optimal_placement())
+        limits = [np.array([-0.4, -0.4]), np.array([1.3, 1.3])]
+        spr.train(C, method="COLS", limits=limits,
+                  admm_max_iter=3000, admm_tol=1e-11)
+        rows = np.argmax(C, axis=1)
+        y = np.zeros((3, 3))
+        y[:, 0] = 3.0 * X[rows, 1]     # overshoot -> constraints active
+        y[:, 2] = rows // 15
+        a_ref, _ = spr.predict(y)
+        x_ref = np.asarray(spr.reconstruct(a_ref))[:, 0]
+
+        sensor = SoftSensor.from_spr(spr, dtype=np.float64,
+                                     admm_iters=3000).warmup()
+        assert sensor.method == "COLS"
+        x = np.asarray(sensor(y[:, 0]))
+        np.testing.assert_allclose(x, x_ref, rtol=1e-6, atol=1e-7)
+        # physical limits hold feature-blockwise
+        assert x[:15].max() <= 1.3 + 1e-5 and x[:15].min() >= -0.4 - 1e-5
+
+        path = str(tmp_path / "cols.npz")
+        save_model(spr, path)
+        sensor2 = SoftSensor.load(path, dtype=np.float64, admm_iters=3000)
+        assert sensor2.method == "COLS"
+        np.testing.assert_allclose(np.asarray(sensor2(y[:, 0])), x_ref,
+                                   rtol=1e-6, atol=1e-7)
+
+    def test_soft_sensor_cols_general_constraints(self, tmp_path):
+        """A general constraint set (box + equality pin) carries through
+        train -> checkpoint -> serving."""
+        import numpy as np
+        from openmeasure_tpu import SPR
+        from openmeasure_tpu.serving import SoftSensor
+        from openmeasure_tpu.linalg import boxls as _boxls
+        from openmeasure_tpu.utils.checkpoint import save_model
+        rng = np.random.default_rng(10)
+        X = rng.random((30, 6))
+        xyz = rng.random((15, 3))
+        spr = SPR(X, 2, xyz)
+        spr.fit(select_modes="number", n_modes=3)
+        C = np.asarray(spr.optimal_placement())
+        Ur = np.asarray(spr.Ur)
+        pin = float(np.asarray(spr.X0)[7, 1]) * 0.5
+        cs = [_boxls.LinearConstraints(Ur, -5.0 * np.ones(30),
+                                       5.0 * np.ones(30)),
+              _boxls.LinearConstraints(Ur[7][None, :], np.array([pin]),
+                                       np.array([pin]))]
+        spr.train(C, method="COLS", constraints=cs,
+                  admm_max_iter=5000, admm_tol=1e-12)
+        rows = np.argmax(C, axis=1)
+        y = np.zeros((3, 3)); y[:, 0] = X[rows, 1]; y[:, 2] = rows // 15
+
+        path = str(tmp_path / "cols_cs.npz")
+        save_model(spr, path)
+        sensor = SoftSensor.load(path, dtype=np.float64, admm_iters=5000)
+        x, a, _ = sensor.predict_full(y[:, 0])
+        np.testing.assert_allclose(float(Ur[7] @ np.asarray(a)), pin,
+                                   atol=1e-6)
+
     def test_soft_sensor_sparse_C_and_feature_ids(self, tmp_path):
         import numpy as np
         import scipy.sparse as sp
