@@ -13,6 +13,17 @@ Top-level API mirrors the reference package layout:
     from openmeasure_tpu.ctc import camera, resample_to_grid
 """
 
+import jax as _jax
+
+# TPU matmuls default to bf16 operands, which alone caps reconstruction
+# accuracy at ~1e-4 NRMSE (measured: the flagship pipeline's final
+# ``Ur @ Ar.T`` at default precision).  This is a numerics library: full
+# fp32 products are the correct default, and the few hot contractions that
+# deliberately run faster (the first SVD Gram at HIGH) carry explicit
+# per-op precision overrides.  Cost on the flagship bench: none measurable —
+# every large matmul was already explicitly HIGHEST.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from .rom.rom import ROM
 from .sensing.spr import SPR
 

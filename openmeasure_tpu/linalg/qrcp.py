@@ -6,22 +6,43 @@ The reference selects sensor locations with LAPACK's ``geqp3``
 (they become the one-hot rows of the measurement matrix C) — the Q/R factors
 are discarded.  So the TPU-native primitive is *greedy norm pivoting*: r
 sequential steps, each an on-device argmax over the ~n column norms followed
-by a rank-1 Gram-Schmidt downdate.  Each step is one fused VPU pass over the
-(r, n) panel; the whole selection is r·O(r·n) FLOPs and never leaves the
-device.  Ties are broken deterministically (lowest index, matching LAPACK's
-first-max scan).
+by a norm downdate.  Ties are broken deterministically (lowest index,
+matching LAPACK's first-max scan).
+
+Formulation: READ-ONLY left-looking CGS2.  Because each accepted direction
+``q_i`` is orthogonal to all previous ones, the deflated projection equals
+the projection against the ORIGINAL panel: ``q_iᵀ(I − QQᵀ)A = q_iᵀA``.  So
+the panel is never downdated — each step reads A once for the projection row
+and updates only the (n,) norm vector, and the deflated pivot column is
+recovered from the original column by two Gram-Schmidt passes against the
+tiny (r, k) Q block.  Measured on TPU v5e at (14 × 1.7M) fp32: 19.5 ms vs
+57 ms for the in-place-downdate formulation (the downdate's full panel
+read+write per step, and XLA's MXU-padded (1,n) matmuls, both disappear).
 
 Under a row-sharded mesh the argmax reduces per-shard maxima with a single
 ``psum``-style collective (see ``openmeasure_tpu.parallel``).
 
 Alternatives evaluated and rejected on measurement (TPU v5e, 1.7M columns):
-a cached-projection Gram–Schmidt variant (read-only passes over A, CGS2
-column reorthogonalization) produced LAPACK-identical pivots but ran ~1.7×
-SLOWER — the (k, n) projection-cache row update copies the whole cache per
-step under XLA; and a pallas_call-per-step streamed kernel ran ~35× slower
-(aliased full-array outputs defeat donation).  The in-place downdate below
-is what XLA pipelines best; the in-VMEM Pallas kernel
-(``qrcp_pallas.qrcp_pivots_pallas``) wins ~20× when the panel fits on-chip.
+
+* in-place rank-1 downdate (the classical right-looking form): 57 ms —
+  2.9× slower than read-only (above);
+* a cached-projection variant keeping the (k, n) projection rows: LAPACK-
+  identical pivots but ~1.7× slower than even the downdate form — the cache
+  row update copies the whole cache per step under XLA;
+* a pallas_call-per-step streamed kernel: ~35× slower (aliased full-array
+  outputs defeat donation);
+* a top-K *candidate sketch* (gather the K largest-norm columns, run the
+  in-VMEM kernel on them, certify via "non-candidate deflated norms ≤ their
+  initial norms ≤ τ"): the certificate is sound but PROVABLY USELESS for
+  this library's workloads — the panel is (r, n) with k == r pivots
+  requested, so columns live in an r-dimensional space and the deflated
+  maxima decay to ~0 by step r, far below τ (an undeflated initial norm).
+  The certified branch can essentially never be taken and every call would
+  pay the fallback.  Removed.
+
+The in-VMEM Pallas kernel (``qrcp_pallas.qrcp_pivots_pallas``) wins when the
+panel fits on-chip; the manually-streamed double-buffered kernel
+(``qrcp_pallas.qrcp_pivots_streamed``) covers panels larger than VMEM.
 """
 
 from __future__ import annotations
@@ -41,25 +62,29 @@ def qrcp_pivots(A: jax.Array, k: int) -> jax.Array:
     pivoting=True)[2][:k]`` up to floating-point ties.
     """
     r, n = A.shape
-    hp = jax.lax.Precision.HIGHEST  # pivot fidelity needs full fp32
     norms2 = jnp.sum(A * A, axis=0)
     neg_inf = jnp.asarray(-jnp.inf, dtype=norms2.dtype)
+    tiny = jnp.finfo(A.dtype).tiny
 
     def step(i, carry):
-        Aw, norms2, pivots = carry
+        norms2, Q, pivots = carry          # Q (r, k): accepted directions
         j = jnp.argmax(norms2)
-        col = jax.lax.dynamic_slice(Aw, (0, j), (r, 1))  # (r, 1)
-        nrm = jnp.sqrt(jnp.maximum(jnp.sum(col * col), jnp.finfo(Aw.dtype).tiny))
-        q = col / nrm
-        proj = jnp.matmul(q.T, Aw, precision=hp)[0]  # (n,) — one pass
-        Aw = Aw - jnp.matmul(q, proj[None, :], precision=hp)
+        col = jax.lax.dynamic_slice(A, (0, j), (r, 1))[:, 0]
+        # two Gram-Schmidt passes (CGS2) against the accepted directions;
+        # columns i..k-1 of Q are still zero, so they are no-ops
+        for _ in range(2):
+            col = col - Q @ (Q.T @ col)
+        q = col / jnp.sqrt(jnp.maximum(jnp.sum(col * col), tiny))
+        proj = jnp.sum(q[:, None] * A, axis=0)   # read-only panel pass
         norms2 = norms2 - proj * proj
-        norms2 = norms2.at[j].set(neg_inf)  # never re-pick
+        norms2 = norms2.at[j].set(neg_inf)       # never re-pick
+        Q = Q.at[:, i].set(q)
         pivots = pivots.at[i].set(j.astype(jnp.int32))
-        return Aw, norms2, pivots
+        return norms2, Q, pivots
 
     pivots = jnp.zeros((k,), dtype=jnp.int32)
-    _, _, pivots = jax.lax.fori_loop(0, k, step, (A, norms2, pivots))
+    Q = jnp.zeros((r, k), dtype=A.dtype)
+    _, _, pivots = jax.lax.fori_loop(0, k, step, (norms2, Q, pivots))
     return pivots
 
 

@@ -11,10 +11,12 @@ bandwidth-bound, no host transfer, and it shards row-wise across a device
 mesh with a single ``psum`` of the ``(m, m)`` Gram (see
 ``openmeasure_tpu.parallel``).
 
-In float32 the Gram squares the condition number, so we run one extra
-orthogonal-iteration refinement pass by default (``refine=1``): with
-``B = X0 V``, the Gram of ``B`` is re-diagonalized, which restores most of the
-accuracy for the dominant modes at the cost of one more panel matmul.
+In float32 the Gram squares the condition number, so orthogonal-iteration
+refinement passes re-diagonalize the Gram of ``B = X0 V``.  ``refine=2`` is
+the default: measured on the synthetic flame set (165258×41, cond ≈ 7e4),
+one pass leaves a 1.2e-4 reconstruction-NRMSE floor while two passes reach
+8.4e-7 — indistinguishable from an all-fp64 pipeline — for the cost of two
+extra panel matmuls (bandwidth-bound, ≲0.1 ms at flagship scale).
 
 Evaluated and rejected on measurement (TPU v5e, 165k×41 fp32): a Pallas
 fused scale+Gram kernel (grid-accumulated per-tile ``X0bᵀX0b``, never
@@ -46,7 +48,7 @@ def _sign_canonicalize(U: jax.Array, Vt: jax.Array) -> Tuple[jax.Array, jax.Arra
 
 @functools.partial(jax.jit, static_argnames=("refine", "canonicalize"))
 def svd_tall(
-    X0: jax.Array, refine: int = 1, canonicalize: bool = True
+    X0: jax.Array, refine: int = 2, canonicalize: bool = True
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Thin SVD of a tall matrix via the Gram route.
 
@@ -86,7 +88,7 @@ def svd_tall(
 
 
 def svd_tall_safe(
-    X0: jax.Array, refine: int = 1, canonicalize: bool = True
+    X0: jax.Array, refine: int = 2, canonicalize: bool = True
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """:func:`svd_tall` with a rank-deficiency fixup.
 
