@@ -50,20 +50,32 @@ def shard_snapshots(X: jax.Array, n_features: int, mesh: Mesh) -> jax.Array:
     return jax.device_put(Xb, sharding)
 
 
-@functools.partial(jax.jit, static_argnames=("scale_type",))
-def _scale_blocks(Xb: jax.Array, scale_type: str = "std"):
-    """Per-feature-block std scaling on the blocked layout; all reductions
-    are shard-local except the (n_features,)-sized psums XLA inserts."""
-    if scale_type != "std":
-        raise NotImplementedError("sharded pipeline currently supports 'std'")
-    cnt = jnp.mean(Xb, axis=2, keepdims=True)            # row means
-    blk_std = jnp.std(Xb, axis=(1, 2), keepdims=True)     # per-feature scalar
-    X0 = (Xb - cnt) / blk_std
-    return X0, cnt, blk_std
+@functools.partial(jax.jit, static_argnames=("scale_type", "axis_cnt"))
+def _scale_blocks(Xb: jax.Array, scale_type: str = "std",
+                  axis_cnt=1):
+    """Per-feature-block scaling on the blocked layout — ALL 14 reference
+    scale types (the same ``_block_scale_factor`` the eager API uses, vmapped
+    over the feature axis).  Under a state-sharded layout the block
+    reductions lower to shard-local partials plus (n_features,)-sized psums;
+    ``median`` is the one type whose sort gathers the block (documented
+    cost — the reference quantile has no distributed formulation)."""
+    from ..core.scaling import _block_scale_factor
+    if axis_cnt == 1:
+        cnt = jnp.mean(Xb, axis=2, keepdims=True)         # row means
+    elif axis_cnt is None:
+        cnt = jnp.broadcast_to(jnp.mean(Xb, axis=(1, 2), keepdims=True),
+                               Xb.shape[:2] + (1,))
+    else:
+        raise ValueError("axis_cnt must be 1 or None")
+    scl = jax.vmap(lambda b: _block_scale_factor(b, scale_type))(Xb)
+    scl = scl[:, None, None]                              # (n_features, 1, 1)
+    X0 = (Xb - cnt) / scl
+    return X0, cnt, scl
 
 
-@functools.partial(jax.jit, static_argnames=("r",))
-def sharded_spr_step(Xb_train: jax.Array, Xb_test: jax.Array, r: int):
+@functools.partial(jax.jit, static_argnames=("r", "scale_type"))
+def sharded_spr_step(Xb_train: jax.Array, Xb_test: jax.Array, r: int,
+                     scale_type: str = "std"):
     """Full SPR training step on the blocked, sharded layout.
 
     scale → Gram (psum over state shards) → eigh (replicated) → Ur
@@ -72,7 +84,7 @@ def sharded_spr_step(Xb_train: jax.Array, Xb_test: jax.Array, r: int):
     the input shardings.
     """
     n_features, n_points, m = Xb_train.shape
-    X0, cnt, scl = _scale_blocks(Xb_train)
+    X0, cnt, scl = _scale_blocks(Xb_train, scale_type)
     Xf = X0.reshape(n_features * n_points, m)
 
     G = Xf.T @ Xf                       # psum over state shards
@@ -95,6 +107,108 @@ def sharded_spr_step(Xb_train: jax.Array, Xb_test: jax.Array, r: int):
     err = X_rec - Xt
     nrmse = jnp.sqrt(jnp.mean(err * err)) / (jnp.max(Xt) - jnp.min(Xt))
     return nrmse, pivots
+
+
+@functools.partial(jax.jit, static_argnames=("r", "scale_type", "max_iter"))
+def sharded_spr_cols_step(Xb_train: jax.Array, Xb_test: jax.Array, r: int,
+                          lo_feat: jax.Array, hi_feat: jax.Array,
+                          scale_type: str = "std", max_iter: int = 500,
+                          tol: float = 1e-8):
+    """SPR with CONSTRAINED (COLS) reconstruction, sharded end-to-end.
+
+    Same fit/placement as :func:`sharded_spr_step`, but the gappy solve is
+    the vmapped ADMM box-QP against physical per-feature limits: the
+    (n, r) constraint matvecs ``Ur g`` / ``Urᵀ(z−w)`` are shard-local with
+    an (r,)-sized psum each iteration — the identical program the eager
+    ``SPR.predict(method='COLS')`` runs single-device.  The ±1000 limit
+    clamp matches ``ROM.scale_limits`` (``sparse_sensing.py:201-204``).
+    """
+    from ..linalg import boxls as _boxls
+    n_features, n_points, m = Xb_train.shape
+    X0, cnt, scl = _scale_blocks(Xb_train, scale_type)
+    Xf = X0.reshape(n_features * n_points, m)
+
+    G = Xf.T @ Xf
+    evals, V = jnp.linalg.eigh(G)
+    V = V[:, ::-1]
+    B = Xf @ V
+    S = jnp.linalg.norm(B, axis=0)
+    Ur = (B / jnp.maximum(S, 1e-30)[None, :])[:, :r]
+
+    from ..linalg.qrcp import qrcp_pivots
+    pivots = qrcp_pivots(Ur.T, r)
+
+    cnt_f = cnt.reshape(n_features * n_points, 1)
+    scl_f = jnp.broadcast_to(scl, cnt.shape).reshape(n_features * n_points, 1)
+
+    from ..core.scaling import scale_limits as _scale_limits
+    lo, hi = _scale_limits(lo_feat, hi_feat, cnt_f, scl_f, n_features)
+
+    Theta = Ur[pivots, :]
+    Xt = Xb_test.reshape(n_features * n_points, -1)
+    y0 = (Xt[pivots] - cnt_f[pivots, 0][:, None]) / scl_f[pivots, 0][:, None]
+    AtA = jnp.matmul(Ur.T, Ur, precision=jax.lax.Precision.HIGHEST)
+
+    def cols_one(y_i):
+        g, _ = _boxls.box_constrained_lstsq(
+            Theta, y_i, jnp.ones_like(y_i), Ur, lo, hi, AtA=AtA,
+            max_iter=max_iter, tol=tol)
+        return g
+    Ar = jax.vmap(cols_one, in_axes=1)(y0)      # (m_test, r)
+
+    X_rec = (Ur @ Ar.T) * scl_f + cnt_f
+    err = X_rec - Xt
+    nrmse = jnp.sqrt(jnp.mean(err * err)) / (jnp.max(Xt) - jnp.min(Xt))
+    return nrmse, pivots, Ar, (Ur, lo, hi)
+
+
+def sharded_gem_select(Ur: jax.Array, xyz_tiled: jax.Array, n_sensors: int,
+                       d_min: float = 0.0):
+    """GEM placement on a row-sharded basis: the same jitted fixed-shape
+    program as the eager path (``sensing.gem._gem_select_jit``) — per-step
+    conditional-variance scoring is shard-local, the argmax reduces across
+    shards, and the selected-row gathers are XLA collectives."""
+    from ..sensing.gem import _gem_select_jit
+    mask = jnp.ones((Ur.shape[0],), dtype=bool)
+    selected, _, _, _ = _gem_select_jit(
+        Ur, xyz_tiled, mask, jnp.asarray(float(d_min), Ur.dtype), n_sensors)
+    return selected
+
+
+def sharded_dg_select(Ur: jax.Array, n_sensors: int):
+    """Determinant-greedy placement on a row-sharded basis (same jitted
+    program as ``sensing.dg.dg_select``; per-step argmax all-reduces)."""
+    from ..sensing import dg as _dg
+    return _dg.dg_select(Ur, n_sensors)
+
+
+def sharded_gpr_train(mesh: Mesh, P0: jax.Array, Vr: jax.Array,
+                      max_iter: int = 1000, rel_error: float = 1e-5,
+                      lr: float = 0.1):
+    """Mode-parallel GPR hyperparameter training with the SAME semantics as
+    the single-device trainer — it IS ``exact_gp.adam_early_stop`` (per-mode
+    early stop + freeze, reference stopping rule ``gpr.py:230``) run on
+    mode-sharded stacked parameters.  Each device steps its modes; the only
+    collectives are the scalar-sized convergence reductions in the
+    while_loop condition.  Returns the same TrainResult as ``GPR.train``'s
+    engine."""
+    from ..gp import kernels as K
+    from ..gp import exact_gp as E
+    r = Vr.shape[1]
+    d = P0.shape[1]
+    mean, kernel, lik = K.ConstantMean(), K.MaternKernel(2.5), \
+        K.GaussianLikelihood()
+    params0 = init_mode_stacked_params(r, d)
+
+    def mode_shard(x):
+        return jax.device_put(x, NamedSharding(
+            mesh, P(*(("mode",) + (None,) * (x.ndim - 1)))))
+    params0 = jax.tree_util.tree_map(mode_shard, params0)
+    Y = jax.device_put(jnp.asarray(Vr).T, NamedSharding(mesh, P("mode",
+                                                                None)))
+    loss_fn = E.make_single_task_loss(mean, kernel, lik, jnp.asarray(P0), Y)
+    return E.adam_early_stop(loss_fn, params0, lr=lr, max_iter=max_iter,
+                             rel_error=rel_error)
 
 
 def sharded_gp_train_step(mesh: Mesh, params, P0: jax.Array, Vr: jax.Array,
