@@ -12,11 +12,14 @@ mesh with a single ``psum`` of the ``(m, m)`` Gram (see
 ``openmeasure_tpu.parallel``).
 
 In float32 the Gram squares the condition number, so orthogonal-iteration
-refinement passes re-diagonalize the Gram of ``B = X0 V``.  ``refine=2`` is
-the default: measured on the synthetic flame set (165258×41, cond ≈ 7e4),
-one pass leaves a 1.2e-4 reconstruction-NRMSE floor while two passes reach
-8.4e-7 — indistinguishable from an all-fp64 pipeline — for the cost of two
-extra panel matmuls (bandwidth-bound, ≲0.1 ms at flagship scale).
+refinement passes re-diagonalize the Gram of ``B = X0 V``.  The default
+refine depth is backend-aware (measured on the synthetic flame set,
+165258×41, cond ≈ 7e4): on TPU one pass already reaches the data's 1e-6
+noise floor (XLA's TPU eigh is the high-accuracy QDWH algorithm) and a
+second pass costs +0.25 ms for no gain, so ``refine=1``; on CPU fp32
+(LAPACK ssyev) one pass leaves a 1.2e-4 reconstruction-NRMSE floor while
+two passes reach 8.4e-7 — indistinguishable from an all-fp64 pipeline — so
+``refine=2``.
 
 Evaluated and rejected on measurement (TPU v5e, 165k×41 fp32): a Pallas
 fused scale+Gram kernel (grid-accumulated per-tile ``X0bᵀX0b``, never
@@ -46,15 +49,23 @@ def _sign_canonicalize(U: jax.Array, Vt: jax.Array) -> Tuple[jax.Array, jax.Arra
     return U * signs[None, :], Vt * signs[:, None]
 
 
+def default_refine() -> int:
+    """Backend-aware refinement depth (see module docstring): 1 on TPU,
+    2 elsewhere."""
+    return 1 if jax.default_backend() == "tpu" else 2
+
+
 @functools.partial(jax.jit, static_argnames=("refine", "canonicalize"))
 def svd_tall(
-    X0: jax.Array, refine: int = 2, canonicalize: bool = True
+    X0: jax.Array, refine: Optional[int] = None, canonicalize: bool = True
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Thin SVD of a tall matrix via the Gram route.
 
     Returns ``(U, S, Vt)`` with shapes matching
     ``np.linalg.svd(X0, full_matrices=False)`` for ``n >= m``.
     """
+    if refine is None:
+        refine = default_refine()
     n, m = X0.shape
     # TPU matmul precision: the first Gram runs at HIGH (3-pass bf16 —
     # ~8e-6 relative error, 1.3x faster than HIGHEST's 6-pass) because the
@@ -88,7 +99,7 @@ def svd_tall(
 
 
 def svd_tall_safe(
-    X0: jax.Array, refine: int = 2, canonicalize: bool = True
+    X0: jax.Array, refine: Optional[int] = None, canonicalize: bool = True
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """:func:`svd_tall` with a rank-deficiency fixup.
 

@@ -11,7 +11,7 @@ intermediate in HBM.  This is the benchmark ("flagship model") entry point.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +38,7 @@ def spr_end_to_end(
     n_features: int,
     r: int,
     scale_type: str = "std",
-    refine: int = 2,
+    refine: Optional[int] = None,
 ) -> SPRResult:
     """POD fit + QRCP sensor placement + gappy-POD OLS reconstruction of the
     test snapshots, sampled at the selected sensors.  One XLA program.
@@ -142,7 +142,7 @@ def pod_fit(
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Scale + truncated POD, jitted.  Returns (Ur, Ar, Sigma_r, cnt, scl)."""
     X0, cnt, scl = _scaling.scale_data(X_train, n_features, scale_type, 1)
-    U, S, Vt = _svd.svd_tall(X0, refine=2, canonicalize=False)
+    U, S, Vt = _svd.svd_tall(X0, canonicalize=False)
     Ur = U[:, :r]
     Ar = (S[:r, None] * Vt[:r]).T
     return Ur, Ar, S[:r], cnt, scl
