@@ -105,10 +105,12 @@ def adam_early_stop(loss_fn: Callable, params0: Dict, lr: float = 0.1,
     ``gpr.py:230``).  Converged models are frozen in place while the rest
     keep stepping, all in one while_loop.
 
-    ``unroll`` substeps run per while_loop iteration to amortize the
-    per-iteration dispatch latency (~175 µs/iter measured on the tunneled
-    v5e for the 14-mode flame trainer — pure overhead; the 41×41 GP math is
-    µs-scale).  Semantics are UNCHANGED: every substep applies the same
+    ``unroll`` substeps run per while_loop iteration.  Honest measurement
+    (tunneled v5e, 14-mode flame trainer, 400 iters): 107 ms at unroll=1,
+    96 ms at unroll=4, no further gain at 8 — the ~175 µs/iter cost is
+    per-op dispatch inside the body (≈200 tiny HLOs), not per-iteration
+    fixed overhead, so unrolling buys only ~10%.  Kept at 4 since it is
+    free.  Semantics are UNCHANGED: every substep applies the same
     per-model convergence check and freeze, and substeps past ``max_iter``
     or past convergence restore the old parameters, so trajectories,
     final losses, and iteration counts are bit-identical to ``unroll=1``
