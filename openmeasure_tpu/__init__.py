@@ -18,11 +18,15 @@ import jax as _jax
 # TPU matmuls default to bf16 operands, which alone caps reconstruction
 # accuracy at ~1e-4 NRMSE (measured: the flagship pipeline's final
 # ``Ur @ Ar.T`` at default precision).  This is a numerics library: full
-# fp32 products are the correct default, and the few hot contractions that
-# deliberately run faster (the first SVD Gram at HIGH) carry explicit
-# per-op precision overrides.  Cost on the flagship bench: none measurable —
-# every large matmul was already explicitly HIGHEST.
-_jax.config.update("jax_default_matmul_precision", "highest")
+# fp32 products are the correct default — but only when the user has not
+# chosen their own: an explicit user setting (before import) is respected,
+# and every precision-critical contraction in this package carries its own
+# per-op ``precision=HIGHEST`` / ``default_matmul_precision`` scope, so
+# library numerics do not depend on this ambient default.  Cost on the
+# flagship bench: none measurable — every large matmul was already
+# explicitly HIGHEST.
+if _jax.config.jax_default_matmul_precision is None:
+    _jax.config.update("jax_default_matmul_precision", "highest")
 
 from .rom.rom import ROM
 from .sensing.spr import SPR

@@ -85,12 +85,26 @@ def resample_to_grid(
     n_grid = xyz_int.shape[0]
     X_b = X.reshape(n_features, n_cells, X.shape[1])
 
+    did_linear = False
     if method == "linear" and n_cells >= 5:
         from scipy.interpolate import LinearNDInterpolator
+        from scipy.spatial import QhullError
         # one triangulation, all (feature, snapshot) fields as value columns
         vals = np.moveaxis(X_b, 1, 0).reshape(n_cells, -1)   # (n_cells, f·m)
-        interp = LinearNDInterpolator(pts, vals)
-        out = interp(xyz_int)                                # (n_grid, f·m)
+        try:
+            interp = LinearNDInterpolator(pts, vals)
+            out = interp(xyz_int)                            # (n_grid, f·m)
+            did_linear = True
+        except QhullError:
+            # Degenerate (coplanar/collinear) source clouds have no 3-D
+            # Delaunay triangulation — fall back to IDW, which the previous
+            # default handled fine on such meshes.
+            import warnings
+            warnings.warn(
+                "resample_to_grid: source points are degenerate (no 3-D "
+                "triangulation exists); falling back to method='idw'.",
+                RuntimeWarning, stacklevel=2)
+    if did_linear:
         outside = np.isnan(out[:, 0])
         if np.any(outside):
             # nearest-neighbor fill outside the convex hull (VTK leaves
@@ -100,7 +114,7 @@ def resample_to_grid(
             out[outside] = vals[nn]
         X_int = np.moveaxis(out.reshape(n_grid, n_features, X.shape[1]),
                             0, 1).reshape(n_features * n_grid, X.shape[1])
-    elif method in ("idw", "linear"):  # 'linear' on degenerate tiny clouds
+    elif method in ("idw", "linear"):  # 'linear' fallback: degenerate/tiny
         tree = cKDTree(pts)
         kk = min(k, n_cells)
         dist, idx = tree.query(xyz_int, k=kk)

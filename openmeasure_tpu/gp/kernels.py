@@ -166,7 +166,10 @@ class LinearKernel:
         return {"raw_variance": jnp.zeros(())}
 
     def __call__(self, params: Dict, X1: jax.Array, X2: jax.Array) -> jax.Array:
-        return softplus(params["raw_variance"]) * (X1 @ X2.T)
+        # Gram fidelity needs full fp32 products (kernel matrices go through
+        # Cholesky) regardless of the ambient matmul-precision default.
+        return softplus(params["raw_variance"]) * jnp.matmul(
+            X1, X2.T, precision=jax.lax.Precision.HIGHEST)
 
 
 # --------------------------------------------------------------------- #

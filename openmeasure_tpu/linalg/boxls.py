@@ -182,6 +182,7 @@ def box_constrained_lstsq(
     AtA: Optional[jax.Array] = None,
     max_iter: int = 2000,
     tol: float = 1e-8,
+    over_relax: float = 1.6,
 ) -> Tuple[jax.Array, ADMMInfo]:
     """``min ‖diag(w)(y − Θ g)‖²  s.t. lo ≤ A g ≤ hi`` (COLS, CPOD).
 
@@ -193,7 +194,8 @@ def box_constrained_lstsq(
     Wy = y * w_diag
     H = jnp.matmul(Wt.T, Wt, precision=hp)
     c = jnp.matmul(Wt.T, Wy, precision=hp)
-    return admm_box_qp(H, c, A, lo, hi, AtA=AtA, max_iter=max_iter, tol=tol)
+    return admm_box_qp(H, c, A, lo, hi, AtA=AtA, max_iter=max_iter, tol=tol,
+                       over_relax=over_relax)
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter",))
@@ -206,6 +208,7 @@ def box_constrained_map(
     AtA: Optional[jax.Array] = None,
     max_iter: int = 2000,
     tol: float = 1e-8,
+    over_relax: float = 1.6,
 ) -> Tuple[jax.Array, ADMMInfo]:
     """Gaussian MAP under box constraints:
     ``max −(v−μ)ᵀ cov⁻¹ (v−μ)  s.t. lo ≤ A v ≤ hi`` — the constrained GPR
@@ -228,5 +231,5 @@ def box_constrained_map(
     else:
         ALtAL = None
     u, info = admm_box_qp(H, c, AL, lo - A_mu, hi - A_mu, AtA=ALtAL,
-                          max_iter=max_iter, tol=tol)
+                          max_iter=max_iter, tol=tol, over_relax=over_relax)
     return mean + jnp.matmul(L, u, precision=hp), info

@@ -66,6 +66,8 @@ def qrcp_pivots(A: jax.Array, k: int) -> jax.Array:
     neg_inf = jnp.asarray(-jnp.inf, dtype=norms2.dtype)
     tiny = jnp.finfo(A.dtype).tiny
 
+    hp = jax.lax.Precision.HIGHEST  # pivot fidelity needs full fp32 products
+
     def step(i, carry):
         norms2, Q, pivots = carry          # Q (r, k): accepted directions
         j = jnp.argmax(norms2)
@@ -73,7 +75,8 @@ def qrcp_pivots(A: jax.Array, k: int) -> jax.Array:
         # two Gram-Schmidt passes (CGS2) against the accepted directions;
         # columns i..k-1 of Q are still zero, so they are no-ops
         for _ in range(2):
-            col = col - Q @ (Q.T @ col)
+            col = col - jnp.matmul(
+                Q, jnp.matmul(Q.T, col, precision=hp), precision=hp)
         q = col / jnp.sqrt(jnp.maximum(jnp.sum(col * col), tiny))
         proj = jnp.sum(q[:, None] * A, axis=0)   # read-only panel pass
         norms2 = norms2 - proj * proj

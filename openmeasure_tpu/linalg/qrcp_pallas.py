@@ -99,7 +99,15 @@ def _qrcp_kernel(A_ref, piv_ref, norms_ref, q_ref, *, k: int, n: int):
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def qrcp_pivots_pallas(A: jax.Array, k: int) -> jax.Array:
-    """First k column pivots of A (r, n) with the whole panel in VMEM."""
+    """First k column pivots of A (r, n) with the whole panel in VMEM.
+
+    ``k`` is capped at ``_K_PAD`` (= 128): the accepted-directions block Q is
+    lane-padded to that width, so a larger k would silently stop deflating
+    past column 127.  Raises instead; use the jnp sweep for k > 128."""
+    if k > _K_PAD:
+        raise ValueError(
+            f"qrcp_pivots_pallas supports k <= {_K_PAD} (got k={k}); "
+            "use linalg.qrcp.qrcp_pivots for larger pivot counts.")
     r, n = A.shape
     r_pad = _round_up(max(r, 8), 8)
     n_pad = _round_up(n, 128)
@@ -212,7 +220,12 @@ def qrcp_pivots_streamed(A: jax.Array, k: int,
     single-read-per-step traffic floor is ~2 ms; block size 32-64k columns
     is the measured plateau, ≥128k exceeds VMEM).  Pivots match
     ``scipy.linalg.qr(pivoting=True)`` up to fp ties, same as the other
-    formulations."""
+    formulations.  ``k`` is capped at ``_K_PAD`` (= 128) like the in-VMEM
+    kernel."""
+    if k > _K_PAD:
+        raise ValueError(
+            f"qrcp_pivots_streamed supports k <= {_K_PAD} (got k={k}); "
+            "use linalg.qrcp.qrcp_pivots for larger pivot counts.")
     r, n = A.shape
     r_pad = _round_up(max(r, 8), 8)
     bn = int(block_cols)
@@ -258,9 +271,11 @@ def qrcp_fits_vmem(r: int, n: int, itemsize: int = 4) -> bool:
 def qrcp_pivots_auto(A: jax.Array, k: int) -> jax.Array:
     """Best available QRCP for the backend and panel size: TPU fp32 panels
     use the in-VMEM kernel when they fit and the HBM-streamed kernel
-    otherwise; anything else uses the jnp read-only sweep."""
+    otherwise; anything else (including k > the kernels' 128-direction
+    cap) uses the jnp read-only sweep."""
     r, n = A.shape
-    if A.dtype == jnp.float32 and jax.default_backend() == "tpu":
+    if (A.dtype == jnp.float32 and k <= _K_PAD
+            and jax.default_backend() == "tpu"):
         if qrcp_fits_vmem(r, n):
             return qrcp_pivots_pallas(A, k)
         return qrcp_pivots_streamed(A, k)

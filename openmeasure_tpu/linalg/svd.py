@@ -172,13 +172,14 @@ def randomized_svd(
         key = jax.random.PRNGKey(0)
     p = min(m, k + 10)
     Omega = jax.random.normal(key, (m, p), dtype=X0.dtype)
-    Y = X0 @ Omega
-    for _ in range(n_iter):
-        Y, _ = jnp.linalg.qr(Y)
-        Y = X0 @ (X0.T @ Y)
-    Q, _ = jnp.linalg.qr(Y)
-    B = Q.T @ X0  # (p, m)
-    Ub, S, Vt = jnp.linalg.svd(B, full_matrices=False)
-    U = Q @ Ub
+    with jax.default_matmul_precision("highest"):
+        Y = X0 @ Omega
+        for _ in range(n_iter):
+            Y, _ = jnp.linalg.qr(Y)
+            Y = X0 @ (X0.T @ Y)
+        Q, _ = jnp.linalg.qr(Y)
+        B = Q.T @ X0  # (p, m)
+        Ub, S, Vt = jnp.linalg.svd(B, full_matrices=False)
+        U = Q @ Ub
     U, Vt = _sign_canonicalize(U[:, :k], Vt[:k])
     return U, S[:k], Vt

@@ -270,7 +270,8 @@ class BatchedMFK:
         else:
             G = _regr(p.rho_regr, Xs)
             beta_rho = lev["beta"][:, : lev["rho_cols"]]     # (K, q)
-            rho = jnp.einsum("sq,kq->ks", G, beta_rho)
+            rho = jnp.einsum("sq,kq->ks", G, beta_rho,
+                             precision=jax.lax.Precision.HIGHEST)
             f_tilde = jnp.concatenate(
                 [G[None] * m_prev[:, :, None],
                  jnp.broadcast_to(Fr, (self.K,) + Fr.shape)], axis=2)
@@ -458,7 +459,8 @@ class MultiFiCoKriging:
             m_prev, s2_prev = self._predict_level(l - 1, Xs)
             G = _regr(self.rho_regr, Xs)
             beta_rho = lev["beta"][: lev["rho_cols"]]
-            rho = G @ beta_rho
+            rho = jnp.matmul(G, beta_rho,
+                             precision=jax.lax.Precision.HIGHEST)
             f_tilde = jnp.concatenate(
                 [G * m_prev[:, None], _regr(self.regr, Xs)], axis=1)
 

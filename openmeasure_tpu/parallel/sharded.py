@@ -83,30 +83,33 @@ def sharded_spr_step(Xb_train: jax.Array, Xb_test: jax.Array, r: int,
     reconstruction NRMSE.  Everything under one jit; XLA partitions it from
     the input shardings.
     """
-    n_features, n_points, m = Xb_train.shape
-    X0, cnt, scl = _scale_blocks(Xb_train, scale_type)
-    Xf = X0.reshape(n_features * n_points, m)
+    with jax.default_matmul_precision("highest"):
+        n_features, n_points, m = Xb_train.shape
+        X0, cnt, scl = _scale_blocks(Xb_train, scale_type)
+        Xf = X0.reshape(n_features * n_points, m)
 
-    G = Xf.T @ Xf                       # psum over state shards
-    evals, V = jnp.linalg.eigh(G)       # replicated (m, m)
-    V = V[:, ::-1]
-    B = Xf @ V                          # shard-local panel pass
-    S = jnp.linalg.norm(B, axis=0)
-    Ur = (B / jnp.maximum(S, 1e-30)[None, :])[:, :r]
+        G = Xf.T @ Xf                       # psum over state shards
+        evals, V = jnp.linalg.eigh(G)       # replicated (m, m)
+        V = V[:, ::-1]
+        B = Xf @ V                          # shard-local panel pass
+        S = jnp.linalg.norm(B, axis=0)
+        Ur = (B / jnp.maximum(S, 1e-30)[None, :])[:, :r]
 
-    from ..linalg.qrcp import qrcp_pivots
-    pivots = qrcp_pivots(Ur.T, r)       # argmax-allreduce per step
+        from ..linalg.qrcp import qrcp_pivots
+        pivots = qrcp_pivots(Ur.T, r)       # argmax-allreduce per step
 
-    Theta = Ur[pivots, :]
-    cnt_f = cnt.reshape(n_features * n_points, 1)
-    scl_f = jnp.broadcast_to(scl, cnt.shape).reshape(n_features * n_points, 1)
-    Xt = Xb_test.reshape(n_features * n_points, -1)
-    y0 = (Xt[pivots] - cnt_f[pivots, 0][:, None]) / scl_f[pivots, 0][:, None]
-    Ar = jnp.linalg.solve(Theta, y0).T
-    X_rec = (Ur @ Ar.T) * scl_f + cnt_f
-    err = X_rec - Xt
-    nrmse = jnp.sqrt(jnp.mean(err * err)) / (jnp.max(Xt) - jnp.min(Xt))
-    return nrmse, pivots
+        Theta = Ur[pivots, :]
+        cnt_f = cnt.reshape(n_features * n_points, 1)
+        scl_f = jnp.broadcast_to(scl, cnt.shape).reshape(
+            n_features * n_points, 1)
+        Xt = Xb_test.reshape(n_features * n_points, -1)
+        y0 = (Xt[pivots] - cnt_f[pivots, 0][:, None]) / \
+            scl_f[pivots, 0][:, None]
+        Ar = jnp.linalg.solve(Theta, y0).T
+        X_rec = (Ur @ Ar.T) * scl_f + cnt_f
+        err = X_rec - Xt
+        nrmse = jnp.sqrt(jnp.mean(err * err)) / (jnp.max(Xt) - jnp.min(Xt))
+        return nrmse, pivots
 
 
 @functools.partial(jax.jit, static_argnames=("r", "scale_type", "max_iter"))
@@ -124,14 +127,15 @@ def sharded_spr_cols_step(Xb_train: jax.Array, Xb_test: jax.Array, r: int,
     clamp matches ``ROM.scale_limits`` (``sparse_sensing.py:201-204``).
     """
     from ..linalg import boxls as _boxls
+    hp = jax.lax.Precision.HIGHEST
     n_features, n_points, m = Xb_train.shape
     X0, cnt, scl = _scale_blocks(Xb_train, scale_type)
     Xf = X0.reshape(n_features * n_points, m)
 
-    G = Xf.T @ Xf
+    G = jnp.matmul(Xf.T, Xf, precision=hp)
     evals, V = jnp.linalg.eigh(G)
     V = V[:, ::-1]
-    B = Xf @ V
+    B = jnp.matmul(Xf, V, precision=hp)
     S = jnp.linalg.norm(B, axis=0)
     Ur = (B / jnp.maximum(S, 1e-30)[None, :])[:, :r]
 
@@ -156,7 +160,7 @@ def sharded_spr_cols_step(Xb_train: jax.Array, Xb_test: jax.Array, r: int,
         return g
     Ar = jax.vmap(cols_one, in_axes=1)(y0)      # (m_test, r)
 
-    X_rec = (Ur @ Ar.T) * scl_f + cnt_f
+    X_rec = jnp.matmul(Ur, Ar.T, precision=hp) * scl_f + cnt_f
     err = X_rec - Xt
     nrmse = jnp.sqrt(jnp.mean(err * err)) / (jnp.max(Xt) - jnp.min(Xt))
     return nrmse, pivots, Ar, (Ur, lo, hi)

@@ -173,8 +173,8 @@ class ROM:
     # ------------------------------------------------------------------ #
 
     def CPOD(self, limits=None, solver_fn=None, max_iter: int = 4000,
-             tol: float = 1e-9, solver_config=None, constraints=None,
-             **kwargs):
+             tol: float = 1e-9, over_relax: float = 1.6, solver_config=None,
+             constraints=None, **kwargs):
         """Constrained POD: per snapshot i solve
         ``min ‖Ur g − x0_i‖²  s.t. limits0[0] ≤ Ur g ≤ limits0[1]``
         and replace ``Ar ← G``, ``Vr ← G / Σ_r``.
@@ -199,6 +199,7 @@ class ROM:
         if solver_config is not None:
             max_iter = solver_config.max_iter
             tol = solver_config.tol
+            over_relax = solver_config.over_relax
         if solver_fn is not None:
             Gr = np.zeros_like(np.asarray(self.Ar))
             for i in range(Gr.shape[0]):
@@ -211,24 +212,38 @@ class ROM:
             # masked placement zeroes rows of Ur destructively).
             H = jnp.matmul(Ur.T, Ur, precision=hp)
 
+            # `limits` and `constraints` COMPOSE (same semantics as
+            # GPR.predict): both given → one stacked set, so the physical
+            # box is never silently dropped.
+            parts = []
             if constraints is not None:
                 if isinstance(constraints, (list, tuple)) and not isinstance(
                         constraints, _boxls.LinearConstraints):
-                    constraints = _boxls.concat_constraints(constraints)
-                A_c = _as_device(constraints.A)
-                lo, hi = _as_device(constraints.lo), _as_device(constraints.hi)
-                AtA = jnp.matmul(A_c.T, A_c, precision=hp)
-            elif limits is not None:
-                lo, hi = self.scale_limits(limits)
-                A_c, AtA = Ur, H
-            else:
+                    parts.extend(_boxls.LinearConstraints(*c)
+                                 for c in constraints)
+                else:
+                    parts.append(_boxls.LinearConstraints(*constraints))
+            if limits is not None:
+                lo_b, hi_b = self.scale_limits(limits)
+                parts.append(_boxls.LinearConstraints(Ur, lo_b, hi_b))
+            if not parts:
                 raise ValueError(
                     "CPOD requires `limits`, `constraints`, or a solver_fn.")
+            if len(parts) == 1 and limits is not None:
+                A_c, lo, hi = Ur, parts[0].lo, parts[0].hi
+                AtA = H                      # box-only: reuse the Ur Gram
+            else:
+                cs = parts[0] if len(parts) == 1 else \
+                    _boxls.concat_constraints(parts)
+                A_c = _as_device(cs.A)
+                lo, hi = _as_device(cs.lo), _as_device(cs.hi)
+                AtA = jnp.matmul(A_c.T, A_c, precision=hp)
 
             def solve_one(x0_col, lo_i, hi_i):
                 g, _ = _boxls.admm_box_qp(
                     H, jnp.matmul(Ur.T, x0_col, precision=hp), A_c,
-                    lo_i, hi_i, AtA=AtA, max_iter=max_iter, tol=tol)
+                    lo_i, hi_i, AtA=AtA, max_iter=max_iter, tol=tol,
+                    over_relax=over_relax)
                 return g
 
             in_axes = (1, 0 if jnp.ndim(lo) == 2 else None,

@@ -47,8 +47,8 @@ def _dg_phase2(Ur: jax.Array, selected0: jax.Array, alive0: jax.Array,
         scores = jnp.where(alive, scores, -jnp.inf)
         j = jnp.argmax(scores)
         u = Ur[j]
-        Wu = W @ u
-        denom = 1.0 + u @ Wu
+        Wu = jnp.matmul(W, u, precision=hp)
+        denom = 1.0 + jnp.dot(u, Wu, precision=hp)
         W = W - jnp.outer(Wu, Wu) / denom                 # Sherman–Morrison
         alive = alive.at[j].set(False)
         extra = extra.at[i].set(j.astype(jnp.int32))

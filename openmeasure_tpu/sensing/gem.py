@@ -62,14 +62,18 @@ def _gem_select_jit(Ur, xyz, mask, d_min, n_sensors: int):
                 0.0, dtype)
 
         def later_step(_):
+            # Placement fidelity needs full fp32 products regardless of the
+            # ambient matmul-precision default (CLAUDE.md precision rule).
+            hp = jax.lax.Precision.HIGHEST
             slot = jax.lax.broadcasted_iota(jnp.int32, (n_sensors,), 0)
             pad = (slot >= s).astype(dtype)
-            Sigma_aa = (Cs @ Cs.T) / (r - 1) + jnp.diag(pad) \
-                + 1e-5 * jnp.eye(n_sensors, dtype=dtype)
+            Sigma_aa = jnp.matmul(Cs, Cs.T, precision=hp) / (r - 1) \
+                + jnp.diag(pad) + 1e-5 * jnp.eye(n_sensors, dtype=dtype)
             Sigma_aa_inv = jnp.linalg.inv(Sigma_aa)
-            Sigma_ya = (Uc @ Cs.T) / (r - 1)   # (n, n_sensors), zero pad cols
+            Sigma_ya = jnp.matmul(Uc, Cs.T, precision=hp) / (r - 1)
             cond_var = sigma2y_all - jnp.einsum(
-                "ns,st,nt->n", Sigma_ya, Sigma_aa_inv, Sigma_ya)
+                "ns,st,nt->n", Sigma_ya, Sigma_aa_inv, Sigma_ya,
+                precision=hp)
             return jnp.where(alive, cond_var, neg_inf), jnp.asarray(
                 1.0, dtype)
 

@@ -129,7 +129,8 @@ class SPR(ROM):
     def train(self, C, is_Theta: bool = False, limits=None,
               method: str = "OLS", solver: str = "ADMM", cond: bool = False,
               verbose: bool = False, admm_max_iter: int = 4000,
-              admm_tol: float = 1e-9, solver_config=None, constraints=None):
+              admm_tol: float = 1e-9, admm_over_relax: float = 1.6,
+              solver_config=None, constraints=None):
         """``limits=[min_per_feature, max_per_feature]`` is the reference's
         box; ``constraints`` (a
         :class:`openmeasure_tpu.linalg.boxls.LinearConstraints`, or a list to
@@ -141,6 +142,7 @@ class SPR(ROM):
         if solver_config is not None:
             admm_max_iter = solver_config.max_iter
             admm_tol = solver_config.tol
+            admm_over_relax = solver_config.over_relax
         if constraints is not None and isinstance(constraints, (list, tuple)) \
                 and not isinstance(constraints, _boxls.LinearConstraints):
             constraints = _boxls.concat_constraints(constraints)
@@ -165,6 +167,7 @@ class SPR(ROM):
         self.verbose = verbose
         self.admm_max_iter = admm_max_iter
         self.admm_tol = admm_tol
+        self.admm_over_relax = admm_over_relax
 
         if cond:
             if Theta.shape[0] == Theta.shape[1]:
@@ -247,17 +250,22 @@ class SPR(ROM):
 
         elif self.method == "COLS":
             hp = jax.lax.Precision.HIGHEST
+            # `limits` and `constraints` COMPOSE (same semantics as
+            # GPR.predict / ROM.CPOD): both given → one stacked set.
+            parts = []
             if getattr(self, "constraints", None) is not None:
-                A_c = _as_device(self.constraints.A)
-                lo = _as_device(self.constraints.lo)
-                hi = _as_device(self.constraints.hi)
-            elif self.limits is not None:
-                lo, hi = self.scale_limits(self.limits)
-                A_c = self.Ur
-            else:
+                parts.append(self.constraints)
+            if self.limits is not None:
+                lo_b, hi_b = self.scale_limits(self.limits)
+                parts.append(_boxls.LinearConstraints(self.Ur, lo_b, hi_b))
+            if not parts:
                 raise ValueError(
                     "method='COLS' requires physical `limits` (or a "
                     "`constraints` set) passed to train(C, ...).")
+            cs = parts[0] if len(parts) == 1 else \
+                _boxls.concat_constraints(parts)
+            A_c = _as_device(cs.A)
+            lo, hi = _as_device(cs.lo), _as_device(cs.hi)
             # One cheap panel pass for the exact Gram: Ur^T Ur == I only for
             # an unmasked POD basis (optimal_placement(mask=...) zeroes rows
             # destructively, reference sparse_sensing.py:737-738).
@@ -266,7 +274,8 @@ class SPR(ROM):
             def cols_one(w_i, y_i, lo_i, hi_i):
                 g, _ = _boxls.box_constrained_lstsq(
                     Theta, y_i, w_i, A_c, lo_i, hi_i, AtA=AtA,
-                    max_iter=self.admm_max_iter, tol=self.admm_tol)
+                    max_iter=self.admm_max_iter, tol=self.admm_tol,
+                    over_relax=getattr(self, "admm_over_relax", 1.6))
                 return g
             in_axes = (0, 0, 0 if jnp.ndim(lo) == 2 else None,
                        0 if jnp.ndim(hi) == 2 else None)

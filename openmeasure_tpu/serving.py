@@ -114,22 +114,27 @@ class SoftSensor:
         method = getattr(spr, "method", "OLS")
         kw = {}
         if method == "COLS":
+            from .linalg import boxls as _boxls
+            # `limits` and `constraints` COMPOSE, as in SPR.predict.
+            parts = []
             cs = getattr(spr, "constraints", None)
             if cs is not None:
-                if np.ndim(np.asarray(cs.lo)) == 2 or \
-                        np.ndim(np.asarray(cs.hi)) == 2:
-                    raise ValueError(
-                        "per-request batched constraint bounds cannot be "
-                        "baked into a serving model; use unbatched bounds.")
-                kw = dict(constraint_A=cs.A, constraint_lo=cs.lo,
-                          constraint_hi=cs.hi)
-            elif getattr(spr, "limits", None) is not None:
+                parts.append(cs)
+            if getattr(spr, "limits", None) is not None:
                 lo, hi = spr.scale_limits(spr.limits)
-                kw = dict(constraint_A=spr.Ur, constraint_lo=lo,
-                          constraint_hi=hi)
-            else:
+                parts.append(_boxls.LinearConstraints(spr.Ur, lo, hi))
+            if not parts:
                 raise ValueError(
                     "COLS model has neither limits nor constraints.")
+            stacked = parts[0] if len(parts) == 1 else \
+                _boxls.concat_constraints(parts)
+            if np.ndim(np.asarray(stacked.lo)) == 2 or \
+                    np.ndim(np.asarray(stacked.hi)) == 2:
+                raise ValueError(
+                    "per-request batched constraint bounds cannot be "
+                    "baked into a serving model; use unbatched bounds.")
+            kw = dict(constraint_A=stacked.A, constraint_lo=stacked.lo,
+                      constraint_hi=stacked.hi)
         return cls(spr.Ur, spr.Theta, cnt_sensors, scl_sensors,
                    X_cnt, X_scl, dtype, method=method,
                    admm_iters=admm_iters, **kw)
@@ -150,8 +155,15 @@ class SoftSensor:
         from .linalg import boxls as _boxls
         y0 = (y_values - self.cnt_sensors) / self.scl_sensors
         sig0 = y_sigma / self.scl_sensors
-        use_w = jnp.any(y_sigma != 0)
-        w = jnp.where(use_w, 1.0 / jnp.where(sig0 == 0, 1.0, sig0),
+        use_w = jnp.any(y_sigma > 0)
+        # Same weighting as SPR.predict (spr.py, documented deviation): a
+        # σ=0 entry inside an otherwise-weighted vector gets the LARGEST
+        # finite weight of the vector — exact measurements dominate — so
+        # SoftSensor.from_spr(spr).predict(y) reproduces spr.predict(y).
+        inv_sigma = jnp.where(sig0 > 0,
+                              1.0 / jnp.where(sig0 > 0, sig0, 1.0), 0.0)
+        w_max = jnp.max(inv_sigma)
+        w = jnp.where(use_w, jnp.where(sig0 > 0, inv_sigma, w_max),
                       jnp.ones_like(sig0))
         pinv_w = jnp.linalg.pinv(self.Theta * w[:, None])
         a_ols = jnp.where(use_w, pinv_w @ (w * y0), self._pinv @ y0)

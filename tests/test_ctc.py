@@ -184,6 +184,22 @@ class TestResample:
         assert np.median(diff) / rng_f < 0.02
         assert diff.max() / rng_f < 0.15
 
+    def test_linear_degenerate_cloud_falls_back_to_idw(self):
+        """A coplanar source cloud has no 3-D Delaunay triangulation;
+        method='linear' must warn and fall back to IDW instead of raising
+        scipy's QhullError (the pre-linear default handled such meshes)."""
+        rng = np.random.default_rng(5)
+        pts = rng.uniform(-1, 1, (400, 3))
+        pts[:, 2] = 0.25                       # planar slice mesh
+        f = pts[:, 0] + 2.0 * pts[:, 1]
+        X = f[:, None]
+        with pytest.warns(RuntimeWarning, match="degenerate"):
+            _, X_int, _ = resample_to_grid(pts, X, [6, 6, 2],
+                                           method="linear")
+        assert np.all(np.isfinite(X_int))
+        _, X_idw, _ = resample_to_grid(pts, X, [6, 6, 2], method="idw")
+        np.testing.assert_allclose(X_int, X_idw, rtol=1e-12, atol=1e-12)
+
     def test_dimension_arrays(self):
         pts = np.random.default_rng(1).uniform(0, 1, (500, 3))
         X = np.ones((500, 1))

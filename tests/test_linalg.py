@@ -91,6 +91,20 @@ class TestQRCP:
         expect[0, 3] = expect[1, 0] = expect[2, 2] = 1
         np.testing.assert_array_equal(C, expect)
 
+    def test_pallas_kernels_reject_k_beyond_direction_cap(self):
+        """The Pallas kernels lane-pad the accepted-directions block to 128
+        columns; k > 128 must raise (a silent cap would stop deflating past
+        column 127 and return wrong pivots).  The auto router falls back to
+        the jnp sweep instead."""
+        from openmeasure_tpu.linalg import qrcp_pallas as _pl
+        A = jnp.asarray(RNG.standard_normal((140, 400)), jnp.float32)
+        with pytest.raises(ValueError, match="k <= 128"):
+            _pl.qrcp_pivots_pallas(A, 130)
+        with pytest.raises(ValueError, match="k <= 128"):
+            _pl.qrcp_pivots_streamed(A, 130)
+        piv = np.asarray(_pl.qrcp_pivots_auto(A, 130))  # jnp fallback
+        assert piv.shape == (130,) and len(set(piv.tolist())) == 130
+
 
 class TestBoxQP:
     def _slsqp(self, H, c, A, lo, hi, x0):

@@ -178,6 +178,34 @@ class TestROM:
                            options={"maxiter": 500, "ftol": 1e-14})
             assert fun(G[i]) <= res.fun + 1e-8 * max(1.0, abs(res.fun))
 
+    def test_cpod_limits_and_constraints_compose(self):
+        """`limits` is NOT dropped when `constraints` is also given: both
+        stack into one set (same semantics as GPR.predict)."""
+        from openmeasure_tpu.linalg import boxls as _boxls
+        self.rom.fit(select_modes="number", n_modes=3)
+        Ur = np.asarray(self.rom.Ur)
+        pin_row = 4
+        limits = [np.array([0.2, 0.2]), np.array([0.8, 0.8])]
+        lo, hi = map(np.asarray, self.rom.scale_limits(limits))
+        # pin each snapshot to its box-only CPOD value at pin_row: the
+        # stacked problem is then guaranteed feasible (a tight box plus an
+        # arbitrary pin can be jointly infeasible in a 3-dim space)
+        self.rom.CPOD(limits=limits, max_iter=20000, tol=1e-12)
+        pins = Ur[pin_row] @ np.asarray(self.rom.Ar).T
+        cs = _boxls.LinearConstraints(Ur[pin_row][None, :],
+                                      pins[:, None], pins[:, None])
+        self.rom.CPOD(limits=limits, constraints=cs,
+                      max_iter=20000, tol=1e-12)
+        G = np.asarray(self.rom.Ar)
+        for i in range(G.shape[0]):
+            np.testing.assert_allclose(Ur[pin_row] @ G[i], pins[i],
+                                       atol=1e-5)
+            recon = Ur @ G[i]
+            # the box from `limits` still holds (it would not, were limits
+            # silently dropped when constraints is also given)
+            assert np.all(recon >= lo - 1e-4)
+            assert np.all(recon <= hi + 1e-4)
+
     def test_adaptive_sampling_shapes(self):
         rng = np.random.default_rng(3)
         P = rng.random((self.m, 2))

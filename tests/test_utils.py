@@ -151,8 +151,10 @@ class TestConfigLogging:
         C = np.asarray(spr.optimal_placement(
             config=PlacementConfig(calc_type="dg", n_sensors=5)))
         assert C.shape[0] == 5  # calc_type='qr' would give r=3 rows
-        spr.train(C, solver_config=SolverConfig(max_iter=123, tol=1e-7))
+        spr.train(C, solver_config=SolverConfig(max_iter=123, tol=1e-7,
+                                                over_relax=1.2))
         assert spr.admm_max_iter == 123 and spr.admm_tol == 1e-7
+        assert spr.admm_over_relax == 1.2
 
     def test_cokriging_config_threads_through(self):
         from openmeasure_tpu import CoKriging
@@ -243,6 +245,35 @@ class TestServing:
         sensor2 = SoftSensor.load(path, dtype=np.float64)
         np.testing.assert_allclose(np.asarray(sensor2(y[:, 0])), x_ref,
                                    rtol=1e-8, atol=1e-10)
+
+    def test_soft_sensor_weighted_zero_sigma_matches_spr(self):
+        """A σ=0 entry inside an otherwise-weighted vector must get the same
+        (largest-finite) weight in serving as in SPR.predict — the served
+        model reproduces the trained model's weighted solve exactly."""
+        import numpy as np
+        from openmeasure_tpu import SPR
+        from openmeasure_tpu.serving import SoftSensor
+        rng = np.random.default_rng(21)
+        X = rng.random((30, 6))
+        xyz = rng.random((15, 3))
+        spr = SPR(X, 2, xyz)
+        spr.fit(select_modes="number", n_modes=4)
+        C = np.asarray(spr.optimal_placement())
+        spr.train(C)
+        rows = np.argmax(C, axis=1)
+        y = np.zeros((4, 3))
+        y[:, 0] = X[rows, 1] + 0.01 * rng.standard_normal(4)
+        y[:, 1] = np.array([0.1, 0.0, 0.3, 0.2])   # one exact measurement
+        y[:, 2] = rows // 15
+        a_ref, s_ref = spr.predict(y)
+        x_ref = np.asarray(spr.reconstruct(a_ref))[:, 0]
+
+        sensor = SoftSensor.from_spr(spr, dtype=np.float64).warmup()
+        x, a, s = sensor.predict_full(y[:, 0], y[:, 1])
+        np.testing.assert_allclose(np.asarray(x), x_ref,
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref)[0],
+                                   rtol=1e-8, atol=1e-12)
 
     def test_soft_sensor_cols_limits_roundtrip(self, tmp_path):
         """Serving the constrained model: COLS SoftSensor matches
