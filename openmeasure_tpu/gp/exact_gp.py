@@ -96,10 +96,11 @@ class TrainResult(NamedTuple):
 
 @functools.partial(jax.jit,
                    static_argnames=("loss_fn", "lr", "max_iter",
-                                    "rel_error", "unroll"))
+                                    "rel_error", "unroll", "value_and_grad"))
 def adam_early_stop(loss_fn: Callable, params0: Dict, lr: float = 0.1,
                     max_iter: int = 1000, rel_error: float = 1e-5,
-                    verbose: bool = False, unroll: int = 4) -> TrainResult:
+                    verbose: bool = False, unroll: int = 4,
+                    value_and_grad: Optional[Callable] = None) -> TrainResult:
     """Minimize ``loss_fn(params) -> (B,) losses`` with Adam; per-model early
     stop when |Δloss_b| < rel_error (reference stopping rule,
     ``gpr.py:230``).  Converged models are frozen in place while the rest
@@ -115,6 +116,14 @@ def adam_early_stop(loss_fn: Callable, params0: Dict, lr: float = 0.1,
     or past convergence restore the old parameters, so trajectories,
     final losses, and iteration counts are bit-identical to ``unroll=1``
     (the torch-differential suite pins this).
+
+    ``value_and_grad(params) -> (losses (B,), grads pytree)`` overrides the
+    autodiff gradient: pass the closed-form oracle from
+    :func:`make_single_task_value_and_grad` to shrink the while_loop body
+    from ~200 autodiff HLOs to ~30 (the dispatch cost documented above is
+    per-op, so fewer ops = proportionally faster iterations).  Semantics are
+    identical — the oracle is pinned against autodiff in
+    ``tests/test_gp_engine.py``.
 
     ``verbose`` is accepted for signature parity but per-iteration printing
     happens at the caller after training (device host-callbacks are
@@ -135,8 +144,11 @@ def adam_early_stop(loss_fn: Callable, params0: Dict, lr: float = 0.1,
 
     def substep(state):
         params, opt_state, loss_old, conv, iters, j = state
-        (_, losses), grads = jax.value_and_grad(total_loss, has_aux=True)(
-            params)
+        if value_and_grad is None:
+            (_, losses), grads = jax.value_and_grad(
+                total_loss, has_aux=True)(params)
+        else:
+            losses, grads = value_and_grad(params)
         e = jnp.abs(losses - loss_old)
         active = j < max_iter
         conv_new = jnp.where(active, conv | (e <= rel_error), conv)
@@ -186,6 +198,149 @@ def make_single_task_loss(mean_spec, kernel_spec, likelihood_spec,
         noise = likelihood_spec.noise(params["likelihood"])
         lp = gp_log_prob(mean_spec, kernel_spec, params, noise, X, y)
         return -lp / p
+
+    def batched(params):
+        return jax.vmap(one)(params, Y)
+
+    return batched
+
+
+def make_single_task_value_and_grad(mean_spec, kernel_spec, likelihood_spec,
+                                    X: jax.Array, Y: jax.Array
+                                    ) -> Optional[Callable]:
+    """Closed-form (loss, gradient) oracle for the batched single-task −MLL.
+
+    Returns a function with the same contract as
+    ``jax.value_and_grad(sum ∘ make_single_task_loss)`` — ``params -> (losses
+    (B,), grads pytree)`` — but computed from the analytic marginal-likelihood
+    gradient ``∂lp/∂θ = ½ tr((ααᵀ − K⁻¹) ∂K/∂θ)`` instead of reverse-mode
+    autodiff.  Why: the reference's training loop (``gpr.py:220-251``) is a
+    per-iteration hot path; under ``adam_early_stop`` each iteration's cost on
+    TPU is per-op dispatch (~200 tiny HLOs for the autodiff pullback through
+    the Cholesky), and the closed form needs ~30 ops — the pairwise
+    squared-distance stack is parameter-independent and precomputed once.
+
+    Supported spec family (anything else returns ``None`` and the caller
+    falls back to autodiff): ``ZeroMean``/``ConstantMean``/``LinearMean`` ×
+    ``RBFKernel``/``MaternKernel``/``ScaleKernel(RBF|Matern)`` (ARD or
+    scalar lengthscale) × ``GaussianLikelihood``/
+    ``FixedNoiseGaussianLikelihood``.  Gradients match autodiff to fp
+    round-off, including the Matérn diagonal guard (zero gradient where
+    d² ≤ eps²) and the fixed-noise stop-gradient — pinned by
+    ``tests/test_gp_engine.py``.
+    """
+    from . import kernels as K
+
+    if isinstance(kernel_spec, K.ScaleKernel):
+        base, scaled = kernel_spec.base, True
+    else:
+        base, scaled = kernel_spec, False
+    if not isinstance(base, (K.RBFKernel, K.MaternKernel)):
+        return None
+    if not isinstance(mean_spec, (K.ZeroMean, K.ConstantMean, K.LinearMean)):
+        return None
+    if not isinstance(likelihood_spec, (K.GaussianLikelihood,
+                                        K.FixedNoiseGaussianLikelihood)):
+        return None
+
+    p = X.shape[0]
+    nls = base.ard_num_dims or 1
+    diff = X[:, None, :] - X[None, :, :]
+    if nls == 1:
+        D2 = jnp.sum(diff * diff, axis=-1)[None]     # (1, p, p)
+    else:
+        D2 = jnp.moveaxis(diff * diff, -1, 0)        # (d, p, p)
+    nu = getattr(base, "nu", None)                   # None → RBF
+    fixed_noise = isinstance(likelihood_spec, K.FixedNoiseGaussianLikelihood)
+    has_bias = getattr(mean_spec, "bias", False)
+    mean_kind = type(mean_spec).__name__
+    eye = jnp.eye(p)
+
+    def g_and_gprime(d2):
+        """Kernel profile g(d²) and its derivative dg/dd² — both smooth at
+        d²=0 for ν ∈ {1.5, 2.5} and RBF; the ν=0.5 derivative is guarded to
+        0 on the diagonal exactly as the autodiff path's where-guard is."""
+        if nu is None:
+            g = jnp.exp(-0.5 * d2)
+            return g, -0.5 * g
+        eps = jnp.asarray(jnp.finfo(d2.dtype).eps, d2.dtype) ** 2
+        safe = d2 > eps
+        r = jnp.sqrt(jnp.where(safe, d2, 1.0))
+        if nu == 0.5:
+            e = jnp.exp(-r)
+            g = jnp.where(safe, e, 1.0)
+            gp = jnp.where(safe, -e / (2.0 * r), 0.0)
+        elif nu == 1.5:
+            c = jnp.sqrt(3.0) * r
+            e = jnp.exp(-c)
+            g = jnp.where(safe, (1.0 + c) * e, 1.0)
+            gp = jnp.where(safe, -1.5 * e, 0.0)
+        else:
+            c = jnp.sqrt(5.0) * r
+            e = jnp.exp(-c)
+            g = jnp.where(safe, (1.0 + c + (5.0 / 3.0) * d2) * e, 1.0)
+            gp = jnp.where(safe, -(5.0 / 6.0) * (1.0 + c) * e, 0.0)
+        return g, gp
+
+    def one(params, y):
+        with jax.default_matmul_precision("highest"):
+            kp = params["kernel"]
+            base_p = kp["base"] if scaled else kp
+            raw_ls = base_p["raw_lengthscale"]          # (nls,)
+            ls = jax.nn.softplus(raw_ls)
+            inv_ls2 = 1.0 / (ls * ls)
+            d2 = jnp.tensordot(inv_ls2, D2, axes=([0], [0]))  # (p, p)
+            g, gp = g_and_gprime(d2)
+            if scaled:
+                s = jax.nn.softplus(kp["raw_outputscale"])
+                Km = s * g
+            else:
+                Km = g
+            noise = likelihood_spec.noise(params["likelihood"])
+            Kn = Km + eye * noise                       # scalar or diag vec
+            L = _chol_with_jitter(Kn)
+            mu = mean_spec(params["mean"], X)
+            resid = y - mu
+            alpha = jax.scipy.linalg.cho_solve((L, True), resid)
+            lp = (-0.5 * resid @ alpha
+                  - jnp.sum(jnp.log(jnp.diagonal(L)))
+                  - 0.5 * p * jnp.log(2.0 * jnp.pi))
+            loss = -lp / p
+
+            Kinv = jax.scipy.linalg.cho_solve((L, True), eye)
+            M = jnp.outer(alpha, alpha) - Kinv          # ∂lp/∂K = ½M
+            coeff = -0.5 / p                            # loss = −lp/p
+
+            sgp = (s * gp) if scaled else gp
+            t = jnp.tensordot(D2, M * sgp, axes=([1, 2], [0, 1]))  # (nls,)
+            grad_ls = (coeff * t * (-2.0 * inv_ls2 / ls)
+                       * jax.nn.sigmoid(raw_ls))
+            kgrad = {"raw_lengthscale": grad_ls}
+            if scaled:
+                kgrad = {"raw_outputscale":
+                         coeff * jnp.sum(M * g)
+                         * jax.nn.sigmoid(kp["raw_outputscale"]),
+                         "base": kgrad}
+
+            if fixed_noise:
+                lgrad = {"fixed_noise": jnp.zeros_like(
+                    params["likelihood"]["fixed_noise"])}
+            else:
+                lgrad = {"raw_noise":
+                         coeff * jnp.trace(M)
+                         * jax.nn.sigmoid(params["likelihood"]["raw_noise"])}
+
+            if mean_kind == "ZeroMean":
+                mgrad = {}
+            elif mean_kind == "ConstantMean":
+                mgrad = {"constant": -jnp.sum(alpha) / p}
+            else:                                       # LinearMean
+                mgrad = {"weights": -jnp.matmul(
+                    X.T, alpha, precision=jax.lax.Precision.HIGHEST) / p}
+                if has_bias:
+                    mgrad["bias"] = -jnp.sum(alpha) / p
+            return loss, {"mean": mgrad, "kernel": kgrad,
+                          "likelihood": lgrad}
 
     def batched(params):
         return jax.vmap(one)(params, Y)

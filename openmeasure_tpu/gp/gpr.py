@@ -184,9 +184,14 @@ class GPR(ROM):
             params0 = _stack_params(task0, self.r)
             loss_fn = E.make_single_task_loss(mean, kernel, likelihood,
                                               P0, Vr.T)
+            # closed-form gradient oracle for the standard spec family
+            # (None → autodiff fallback); same trajectories, ~6x fewer
+            # HLOs per training iteration
+            vag = E.make_single_task_value_and_grad(mean, kernel,
+                                                    likelihood, P0, Vr.T)
             res = E.adam_early_stop(loss_fn, params0, lr=lr,
                                     max_iter=max_iter, rel_error=rel_error,
-                                    verbose=verbose)
+                                    verbose=verbose, value_and_grad=vag)
             self.params = res.params
             self._final_loss = res.loss
             Vr_sigma = jax.vmap(
@@ -418,10 +423,12 @@ class GPR(ROM):
                 "fixed_noise": (Vr_sigma_tot ** 2).T}  # (r, p_tot)
             loss_fn = E.make_single_task_loss(self.mean, self.kernel, fixed,
                                               P0_tot, Vr_tot.T)
+            vag = E.make_single_task_value_and_grad(self.mean, self.kernel,
+                                                    fixed, P0_tot, Vr_tot.T)
             res = E.adam_early_stop(loss_fn, params0, lr=self.lr,
                                     max_iter=self.max_iter,
                                     rel_error=self.rel_error,
-                                    verbose=verbose)
+                                    verbose=verbose, value_and_grad=vag)
             self.params = res.params
             self.likelihood = fixed
             self.Vr_sigma = jax.vmap(

@@ -211,8 +211,10 @@ def sharded_gpr_train(mesh: Mesh, P0: jax.Array, Vr: jax.Array,
     Y = jax.device_put(jnp.asarray(Vr).T, NamedSharding(mesh, P("mode",
                                                                 None)))
     loss_fn = E.make_single_task_loss(mean, kernel, lik, jnp.asarray(P0), Y)
+    vag = E.make_single_task_value_and_grad(mean, kernel, lik,
+                                            jnp.asarray(P0), Y)
     return E.adam_early_stop(loss_fn, params0, lr=lr, max_iter=max_iter,
-                             rel_error=rel_error)
+                             rel_error=rel_error, value_and_grad=vag)
 
 
 def sharded_gp_train_step(mesh: Mesh, params, P0: jax.Array, Vr: jax.Array,

@@ -117,8 +117,9 @@ def gpr_end_to_end(
     params0 = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (r,) + x.shape), task0)
     loss_fn = E.make_single_task_loss(mean, kernel, lik, P0, Vr.T)
+    vag = E.make_single_task_value_and_grad(mean, kernel, lik, P0, Vr.T)
     res = E.adam_early_stop(loss_fn, params0, lr=lr, max_iter=max_iter,
-                            rel_error=rel_error)
+                            rel_error=rel_error, value_and_grad=vag)
 
     def post_one(tp, y):
         nz = lik.noise(tp["likelihood"])

@@ -159,3 +159,105 @@ class TestKrigingFormulas:
         resid = yn - Fn @ beta_ref
         np.testing.assert_allclose(float(sigma2),
                                    resid @ Ri @ resid / 15, rtol=1e-7)
+
+
+class TestClosedFormGradOracle:
+    """The closed-form (loss, grad) oracle that replaces autodiff in the
+    training hot path must match ``jax.value_and_grad`` of the autodiff loss
+    exactly, over the full supported spec family, and must leave the
+    trainer's trajectories unchanged."""
+
+    def _combos(self, d):
+        for mean in [K.ZeroMean(), K.ConstantMean(), K.LinearMean()]:
+            for kern in [K.RBFKernel(), K.MaternKernel(0.5),
+                         K.MaternKernel(1.5), K.MaternKernel(2.5),
+                         K.MaternKernel(2.5, ard_num_dims=d),
+                         K.ScaleKernel(K.MaternKernel(2.5)),
+                         K.ScaleKernel(K.RBFKernel())]:
+                for likname in ("gauss", "fixed"):
+                    yield mean, kern, likname
+
+    def test_matches_autodiff_over_spec_family(self):
+        import jax
+        rng = np.random.default_rng(0)
+        p, d, r = 17, 3, 4
+        X = jnp.asarray(rng.standard_normal((p, d)))
+        Y = jnp.asarray(rng.standard_normal((r, p)))
+        n_checked = 0
+        for mean, kern, likname in self._combos(d):
+            if likname == "gauss":
+                lik = K.GaussianLikelihood()
+                likp = {"raw_noise": jnp.asarray(0.3)}
+            else:
+                lik = K.FixedNoiseGaussianLikelihood()
+                likp = {"fixed_noise":
+                        jnp.asarray(rng.uniform(0.01, 0.1, (p,)))}
+            task = {"mean": mean.init_params(d),
+                    "kernel": kern.init_params(d), "likelihood": likp}
+            task = jax.tree_util.tree_map(
+                lambda x: x + jnp.asarray(rng.standard_normal(x.shape)) * 0.3,
+                task)
+            if likname == "fixed":
+                task["likelihood"]["fixed_noise"] = likp["fixed_noise"]
+            params = jax.tree_util.tree_map(
+                lambda x: jnp.stack([x + 0.05 * i for i in range(r)]), task)
+            if likname == "fixed":
+                params["likelihood"]["fixed_noise"] = jnp.stack(
+                    [likp["fixed_noise"]] * r)
+
+            loss_fn = E.make_single_task_loss(mean, kern, lik, X, Y)
+            vag = E.make_single_task_value_and_grad(mean, kern, lik, X, Y)
+            assert vag is not None
+
+            def total(pr, loss_fn=loss_fn):
+                return jnp.sum(loss_fn(pr)), loss_fn(pr)
+            (_, losses_ad), grads_ad = jax.value_and_grad(
+                total, has_aux=True)(params)
+            losses_cf, grads_cf = vag(params)
+            np.testing.assert_allclose(np.asarray(losses_cf),
+                                       np.asarray(losses_ad),
+                                       rtol=1e-12, atol=1e-12)
+            for ga, gc in zip(jax.tree_util.tree_leaves(grads_ad),
+                              jax.tree_util.tree_leaves(grads_cf)):
+                np.testing.assert_allclose(np.asarray(gc), np.asarray(ga),
+                                           rtol=1e-9, atol=1e-11)
+            n_checked += 1
+        assert n_checked == 42
+
+    def test_unsupported_specs_return_none(self):
+        X = jnp.zeros((5, 2))
+        Y = jnp.zeros((3, 5))
+        assert E.make_single_task_value_and_grad(
+            K.ConstantMean(), K.LinearKernel(), K.GaussianLikelihood(),
+            X, Y) is None
+        assert E.make_single_task_value_and_grad(
+            K.ConstantMean(), K.MaternKernel(2.5),
+            K.MultitaskGaussianLikelihood(3), X, Y) is None
+
+    def test_trainer_trajectory_identical_to_autodiff(self):
+        import jax
+        rng = np.random.default_rng(7)
+        p, d, r = 12, 2, 3
+        X = jnp.asarray(rng.standard_normal((p, d)))
+        Y = jnp.asarray(rng.standard_normal((r, p)))
+        mean, kern, lik = K.ConstantMean(), K.MaternKernel(2.5), \
+            K.GaussianLikelihood()
+        task0 = {"mean": mean.init_params(d), "kernel": kern.init_params(d),
+                 "likelihood": lik.init_params()}
+        params0 = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (r,) + x.shape), task0)
+        loss_fn = E.make_single_task_loss(mean, kern, lik, X, Y)
+        vag = E.make_single_task_value_and_grad(mean, kern, lik, X, Y)
+        res_ad = E.adam_early_stop(loss_fn, params0, lr=0.1, max_iter=60,
+                                   rel_error=1e-6)
+        res_cf = E.adam_early_stop(loss_fn, params0, lr=0.1, max_iter=60,
+                                   rel_error=1e-6, value_and_grad=vag)
+        np.testing.assert_array_equal(np.asarray(res_cf.iterations),
+                                      np.asarray(res_ad.iterations))
+        np.testing.assert_allclose(np.asarray(res_cf.loss),
+                                   np.asarray(res_ad.loss),
+                                   rtol=1e-10, atol=1e-12)
+        for a, c in zip(jax.tree_util.tree_leaves(res_ad.params),
+                        jax.tree_util.tree_leaves(res_cf.params)):
+            np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                       rtol=1e-8, atol=1e-10)
