@@ -55,17 +55,31 @@ def default_refine() -> int:
     return 1 if jax.default_backend() == "tpu" else 2
 
 
-@functools.partial(jax.jit, static_argnames=("refine", "canonicalize"))
+@functools.partial(jax.jit, static_argnames=("refine", "canonicalize",
+                                             "rank"))
 def svd_tall(
-    X0: jax.Array, refine: Optional[int] = None, canonicalize: bool = True
+    X0: jax.Array, refine: Optional[int] = None, canonicalize: bool = True,
+    rank: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Thin SVD of a tall matrix via the Gram route.
 
     Returns ``(U, S, Vt)`` with shapes matching
     ``np.linalg.svd(X0, full_matrices=False)`` for ``n >= m``.
+
+    ``rank=r`` truncates ONLY the final n-row products: the Gram,
+    eigendecompositions, and every rotation of ``V`` stay full-width (so the
+    top-r accuracy is identical to the untruncated path), but the last
+    ``B @ V2`` writes r columns instead of m and the normalization touches
+    an (n, r) panel — at 1.7M rows × 45 cols this saves ~3 full-width HBM
+    panel passes.  ``S`` still has all m values (from the final Gram's
+    eigenvalues, == the column norms to fp round-off), so explained-variance
+    truncation works unchanged; ``U`` has r columns.  Requires
+    ``canonicalize=False`` (sign canonicalization needs full U).
     """
     if refine is None:
         refine = default_refine()
+    if rank is not None and canonicalize:
+        raise ValueError("rank truncation requires canonicalize=False")
     n, m = X0.shape
     # TPU matmul precision: the first Gram runs at HIGH (3-pass bf16 —
     # ~8e-6 relative error, 1.3x faster than HIGHEST's 6-pass) because the
@@ -77,21 +91,40 @@ def svd_tall(
     G = jnp.matmul(X0.T, X0, precision=first)  # (m, m) — one panel pass
     evals, V = jnp.linalg.eigh(G)  # ascending
     V = V[:, ::-1]
+    S2 = evals[::-1]
 
-    B = jnp.matmul(X0, V, precision=hp)  # (n, m) — second panel pass
-    for _ in range(refine):
+    if refine == 0 and rank is not None:
+        B = jnp.matmul(X0, V[:, :rank], precision=hp)
+    else:
+        B = jnp.matmul(X0, V, precision=hp)  # (n, m) — second panel pass
+    for i in range(refine):
         # One orthogonal-iteration step: re-diagonalize B's Gram.  Recovers
         # float32 accuracy lost to condition-number squaring.
         G2 = jnp.matmul(B.T, B, precision=hp)
         e2, V2 = jnp.linalg.eigh(G2)
         V2 = V2[:, ::-1]
+        S2 = e2[::-1]
         V = jnp.matmul(V, V2, precision=hp)
+        if rank is not None and i == refine - 1:
+            V2 = V2[:, :rank]                # narrow only the final write
         B = jnp.matmul(B, V2, precision=hp)
 
-    S = jnp.linalg.norm(B, axis=0)
     eps = jnp.finfo(X0.dtype).eps
-    safe = jnp.maximum(S, eps * jnp.max(S) * n)
-    U = B / safe[None, :]
+    if rank is None:
+        S = jnp.linalg.norm(B, axis=0)
+        safe = jnp.maximum(S, eps * jnp.max(S) * n)
+        U = B / safe[None, :]
+    else:
+        # Normalize with the TRUE column norms of the truncated panel, not
+        # sqrt(eigenvalue): fp32 eigenvalues spread over cond² of X0, so a
+        # trailing mode's eigenvalue can be several % off while its column
+        # norm is exact to eps — normalizing by the former de-normalizes U
+        # (measured: flagship NRMSE 1e-6 → 6e-6).  The (n, rank) norm is one
+        # cheap narrow-panel reduction that XLA fuses with the divide.
+        colnorm = jnp.linalg.norm(B, axis=0)            # (rank,), exact
+        S = jnp.sqrt(jnp.maximum(S2, 0.0)).at[:rank].set(colnorm)
+        safe = jnp.maximum(colnorm, eps * jnp.max(colnorm) * n)
+        U = B / safe[None, :]
     Vt = V.T
     if canonicalize:
         U, Vt = _sign_canonicalize(U, Vt)

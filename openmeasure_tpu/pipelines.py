@@ -48,8 +48,8 @@ def spr_end_to_end(
     ``reconstruct(ap)``.
     """
     X0, cnt, scl = _scaling.scale_data(X_train, n_features, scale_type, 1)
-    U, S, _ = _svd.svd_tall(X0, refine=refine, canonicalize=False)
-    Ur = U[:, :r]
+    U, S, _ = _svd.svd_tall(X0, refine=refine, canonicalize=False, rank=r)
+    Ur = U
     exp_var = _svd.explained_variance(S)[:r]
 
     pivots = _qrcp_pl.qrcp_pivots_auto(Ur.T, r)
@@ -143,7 +143,6 @@ def pod_fit(
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Scale + truncated POD, jitted.  Returns (Ur, Ar, Sigma_r, cnt, scl)."""
     X0, cnt, scl = _scaling.scale_data(X_train, n_features, scale_type, 1)
-    U, S, Vt = _svd.svd_tall(X0, canonicalize=False)
-    Ur = U[:, :r]
+    U, S, Vt = _svd.svd_tall(X0, canonicalize=False, rank=r)
     Ar = (S[:r, None] * Vt[:r]).T
-    return Ur, Ar, S[:r], cnt, scl
+    return U, Ar, S[:r], cnt, scl

@@ -246,3 +246,27 @@ class TestPodFit:
             + np.asarray(cnt)[:, 0]
         x2 = np.asarray(rom.reconstruct(np.asarray(rom.Ar)[0]))[:, 0]
         np.testing.assert_allclose(x1, x2, rtol=1e-8, atol=1e-10)
+
+
+class TestSVDRankTruncation:
+    def test_rank_matches_full_path(self):
+        """rank=r narrows only the final n-row products: the top-r factors
+        must equal the untruncated path's to fp round-off, and S (from the
+        final Gram's eigenvalues) must match the column-norm S."""
+        X0 = RNG.standard_normal((300, 12))
+        for refine in (0, 1, 2):
+            Uf, Sf, Vtf = _svd.svd_tall(jnp.asarray(X0), refine=refine,
+                                        canonicalize=False)
+            Ur, Sr, Vtr = _svd.svd_tall(jnp.asarray(X0), refine=refine,
+                                        canonicalize=False, rank=5)
+            assert Ur.shape == (300, 5) and Sr.shape == (12,)
+            np.testing.assert_allclose(np.asarray(Ur), np.asarray(Uf)[:, :5],
+                                       rtol=1e-10, atol=1e-12)
+            np.testing.assert_allclose(np.asarray(Sr), np.asarray(Sf),
+                                       rtol=1e-9, atol=1e-12)
+            np.testing.assert_allclose(np.asarray(Vtr), np.asarray(Vtf),
+                                       rtol=1e-10, atol=1e-12)
+
+    def test_rank_with_canonicalize_raises(self):
+        with pytest.raises(ValueError, match="canonicalize"):
+            _svd.svd_tall(jnp.zeros((10, 4)), rank=2)
