@@ -229,37 +229,85 @@ def make_single_task_value_and_grad(mean_spec, kernel_spec, likelihood_spec,
     d² ≤ eps²) and the fixed-noise stop-gradient — pinned by
     ``tests/test_gp_engine.py``.
     """
+    core = _ClosedFormCore.build(mean_spec, kernel_spec, X)
     from . import kernels as K
-
-    if isinstance(kernel_spec, K.ScaleKernel):
-        base, scaled = kernel_spec.base, True
-    else:
-        base, scaled = kernel_spec, False
-    if not isinstance(base, (K.RBFKernel, K.MaternKernel)):
+    if core is None or not isinstance(
+            likelihood_spec, (K.GaussianLikelihood,
+                              K.FixedNoiseGaussianLikelihood)):
         return None
-    if not isinstance(mean_spec, (K.ZeroMean, K.ConstantMean, K.LinearMean)):
-        return None
-    if not isinstance(likelihood_spec, (K.GaussianLikelihood,
-                                        K.FixedNoiseGaussianLikelihood)):
-        return None
-
-    p = X.shape[0]
-    nls = base.ard_num_dims or 1
-    diff = X[:, None, :] - X[None, :, :]
-    if nls == 1:
-        D2 = jnp.sum(diff * diff, axis=-1)[None]     # (1, p, p)
-    else:
-        D2 = jnp.moveaxis(diff * diff, -1, 0)        # (d, p, p)
-    nu = getattr(base, "nu", None)                   # None → RBF
     fixed_noise = isinstance(likelihood_spec, K.FixedNoiseGaussianLikelihood)
-    has_bias = getattr(mean_spec, "bias", False)
-    mean_kind = type(mean_spec).__name__
-    eye = jnp.eye(p)
+    p = X.shape[0]
 
-    def g_and_gprime(d2):
+    def one(params, y):
+        with jax.default_matmul_precision("highest"):
+            noise = likelihood_spec.noise(params["likelihood"])
+            lp, lp_grads, trM = core.lp_and_grads(params, y, noise)
+            coeff = -1.0 / p                            # loss = −lp/p
+            if fixed_noise:
+                lgrad = {"fixed_noise": jnp.zeros_like(
+                    params["likelihood"]["fixed_noise"])}
+            else:
+                # ∂lp/∂noise = ½ tr(M) for scalar noise
+                lgrad = {"raw_noise":
+                         coeff * 0.5 * trM
+                         * jax.nn.sigmoid(params["likelihood"]["raw_noise"])}
+            grads = jax.tree_util.tree_map(lambda g: coeff * g, lp_grads)
+            grads["likelihood"] = lgrad
+            return -lp / p, grads
+
+    def batched(params):
+        return jax.vmap(one)(params, Y)
+
+    return batched
+
+
+class _ClosedFormCore:
+    """Per-task closed-form lp + ∂lp/∂(mean, kernel params) — the shared
+    engine behind the single-task and multitask gradient oracles.
+
+    ``lp_and_grads(task_params, y, noise)`` returns ``(lp, grads, trM)``
+    where ``grads = {"mean": ..., "kernel": ...}`` are UNNORMALIZED
+    ∂lp/∂θ (callers apply their own −1/p or −1/(p·r) scaling and derive the
+    noise gradient from ``trM = tr(ααᵀ − K⁻¹)``)."""
+
+    def __init__(self, mean_spec, base, scaled, nu, D2, X):
+        self.mean_spec = mean_spec
+        self.base = base
+        self.scaled = scaled
+        self.nu = nu
+        self.D2 = D2
+        self.X = X
+        self.p = X.shape[0]
+        self.eye = jnp.eye(self.p)
+        self.mean_kind = type(mean_spec).__name__
+        self.has_bias = getattr(mean_spec, "bias", False)
+
+    @classmethod
+    def build(cls, mean_spec, kernel_spec, X):
+        from . import kernels as K
+        if isinstance(kernel_spec, K.ScaleKernel):
+            base, scaled = kernel_spec.base, True
+        else:
+            base, scaled = kernel_spec, False
+        if not isinstance(base, (K.RBFKernel, K.MaternKernel)):
+            return None
+        if not isinstance(mean_spec,
+                          (K.ZeroMean, K.ConstantMean, K.LinearMean)):
+            return None
+        nls = base.ard_num_dims or 1
+        diff = X[:, None, :] - X[None, :, :]
+        if nls == 1:
+            D2 = jnp.sum(diff * diff, axis=-1)[None]     # (1, p, p)
+        else:
+            D2 = jnp.moveaxis(diff * diff, -1, 0)        # (d, p, p)
+        nu = getattr(base, "nu", None)                   # None → RBF
+        return cls(mean_spec, base, scaled, nu, D2, X)
+
+    def _g_and_gprime(self, d2):
         """Kernel profile g(d²) and its derivative dg/dd² — both smooth at
         d²=0 for ν ∈ {1.5, 2.5} and RBF; the ν=0.5 derivative is guarded to
         0 on the diagonal exactly as the autodiff path's where-guard is."""
+        nu = self.nu
         if nu is None:
             g = jnp.exp(-0.5 * d2)
             return g, -0.5 * g
@@ -282,70 +330,101 @@ def make_single_task_value_and_grad(mean_spec, kernel_spec, likelihood_spec,
             gp = jnp.where(safe, -(5.0 / 6.0) * (1.0 + c) * e, 0.0)
         return g, gp
 
-    def one(params, y):
+    def lp_and_grads(self, params, y, noise):
+        X, p, eye = self.X, self.p, self.eye
+        kp = params["kernel"]
+        base_p = kp["base"] if self.scaled else kp
+        raw_ls = base_p["raw_lengthscale"]              # (nls,)
+        ls = jax.nn.softplus(raw_ls)
+        inv_ls2 = 1.0 / (ls * ls)
+        d2 = jnp.tensordot(inv_ls2, self.D2, axes=([0], [0]))  # (p, p)
+        g, gp = self._g_and_gprime(d2)
+        if self.scaled:
+            s = jax.nn.softplus(kp["raw_outputscale"])
+            Km = s * g
+        else:
+            Km = g
+        Kn = Km + eye * noise                           # scalar or diag vec
+        L = _chol_with_jitter(Kn)
+        mu = self.mean_spec(params["mean"], X)
+        resid = y - mu
+        alpha = jax.scipy.linalg.cho_solve((L, True), resid)
+        lp = (-0.5 * resid @ alpha
+              - jnp.sum(jnp.log(jnp.diagonal(L)))
+              - 0.5 * p * jnp.log(2.0 * jnp.pi))
+
+        Kinv = jax.scipy.linalg.cho_solve((L, True), eye)
+        M = jnp.outer(alpha, alpha) - Kinv              # ∂lp/∂K = ½M
+
+        sgp = (s * gp) if self.scaled else gp
+        t = jnp.tensordot(self.D2, M * sgp, axes=([1, 2], [0, 1]))  # (nls,)
+        grad_ls = 0.5 * t * (-2.0 * inv_ls2 / ls) * jax.nn.sigmoid(raw_ls)
+        kgrad = {"raw_lengthscale": grad_ls}
+        if self.scaled:
+            kgrad = {"raw_outputscale":
+                     0.5 * jnp.sum(M * g)
+                     * jax.nn.sigmoid(kp["raw_outputscale"]),
+                     "base": kgrad}
+
+        if self.mean_kind == "ZeroMean":
+            mgrad = {}
+        elif self.mean_kind == "ConstantMean":
+            mgrad = {"constant": jnp.sum(alpha)}
+        else:                                           # LinearMean
+            mgrad = {"weights": jnp.matmul(
+                X.T, alpha, precision=jax.lax.Precision.HIGHEST)}
+            if self.has_bias:
+                mgrad["bias"] = jnp.sum(alpha)
+        return lp, {"mean": mgrad, "kernel": kgrad}, jnp.trace(M)
+
+
+def make_multitask_value_and_grad(mean_spec, kernel_spec,
+                                  likelihood_spec, X: jax.Array,
+                                  Y: jax.Array, added_loss_fn=None
+                                  ) -> Optional[Callable]:
+    """Closed-form (loss, gradient) oracle for the multitask −MLL
+    (:func:`make_multitask_loss` without an added-loss term): per-task
+    ``∂lp/∂θ`` from :class:`_ClosedFormCore`, plus the shared
+    global + per-task noise chain  ``noise_t = softplus(raw) + 1e-4 +
+    softplus(raw_task_t)`` → ``∂(Σlp)/∂raw = ½ Σ_t tr(M_t) σ(raw)``,
+    ``∂/∂raw_task_t = ½ tr(M_t) σ(raw_task_t)``.  Returns ``None`` for
+    unsupported specs or when ``added_loss_fn`` is given (the PIGPR path
+    differentiates through an arbitrary user callback — autodiff only).
+
+    Honest measurement (400 iters, p=41, r=14 tasks): 648 vs 1132 µs/iter
+    on CPU fp32 (where the conformance suite trains); 290 vs 297 µs/iter on
+    tunneled TPU v5e — the multitask joint's per-iter time there is not
+    dominated by the pullback the oracle removes.  Kept: strictly neutral-
+    to-faster, and trajectory-identical (pinned in tests)."""
+    if added_loss_fn is not None:
+        return None
+    if not isinstance(likelihood_spec, MultitaskGaussianLikelihood):
+        return None
+    core = _ClosedFormCore.build(mean_spec, kernel_spec, X)
+    if core is None:
+        return None
+    p, r = X.shape[0], Y.shape[1]
+
+    def joint(params):
         with jax.default_matmul_precision("highest"):
-            kp = params["kernel"]
-            base_p = kp["base"] if scaled else kp
-            raw_ls = base_p["raw_lengthscale"]          # (nls,)
-            ls = jax.nn.softplus(raw_ls)
-            inv_ls2 = 1.0 / (ls * ls)
-            d2 = jnp.tensordot(inv_ls2, D2, axes=([0], [0]))  # (p, p)
-            g, gp = g_and_gprime(d2)
-            if scaled:
-                s = jax.nn.softplus(kp["raw_outputscale"])
-                Km = s * g
-            else:
-                Km = g
-            noise = likelihood_spec.noise(params["likelihood"])
-            Kn = Km + eye * noise                       # scalar or diag vec
-            L = _chol_with_jitter(Kn)
-            mu = mean_spec(params["mean"], X)
-            resid = y - mu
-            alpha = jax.scipy.linalg.cho_solve((L, True), resid)
-            lp = (-0.5 * resid @ alpha
-                  - jnp.sum(jnp.log(jnp.diagonal(L)))
-                  - 0.5 * p * jnp.log(2.0 * jnp.pi))
-            loss = -lp / p
+            noises = likelihood_spec.noise(params["likelihood"])  # (r,)
+            lps, lp_grads, trMs = jax.vmap(
+                lambda tp, y, nz: core.lp_and_grads(tp, y, nz)
+            )(params["tasks"], Y.T, noises)
+            coeff = -1.0 / (p * r)
+            task_grads = jax.tree_util.tree_map(
+                lambda g: coeff * g, lp_grads)
+            lik = params["likelihood"]
+            lgrad = {"raw_noise":
+                     coeff * 0.5 * jnp.sum(trMs)
+                     * jax.nn.sigmoid(lik["raw_noise"]),
+                     "raw_task_noises":
+                     coeff * 0.5 * trMs
+                     * jax.nn.sigmoid(lik["raw_task_noises"])}
+            loss = -jnp.sum(lps) / (p * r)
+            return loss[None], {"tasks": task_grads, "likelihood": lgrad}
 
-            Kinv = jax.scipy.linalg.cho_solve((L, True), eye)
-            M = jnp.outer(alpha, alpha) - Kinv          # ∂lp/∂K = ½M
-            coeff = -0.5 / p                            # loss = −lp/p
-
-            sgp = (s * gp) if scaled else gp
-            t = jnp.tensordot(D2, M * sgp, axes=([1, 2], [0, 1]))  # (nls,)
-            grad_ls = (coeff * t * (-2.0 * inv_ls2 / ls)
-                       * jax.nn.sigmoid(raw_ls))
-            kgrad = {"raw_lengthscale": grad_ls}
-            if scaled:
-                kgrad = {"raw_outputscale":
-                         coeff * jnp.sum(M * g)
-                         * jax.nn.sigmoid(kp["raw_outputscale"]),
-                         "base": kgrad}
-
-            if fixed_noise:
-                lgrad = {"fixed_noise": jnp.zeros_like(
-                    params["likelihood"]["fixed_noise"])}
-            else:
-                lgrad = {"raw_noise":
-                         coeff * jnp.trace(M)
-                         * jax.nn.sigmoid(params["likelihood"]["raw_noise"])}
-
-            if mean_kind == "ZeroMean":
-                mgrad = {}
-            elif mean_kind == "ConstantMean":
-                mgrad = {"constant": -jnp.sum(alpha) / p}
-            else:                                       # LinearMean
-                mgrad = {"weights": -jnp.matmul(
-                    X.T, alpha, precision=jax.lax.Precision.HIGHEST) / p}
-                if has_bias:
-                    mgrad["bias"] = -jnp.sum(alpha) / p
-            return loss, {"mean": mgrad, "kernel": kgrad,
-                          "likelihood": lgrad}
-
-    def batched(params):
-        return jax.vmap(one)(params, Y)
-
-    return batched
+    return joint
 
 
 def make_multitask_loss(mean_spec, kernel_spec,

@@ -170,9 +170,19 @@ class GPR(ROM):
                 return loss_raw(
                     jax.tree_util.tree_map(lambda x: x[0], pb))
 
+            vag_raw = E.make_multitask_value_and_grad(mean, kernel,
+                                                      likelihood, P0, Vr)
+            if vag_raw is not None:
+                def vag(pb):
+                    losses, grads = vag_raw(
+                        jax.tree_util.tree_map(lambda x: x[0], pb))
+                    return losses, jax.tree_util.tree_map(
+                        lambda g: g[None], grads)
+            else:
+                vag = None
             res = E.adam_early_stop(loss_fn, params0_b, lr=lr,
                                     max_iter=max_iter, rel_error=rel_error,
-                                    verbose=verbose)
+                                    verbose=verbose, value_and_grad=vag)
             self.params = jax.tree_util.tree_map(lambda x: x[0], res.params)
             self._final_loss = res.loss
             # train-mode output.stddev == prior stddev per task

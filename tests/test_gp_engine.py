@@ -261,3 +261,36 @@ class TestClosedFormGradOracle:
                         jax.tree_util.tree_leaves(res_cf.params)):
             np.testing.assert_allclose(np.asarray(c), np.asarray(a),
                                        rtol=1e-8, atol=1e-10)
+
+    def test_multitask_oracle_matches_autodiff(self):
+        import jax
+        rng = np.random.default_rng(11)
+        p, d, r = 13, 2, 3
+        X = jnp.asarray(rng.standard_normal((p, d)))
+        Y = jnp.asarray(rng.standard_normal((p, r)))
+        mean, kern = K.ConstantMean(), K.MaternKernel(2.5)
+        lik = K.MultitaskGaussianLikelihood(num_tasks=r)
+        task = {"mean": mean.init_params(d), "kernel": kern.init_params(d)}
+        params = {
+            "tasks": jax.tree_util.tree_map(
+                lambda x: jnp.stack([x + 0.1 * i for i in range(r)]), task),
+            "likelihood": jax.tree_util.tree_map(
+                lambda x: x + 0.2, lik.init_params()),
+        }
+        loss_raw = E.make_multitask_loss(mean, kern, lik, X, Y)
+        vag = E.make_multitask_value_and_grad(mean, kern, lik, X, Y)
+        assert vag is not None
+        # PIGPR path (added loss) must fall back to autodiff
+        assert E.make_multitask_value_and_grad(
+            mean, kern, lik, X, Y, added_loss_fn=lambda p_: 0.0) is None
+
+        def total(pr):
+            return jnp.sum(loss_raw(pr)), loss_raw(pr)
+        (_, l_ad), g_ad = jax.value_and_grad(total, has_aux=True)(params)
+        l_cf, g_cf = vag(params)
+        np.testing.assert_allclose(np.asarray(l_cf), np.asarray(l_ad),
+                                   rtol=1e-12, atol=1e-12)
+        for a, c in zip(jax.tree_util.tree_leaves(g_ad),
+                        jax.tree_util.tree_leaves(g_cf)):
+            np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                       rtol=1e-9, atol=1e-11)
