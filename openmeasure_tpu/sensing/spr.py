@@ -7,8 +7,12 @@ API-parity re-implementation of the reference ``SPR``
   (``openmeasure_tpu.linalg.qrcp``) instead of LAPACK ``geqp3``;
 * ``optimal_placement('gem')`` → batched greedy entropy maximization
   (``openmeasure_tpu.sensing.gem``);
-* ``predict`` OLS path → batched pinv least squares, vmapped over a list of
-  measurement vectors (the reference loops in Python, ``:865-899``);
+* ``predict`` OLS path → batched float64 pinv least squares on HOST — the
+  reference's exact LAPACK op (``:877``) over the whole vector list at once
+  (the reference loops in Python, ``:865-899``).  Host-side because the
+  (s, r) systems are tiny but can be ill-conditioned (cond ~1e4-1e5 on
+  flame-scale placements), where an fp32 device pinv costs ~5e-4 field
+  NRMSE; the compiled fp32 fast paths are ``pipelines`` / ``serving``;
 * ``predict`` COLS path → on-device ADMM box-constrained LS
   (``openmeasure_tpu.linalg.boxls``) instead of CVXPY→Clarabel.
 
@@ -213,37 +217,42 @@ class SPR(ROM):
                                  " y has to have dimensions (s,3).")
 
         n_vec = len(y)
-        y0_stack = np.stack([self.scale_vector(np.asarray(yi)) for yi in y])
+        y0_np = np.stack([self.scale_vector(np.asarray(yi)) for yi in y])
         has_sigma = np.array([bool(np.any(np.asarray(yi)[:, 1])) for yi in y])
 
-        y0_stack = jnp.asarray(y0_stack)            # (n_vec, s, 2)
+        y0_stack = jnp.asarray(y0_np)               # (n_vec, s, 2)
         s = y0_stack.shape[1]
         # Weighted solve: W = diag(1/σ).  Deviation from the reference
         # (sparse_sensing.py:872): a σ=0 entry inside an otherwise-weighted
         # vector yields an infinite weight there (NaNs out of LAPACK pinv);
         # here an exact measurement gets the LARGEST finite weight of its
         # vector, so it dominates the solve without poisoning it.
-        inv_sigma = jnp.where(y0_stack[:, :, 1] > 0,
-                              1.0 / jnp.where(y0_stack[:, :, 1] > 0,
-                                              y0_stack[:, :, 1], 1.0),
-                              0.0)
-        w_max = jnp.max(inv_sigma, axis=1, keepdims=True)
-        w_weighted = jnp.where(y0_stack[:, :, 1] > 0, inv_sigma, w_max)
-        w = jnp.where(jnp.asarray(has_sigma)[:, None], w_weighted,
-                      jnp.ones((n_vec, s), dtype=y0_stack.dtype))
+        sig_np = y0_np[:, :, 1].astype(np.float64)
+        inv_sigma = np.where(sig_np > 0,
+                             1.0 / np.where(sig_np > 0, sig_np, 1.0), 0.0)
+        w_max = inv_sigma.max(axis=1, keepdims=True)
+        w_weighted = np.where(sig_np > 0, inv_sigma, w_max)
+        w_np = np.where(has_sigma[:, None], w_weighted,
+                        np.ones((n_vec, s)))
 
         Theta = self.Theta
 
-        # one pinv per vector serves both the sigma propagation and OLS
-        def pinv_paths(w_i, y_i, sig_i, use_w):
-            pinv = jnp.linalg.pinv(Theta * w_i[:, None])
-            ar = pinv @ (w_i * y_i)
-            ar_sigma = jnp.where(use_w, jnp.abs(pinv @ sig_i),
-                                 jnp.zeros(Theta.shape[1], dtype=y_i.dtype))
-            return ar, ar_sigma
-
-        Ar_ols, Ar_sigma = jax.vmap(pinv_paths)(
-            w, y0_stack[:, :, 0], y0_stack[:, :, 1], jnp.asarray(has_sigma))
+        # The eager pinv solve runs HOST-SIDE in float64 — exactly the
+        # reference's LAPACK op (sparse_sensing.py:877).  On TPU the fp32
+        # pinv of an ill-conditioned weighted Θ (cond ~1e4-1e5 on flame-
+        # scale placements) costs ~5e-4 field NRMSE (measured); these (s, r)
+        # systems are microseconds on host.  The compiled fp32 fast paths
+        # live in `pipelines` and `serving`, where latency matters.
+        Th64 = np.asarray(Theta, dtype=np.float64)
+        WT = Th64[None, :, :] * w_np[:, :, None]        # (n_vec, s, r)
+        pinvs = np.linalg.pinv(WT)                      # batched f64 pinv
+        ar_np = np.einsum("vrs,vs->vr", pinvs, w_np * y0_np[:, :, 0])
+        sig_prop = np.abs(np.einsum("vrs,vs->vr", pinvs, sig_np))
+        ar_sigma_np = np.where(has_sigma[:, None], sig_prop, 0.0)
+        dtype = np.asarray(Theta).dtype
+        Ar_ols = jnp.asarray(ar_np.astype(dtype))
+        Ar_sigma = jnp.asarray(ar_sigma_np.astype(dtype))
+        w = jnp.asarray(w_np.astype(dtype))
 
         if self.method == "OLS":
             Ar = Ar_ols

@@ -60,8 +60,12 @@ class SoftSensor:
                                    precision=jax.lax.Precision.HIGHEST)
         elif method != "OLS":
             raise NotImplementedError(f"serving method {method!r}")
-        # precompute the solve operator once (pinv for the general case)
-        self._pinv = jnp.linalg.pinv(self.Theta)
+        # precompute the solve operator once (pinv for the general case) —
+        # in float64 on host (construction-time, microseconds) so the stored
+        # fp32 operator carries no device-SVD error
+        self._pinv = jnp.asarray(
+            np.linalg.pinv(np.asarray(self.Theta, np.float64)).astype(
+                np.asarray(self.Theta).dtype))
         self._predict = jax.jit(self._predict_impl)
 
     # ------------------------------------------------------------------ #
@@ -153,6 +157,7 @@ class SoftSensor:
 
     def _predict_impl(self, y_values, y_sigma):
         from .linalg import boxls as _boxls
+        hp = jax.lax.Precision.HIGHEST
         y0 = (y_values - self.cnt_sensors) / self.scl_sensors
         sig0 = y_sigma / self.scl_sensors
         use_w = jnp.any(y_sigma > 0)
@@ -165,8 +170,24 @@ class SoftSensor:
         w_max = jnp.max(inv_sigma)
         w = jnp.where(use_w, jnp.where(sig0 > 0, inv_sigma, w_max),
                       jnp.ones_like(sig0))
-        pinv_w = jnp.linalg.pinv(self.Theta * w[:, None])
-        a_ols = jnp.where(use_w, pinv_w @ (w * y0), self._pinv @ y0)
+        # Weighted LS via QR + ONE iterative-refinement step, not pinv: the
+        # scaled per-feature sigmas make the weights span decades, so
+        # cond(WΘ) reaches ~1e5 even for a well-conditioned Θ, and the
+        # device fp32 SVD-route pinv then loses ~1% of the coefficients
+        # (measured on flame-scale: pinv 3.3 abs err, QR 0.40, QR+refine
+        # 5e-5 — fp32 round-off — vs the f64 solution; LAPACK-f64 parity
+        # for the eager API lives in SPR.predict).
+        WT = self.Theta * w[:, None]
+        Q, R = jnp.linalg.qr(WT)
+
+        def wsolve(rhs):
+            x = jax.scipy.linalg.solve_triangular(
+                R, jnp.matmul(Q.T, rhs, precision=hp), lower=False)
+            resid = rhs - jnp.matmul(WT, x, precision=hp)
+            return x + jax.scipy.linalg.solve_triangular(
+                R, jnp.matmul(Q.T, resid, precision=hp), lower=False)
+
+        a_ols = jnp.where(use_w, wsolve(w * y0), self._pinv @ y0)
         if self.method == "COLS":
             # tol=0 → the while_loop runs the full fixed budget: every
             # request compiles to the same instruction count (deterministic
@@ -176,7 +197,7 @@ class SoftSensor:
                 AtA=self._AtA, max_iter=self.admm_iters, tol=0.0)
         else:
             a = a_ols
-        a_sigma = jnp.where(use_w, jnp.abs(pinv_w @ sig0),
+        a_sigma = jnp.where(use_w, jnp.abs(wsolve(sig0)),
                             jnp.zeros(self.r, dtype=y0.dtype))
         x = (self.Ur @ a) * self.X_scl + self.X_cnt
         return x, a, a_sigma

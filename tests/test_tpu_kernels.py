@@ -41,3 +41,43 @@ def test_streamed_kernel_matches_jnp(shape, bn):
                                                block_cols=bn))
     piv_j = np.asarray(Q.qrcp_pivots(jnp.asarray(A), r))
     np.testing.assert_array_equal(piv_s, piv_j)
+
+
+def test_weighted_solve_accuracy_on_tpu():
+    """The device fp32 SVD-route pinv loses ~1% of the coefficients when the
+    scaled per-feature sigmas make cond(WΘ) ~1e5; both eager SPR.predict
+    (host f64 LAPACK) and SoftSensor (QR + one refinement step on device)
+    must stay at fp32 round-off of the f64 solution."""
+    from openmeasure_tpu import SPR
+    from openmeasure_tpu.serving import SoftSensor
+    from openmeasure_tpu.datasets.synthetic import make_flame_dataset
+
+    data = make_flame_dataset()
+    X = data["X_train"].astype(np.float32)
+    Xt = data["X_test"].astype(np.float32)
+    nf = data["n_features"]
+    spr = SPR(X, nf, data["xyz"])
+    spr.fit(select_modes="number", n_modes=14)
+    C = np.asarray(spr.optimal_placement())
+    spr.train(C)
+    rows = np.argmax(C, axis=1)
+    n_points = X.shape[0] // nf
+    y = np.zeros((14, 3), dtype=np.float32)
+    y[:, 0] = Xt[rows, 0]
+    y[:, 1] = 0.05
+    y[:, 2] = rows // n_points
+
+    Th64 = np.asarray(spr.Theta, np.float64)
+    cnt = np.asarray(spr.X_cnt, np.float64)[rows, 0]
+    scl = np.asarray(spr.X_scl, np.float64)[rows, 0]
+    y064 = (y[:, 0].astype(np.float64) - cnt) / scl
+    w64 = scl / 0.05                       # 1 / (sigma / scl)
+    a64 = np.linalg.pinv(Th64 * w64[:, None]) @ (w64 * y064)
+    scale = np.max(np.abs(a64))
+
+    a_spr, _ = spr.predict(y)
+    assert np.max(np.abs(np.asarray(a_spr)[0] - a64)) / scale < 1e-5
+
+    sensor = SoftSensor.from_spr(spr).warmup()
+    _, a_srv, _ = sensor.predict_full(y[:, 0], y[:, 1])
+    assert np.max(np.abs(np.asarray(a_srv, np.float64) - a64)) / scale < 1e-5
