@@ -80,13 +80,29 @@ ctc_sensor = SoftSensor.load(
     feature_ids=np.zeros(C_ctc.shape[0], int), admm_iters=400).warmup()
 assert ctc_sensor.method == "COLS"
 
+# Honest timing: force a host readback per request — on a tunneled device
+# nothing else synchronizes, so the per-request cost IS dominated by the
+# device round-trip.
 t0 = time.perf_counter()
 for j in (10, 11):
     pix = np.asarray(C_ctc @ X_ctc[:, j])     # streaming camera frames
-    vol = ctc_sensor(pix)                      # constrained 3D field
+    vol = np.asarray(ctc_sensor(pix))          # constrained 3D field
 dt = time.perf_counter() - t0
-vol = np.asarray(vol)
-print(f"CTC COLS serving: {dt/2*1e3:.2f} ms/frame; "
+print(f"CTC COLS serving: {dt/2*1e3:.2f} ms/frame (round-trip bound); "
       f"field range [{vol.min():.4f}, {vol.max():.4f}] (limits [0, 1]); "
       f"NRMSE {float(nrmse(vol, X_ctc[:, 11])):.3e}")
 assert vol.min() >= -1e-4 and vol.max() <= 1.0 + 1e-4
+
+# ---- batched frame stream: one dispatch per frame BLOCK ------------------
+# Per-request serving pays one dispatch + round-trip per frame; camera-rate
+# workloads should batch frames (measured on the tunneled v5e: 45.7 ->
+# 4.8 -> 1.15 ms/frame at batch 1 / 10 / 50).
+frames = np.stack([np.asarray(C_ctc @ X_ctc[:, j]) for j in range(10)])
+vols = np.asarray(ctc_sensor.predict_batch(frames)[0])   # compile
+t0 = time.perf_counter()
+vols = np.asarray(ctc_sensor.predict_batch(frames)[0])
+dtb = time.perf_counter() - t0
+print(f"CTC COLS batched serving: {dtb/10*1e3:.2f} ms/frame "
+      f"({10/dtb:.0f} frames/s) at batch=10")
+assert vols.shape == (10, X_ctc.shape[0])
+assert vols.min() >= -1e-4 and vols.max() <= 1.0 + 1e-4

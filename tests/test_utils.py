@@ -461,3 +461,68 @@ class TestCoKrigingCheckpoint:
                        np.zeros((2, 3)), np.zeros((2, 3)), 2)
         with _pytest.raises(ValueError):
             save_model(ck, str(tmp_path / "x"))
+
+
+class TestServingBatch:
+    def test_predict_batch_matches_per_request(self):
+        import numpy as np
+        from openmeasure_tpu import SPR
+        from openmeasure_tpu.serving import SoftSensor
+        rng = np.random.default_rng(5)
+        X = rng.random((30, 6))
+        xyz = rng.random((15, 3))
+        spr = SPR(X, 2, xyz)
+        spr.fit(select_modes="number", n_modes=4)
+        C = np.asarray(spr.optimal_placement())
+        spr.train(C)
+        rows = np.argmax(C, axis=1)
+        sensor = SoftSensor.from_spr(spr, dtype=np.float64).warmup()
+
+        B = 7
+        Yv = X[rows, :1].T + 0.02 * rng.standard_normal((B, 4))
+        Ys = np.abs(0.1 * rng.standard_normal((B, 4)))
+        Ys[2] = 0.0                              # one unweighted request
+        xb, ab, sb = sensor.predict_batch(Yv, Ys)
+        assert xb.shape == (B, 30) and ab.shape == (B, 4)
+        for i in range(B):
+            xi, ai, si = sensor.predict_full(Yv[i], Ys[i])
+            np.testing.assert_allclose(np.asarray(xb[i]), np.asarray(xi),
+                                       rtol=1e-10, atol=1e-12)
+            np.testing.assert_allclose(np.asarray(sb[i]), np.asarray(si),
+                                       rtol=1e-10, atol=1e-12)
+
+    def test_predict_batch_cols(self):
+        import numpy as np
+        from openmeasure_tpu import SPR
+        from openmeasure_tpu.serving import SoftSensor
+        rng = np.random.default_rng(6)
+        X = rng.random((30, 6))
+        xyz = rng.random((15, 3))
+        spr = SPR(X, 2, xyz)
+        spr.fit(select_modes="number", n_modes=3)
+        C = np.asarray(spr.optimal_placement())
+        limits = [np.array([-0.4, -0.4]), np.array([1.3, 1.3])]
+        spr.train(C, method="COLS", limits=limits, admm_max_iter=2000)
+        rows = np.argmax(C, axis=1)
+        sensor = SoftSensor.from_spr(spr, dtype=np.float64,
+                                     admm_iters=2000)
+        Yv = 3.0 * X[rows, :2].T
+        xb, ab, _ = sensor.predict_batch(Yv)
+        for i in range(2):
+            xi = np.asarray(sensor(Yv[i]))
+            np.testing.assert_allclose(np.asarray(xb[i]), xi,
+                                       rtol=1e-8, atol=1e-9)
+        assert np.asarray(xb)[:, :15].max() <= 1.3 + 1e-5
+
+    def test_predict_batch_validates_shape(self):
+        import numpy as np
+        import pytest as _pytest
+        from openmeasure_tpu import SPR
+        from openmeasure_tpu.serving import SoftSensor
+        rng = np.random.default_rng(7)
+        spr = SPR(rng.random((30, 6)), 2, rng.random((15, 3)))
+        spr.fit(select_modes="number", n_modes=4)
+        spr.train(np.asarray(spr.optimal_placement()))
+        sensor = SoftSensor.from_spr(spr)
+        with _pytest.raises(ValueError, match="batch"):
+            sensor.predict_batch(np.zeros((5,)))
