@@ -88,7 +88,8 @@ _ARRAY_ATTRS = [
 ]
 _META_ATTRS = ["r", "n_features", "n_points", "scale_type", "method",
                "solver", "gpr_type", "d", "max_iter", "rel_error", "lr",
-               "scaleX_type", "scaleP_type", "admm_max_iter", "admm_tol"]
+               "scaleX_type", "scaleP_type", "admm_max_iter", "admm_tol",
+               "admm_over_relax"]
 
 
 def save_model(obj, path: str, include_data: bool = False,
@@ -311,6 +312,8 @@ def load_model(path: str):
         obj.verbose = False
         obj.admm_max_iter = 4000
         obj.admm_tol = 1e-9
+    if cls_name == "SPR" and not hasattr(obj, "admm_over_relax"):
+        obj.admm_over_relax = 1.6   # checkpoints from before the knob
 
     if "C_sparse_shape" in meta:
         import scipy.sparse as sp
