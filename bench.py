@@ -102,29 +102,33 @@ def main():
         rt_times.append(time.perf_counter() - t0)
     roundtrip = float(np.median(rt_times))
 
-    def timed_loop(k, reps=5):
-        _ = float(bench_loop(X_train, X_test, k))  # warmup/compile
-        ts = []
+    # Two-point slope: time the chained loop at K and 2K iterations and
+    # difference them — the per-call fixed cost (tunnel round-trip, ~27-55
+    # ms and DRIFTING between runs) cancels instead of being estimated,
+    # which previously could exceed the K-amortized loop time and clamp
+    # the result to 0.  The K and 2K runs are INTERLEAVED in adjacent
+    # pairs so slow drift lands inside a pair and cancels; the median
+    # over pairs rejects the occasional latency spike.
+    def slope_per_iter(loop_fn, k, reps=5):
+        _ = loop_fn(k)          # warmup/compile both shapes
+        _ = loop_fn(2 * k)
+        diffs = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            nv = float(bench_loop(X_train, X_test, k))
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts)), nv
+            _ = loop_fn(k)
+            t1 = time.perf_counter()
+            _ = loop_fn(2 * k)
+            t2 = time.perf_counter()
+            diffs.append((t2 - t1) - (t1 - t0))
+        return max(float(np.median(diffs)) / k, 1e-9)
 
-    # Two-point slope: time the chained loop at K and 2K iterations and
-    # difference them — the tunnel round-trip (and any other fixed per-call
-    # cost) cancels EXACTLY instead of being estimated.  The tunnel's
-    # round-trip drifts 27-55 ms between runs, which previously could
-    # exceed the K-amortized loop time and clamp the result to 0.
-    tK, nrmse_val = timed_loop(K)
-    t2K, _ = timed_loop(2 * K)
-    our_time = max((t2K - tK) / K, 1e-9)
+    our_time = slope_per_iter(
+        lambda k: float(bench_loop(X_train, X_test, k)), K)
     # Accuracy is measured on an UNCHAINED call: fusing the iteration-
     # serializing perturbation into the loop body changes how XLA compiles
     # the scale+Gram region and degrades the computed NRMSE ~5x (measured
     # 1.28e-6 single vs 6.2e-6 chained) — the chained value is a timing
     # artifact, not the pipeline's accuracy.
-    del nrmse_val
     our_nrmse = float(spr_end_to_end(X_train, X_test, n_features, R).nrmse)
 
     # --- 3D scale (reference pyvista_doc: 191,511 cells x 9 features = 1.7M
@@ -142,16 +146,8 @@ def main():
             return res.nrmse.astype(jnp.float32)
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
-    def timed_loop_3d(k):
-        _ = float(bench_loop_3d(X3, X3t, k))   # warmup/compile
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _ = float(bench_loop_3d(X3, X3t, k))
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
-
-    t3d = max((timed_loop_3d(2 * K3) - timed_loop_3d(K3)) / K3, 1e-9)
+    t3d = slope_per_iter(
+        lambda k: float(bench_loop_3d(X3, X3t, k)), K3, reps=3)
     nrmse_3d = float(spr_end_to_end(X3, X3t, 9, R).nrmse)  # unchained
 
     # --- GPR ROM pipeline (second model family): full fit + 1000-iteration

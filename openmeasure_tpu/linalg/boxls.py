@@ -89,6 +89,34 @@ def concat_constraints(parts) -> LinearConstraints:
     return LinearConstraints(A=A, lo=lo, hi=hi)
 
 
+def build_constraint_set(constraints=None, box=None):
+    """Compose a user `constraints` argument (a :class:`LinearConstraints`,
+    a raw (A, lo, hi) tuple, or a list of either) with an optional scaled
+    physical `box` part into ONE stacked set.
+
+    This is the single implementation of the "`limits` and `constraints`
+    compose" contract shared by ``ROM.CPOD``, ``SPR.predict`` (COLS), and
+    ``SoftSensor.from_spr`` — both given means both enforced, never a
+    silent drop.  Returns ``(cs, box_only)`` where ``box_only`` is True
+    when the set is exactly the box part (callers can then reuse an
+    already-computed operator Gram), or ``(None, False)`` when neither
+    argument was given.
+    """
+    parts = []
+    if constraints is not None:
+        if isinstance(constraints, (list, tuple)) and not isinstance(
+                constraints, LinearConstraints):
+            parts.extend(LinearConstraints(*c) for c in constraints)
+        else:
+            parts.append(LinearConstraints(*constraints))
+    if box is not None:
+        parts.append(LinearConstraints(*box))
+    if not parts:
+        return None, False
+    cs = parts[0] if len(parts) == 1 else concat_constraints(parts)
+    return cs, constraints is None
+
+
 @functools.partial(jax.jit, static_argnames=("max_iter",))
 def admm_box_qp(
     H: jax.Array,

@@ -111,12 +111,17 @@ class CoKriging:
         Z0r_hf = Zr_hf - jnp.mean(Zr_hf, axis=1, keepdims=True)
         Z0r_lf_l = Zr_lf_l - jnp.mean(Zr_lf_l, axis=1, keepdims=True)
 
-        # Scaled Procrustes: rotation + isotropic scale of LF onto HF scores
-        Ua, Sa, Vat = jnp.linalg.svd(Z0r_lf_l @ Z0r_hf.T,
-                                     full_matrices=False)
-        sr = jnp.sum(Sa) / jnp.trace(Z0r_lf_l @ Z0r_lf_l.T)
-        Qr = Vat.T @ Ua.T
-        Zr_aligned = sr * Qr @ Zr_lf
+        # Scaled Procrustes: rotation + isotropic scale of LF onto HF
+        # scores.  Full fp32 products regardless of the ambient matmul-
+        # precision default (alignment fidelity sets prediction accuracy).
+        hp = jax.lax.Precision.HIGHEST
+        Ua, Sa, Vat = jnp.linalg.svd(
+            jnp.matmul(Z0r_lf_l, Z0r_hf.T, precision=hp),
+            full_matrices=False)
+        sr = jnp.sum(Sa) / jnp.trace(
+            jnp.matmul(Z0r_lf_l, Z0r_lf_l.T, precision=hp))
+        Qr = jnp.matmul(Vat.T, Ua.T, precision=hp)
+        Zr_aligned = sr * jnp.matmul(Qr, Zr_lf, precision=hp)
 
         self.n_latent = int(Zr_aligned.shape[0])
         self.Zr_aligned = Zr_aligned
@@ -172,8 +177,9 @@ class CoKriging:
         # n_truncated < n_latent (cokriging.py:135); use the first
         # n_truncated columns — the evidently intended truncation.
         Ur = self.Ur_hf[:, :n_truncated]
-        Y0_pred = Ur @ jnp.asarray(Z_pred)
-        Y0_mse = Ur @ jnp.asarray(Z_mse)
+        hp = jax.lax.Precision.HIGHEST
+        Y0_pred = jnp.matmul(Ur, jnp.asarray(Z_pred), precision=hp)
+        Y0_mse = jnp.matmul(Ur, jnp.asarray(Z_mse), precision=hp)
         Y_pred = self.rom_hf.unscale_data(Y0_pred)
         Y_mse = self.rom_hf.unscale_data(Y0_mse)
         return np.asarray(Y_pred), np.asarray(Y_mse)

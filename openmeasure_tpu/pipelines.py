@@ -130,7 +130,8 @@ def gpr_end_to_end(
 
     A_pred = V_pred * Sigma_r[None, :]
     A_sigma = V_sigma * Sigma_r[None, :]
-    X_rec = (Ur @ A_pred.T) * scl + cnt
+    X_rec = jnp.matmul(Ur, A_pred.T,
+                       precision=jax.lax.Precision.HIGHEST) * scl + cnt
     err = X_rec - X_test
     nrmse = jnp.sqrt(jnp.mean(err * err)) / (
         jnp.max(X_test) - jnp.min(X_test))

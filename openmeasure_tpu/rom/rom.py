@@ -52,7 +52,8 @@ def apply_sampling(sampling, M):
             return sampling @ _as_device(M)
     except ImportError:  # pragma: no cover
         pass
-    return _as_device(sampling) @ _as_device(M)
+    return jnp.matmul(_as_device(sampling), _as_device(M),
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 class ROM:
@@ -159,13 +160,14 @@ class ROM:
         """``X_rec = Ur @ Arᵀ`` (optionally sampled), unscaled column-wise in
         one fused pass."""
         Ar = _as_device(Ar)
+        hp = jax.lax.Precision.HIGHEST   # bf16 operands alone cost ~1e-4
         if Ar.ndim < 2:
             Ar = Ar[None, :]
         if sampling is not None:
             SUr = apply_sampling(sampling, self.Ur)
-            X_rec = SUr @ Ar.T
+            X_rec = jnp.matmul(SUr, Ar.T, precision=hp)
             return self.unscale_data(X_rec, sampling)
-        X_rec = self.Ur @ Ar.T
+        X_rec = jnp.matmul(self.Ur, Ar.T, precision=hp)
         return _scaling.unscale_data(X_rec, self.X_cnt, self.X_scl)
 
     # ------------------------------------------------------------------ #
@@ -212,29 +214,21 @@ class ROM:
             # masked placement zeroes rows of Ur destructively).
             H = jnp.matmul(Ur.T, Ur, precision=hp)
 
-            # `limits` and `constraints` COMPOSE (same semantics as
-            # GPR.predict): both given → one stacked set, so the physical
-            # box is never silently dropped.
-            parts = []
-            if constraints is not None:
-                if isinstance(constraints, (list, tuple)) and not isinstance(
-                        constraints, _boxls.LinearConstraints):
-                    parts.extend(_boxls.LinearConstraints(*c)
-                                 for c in constraints)
-                else:
-                    parts.append(_boxls.LinearConstraints(*constraints))
+            # `limits` and `constraints` COMPOSE (single shared contract:
+            # linalg.boxls.build_constraint_set) — both given → one stacked
+            # set, the physical box is never silently dropped.
+            box = None
             if limits is not None:
                 lo_b, hi_b = self.scale_limits(limits)
-                parts.append(_boxls.LinearConstraints(Ur, lo_b, hi_b))
-            if not parts:
+                box = (Ur, lo_b, hi_b)
+            cs, box_only = _boxls.build_constraint_set(constraints, box)
+            if cs is None:
                 raise ValueError(
                     "CPOD requires `limits`, `constraints`, or a solver_fn.")
-            if len(parts) == 1 and limits is not None:
-                A_c, lo, hi = Ur, parts[0].lo, parts[0].hi
+            if box_only:
+                A_c, lo, hi = Ur, cs.lo, cs.hi
                 AtA = H                      # box-only: reuse the Ur Gram
             else:
-                cs = parts[0] if len(parts) == 1 else \
-                    _boxls.concat_constraints(parts)
                 A_c = _as_device(cs.A)
                 lo, hi = _as_device(cs.lo), _as_device(cs.hi)
                 AtA = jnp.matmul(A_c.T, A_c, precision=hp)

@@ -259,20 +259,18 @@ class SPR(ROM):
 
         elif self.method == "COLS":
             hp = jax.lax.Precision.HIGHEST
-            # `limits` and `constraints` COMPOSE (same semantics as
-            # GPR.predict / ROM.CPOD): both given → one stacked set.
-            parts = []
-            if getattr(self, "constraints", None) is not None:
-                parts.append(self.constraints)
+            # `limits` and `constraints` COMPOSE (single shared contract:
+            # linalg.boxls.build_constraint_set, as in ROM.CPOD).
+            box = None
             if self.limits is not None:
                 lo_b, hi_b = self.scale_limits(self.limits)
-                parts.append(_boxls.LinearConstraints(self.Ur, lo_b, hi_b))
-            if not parts:
+                box = (self.Ur, lo_b, hi_b)
+            cs, _ = _boxls.build_constraint_set(
+                getattr(self, "constraints", None), box)
+            if cs is None:
                 raise ValueError(
                     "method='COLS' requires physical `limits` (or a "
                     "`constraints` set) passed to train(C, ...).")
-            cs = parts[0] if len(parts) == 1 else \
-                _boxls.concat_constraints(parts)
             A_c = _as_device(cs.A)
             lo, hi = _as_device(cs.lo), _as_device(cs.hi)
             # One cheap panel pass for the exact Gram: Ur^T Ur == I only for

@@ -40,7 +40,7 @@ class SoftSensor:
     def __init__(self, Ur, Theta, cnt_sensors, scl_sensors, X_cnt, X_scl,
                  dtype=jnp.float32, method: str = "OLS",
                  constraint_A=None, constraint_lo=None, constraint_hi=None,
-                 admm_iters: int = 300):
+                 admm_iters: int = 300, admm_over_relax: float = 1.6):
         self.Ur = jnp.asarray(Ur, dtype)
         self.Theta = jnp.asarray(Theta, dtype)
         self.cnt_sensors = jnp.asarray(cnt_sensors, dtype)
@@ -51,6 +51,7 @@ class SoftSensor:
         self.s = self.Theta.shape[0]
         self.method = method
         self.admm_iters = admm_iters
+        self.admm_over_relax = admm_over_relax
         if method == "COLS":
             if constraint_A is None or constraint_lo is None \
                     or constraint_hi is None:
@@ -124,19 +125,17 @@ class SoftSensor:
         kw = {}
         if method == "COLS":
             from .linalg import boxls as _boxls
-            # `limits` and `constraints` COMPOSE, as in SPR.predict.
-            parts = []
-            cs = getattr(spr, "constraints", None)
-            if cs is not None:
-                parts.append(cs)
+            # `limits` and `constraints` COMPOSE (single shared contract:
+            # linalg.boxls.build_constraint_set, as in SPR.predict).
+            box = None
             if getattr(spr, "limits", None) is not None:
                 lo, hi = spr.scale_limits(spr.limits)
-                parts.append(_boxls.LinearConstraints(spr.Ur, lo, hi))
-            if not parts:
+                box = (spr.Ur, lo, hi)
+            stacked, _ = _boxls.build_constraint_set(
+                getattr(spr, "constraints", None), box)
+            if stacked is None:
                 raise ValueError(
                     "COLS model has neither limits nor constraints.")
-            stacked = parts[0] if len(parts) == 1 else \
-                _boxls.concat_constraints(parts)
             if np.ndim(np.asarray(stacked.lo)) == 2 or \
                     np.ndim(np.asarray(stacked.hi)) == 2:
                 raise ValueError(
@@ -146,7 +145,9 @@ class SoftSensor:
                       constraint_hi=stacked.hi)
         return cls(spr.Ur, spr.Theta, cnt_sensors, scl_sensors,
                    X_cnt, X_scl, dtype, method=method,
-                   admm_iters=admm_iters, **kw)
+                   admm_iters=admm_iters,
+                   admm_over_relax=getattr(spr, "admm_over_relax", 1.6),
+                   **kw)
 
     @classmethod
     def load(cls, path: str, feature_ids=None, dtype=jnp.float32,
@@ -184,6 +185,18 @@ class SoftSensor:
         # for the eager API lives in SPR.predict).
         WT = self.Theta * w[:, None]
         Q, R = jnp.linalg.qr(WT)
+        # Rank-deficiency guard: a masked placement can zero Ur rows
+        # destructively and leave Theta singular; a zero on R's diagonal
+        # would turn the triangular solves into NaN where pinv returned the
+        # least-norm solution.  Floor the diagonal at eps-level — the
+        # served solution is then a bounded REGULARIZED one (documented
+        # deviation; the eager SPR.predict keeps exact f64 pinv semantics).
+        d = jnp.diagonal(R)
+        floor = (jnp.maximum(jnp.max(jnp.abs(d)), 1.0)
+                 * jnp.finfo(d.dtype).eps * WT.shape[0])
+        d_safe = jnp.where(jnp.abs(d) < floor,
+                           jnp.where(d < 0, -floor, floor), d)
+        R = R + jnp.diag(d_safe - d)
 
         def wsolve(rhs):
             x = jax.scipy.linalg.solve_triangular(
@@ -199,12 +212,14 @@ class SoftSensor:
             # latency), and the budget is the accuracy knob.
             a, _ = _boxls.box_constrained_lstsq(
                 self.Theta, y0, w, self._A_c, self._lo, self._hi,
-                AtA=self._AtA, max_iter=self.admm_iters, tol=0.0)
+                AtA=self._AtA, max_iter=self.admm_iters, tol=0.0,
+                over_relax=self.admm_over_relax)
         else:
             a = a_ols
         a_sigma = jnp.where(use_w, jnp.abs(wsolve(sig0)),
                             jnp.zeros(self.r, dtype=y0.dtype))
-        x = (self.Ur @ a) * self.X_scl + self.X_cnt
+        x = jnp.matmul(self.Ur, a, precision=hp) * self.X_scl \
+            + self.X_cnt
         return x, a, a_sigma
 
     def predict_full(self, y_values, y_sigma=None

@@ -526,3 +526,36 @@ class TestServingBatch:
         sensor = SoftSensor.from_spr(spr)
         with _pytest.raises(ValueError, match="batch"):
             sensor.predict_batch(np.zeros((5,)))
+
+
+class TestServingRobustness:
+    def test_weighted_request_on_rank_deficient_theta_is_finite(self):
+        """A masked placement can leave Theta singular; the QR-based
+        weighted solve must return finite (regularized) output, not NaN."""
+        import numpy as np
+        from openmeasure_tpu.serving import SoftSensor
+        rng = np.random.default_rng(12)
+        n, r, s = 30, 3, 4
+        Ur, _ = np.linalg.qr(rng.standard_normal((n, r)))
+        Theta = Ur[:s].copy()
+        Theta[:, 2] = Theta[:, 1]        # exactly rank-deficient
+        sensor = SoftSensor(Ur, Theta, np.zeros(s), np.ones(s),
+                            np.zeros(n), np.ones(n), dtype=np.float64)
+        x, a, sig = sensor.predict_full(rng.standard_normal(s),
+                                        0.1 * np.ones(s))
+        assert np.all(np.isfinite(np.asarray(x)))
+        assert np.all(np.isfinite(np.asarray(sig)))
+
+    def test_over_relax_carries_into_serving(self):
+        import numpy as np
+        from openmeasure_tpu import SPR
+        from openmeasure_tpu.serving import SoftSensor
+        rng = np.random.default_rng(13)
+        spr = SPR(rng.random((30, 6)), 2, rng.random((15, 3)))
+        spr.fit(select_modes="number", n_modes=3)
+        C = np.asarray(spr.optimal_placement())
+        spr.train(C, method="COLS",
+                  limits=[np.array([-1.0, -1.0]), np.array([2.0, 2.0])],
+                  admm_over_relax=1.3)
+        sensor = SoftSensor.from_spr(spr)
+        assert sensor.admm_over_relax == 1.3
