@@ -234,15 +234,17 @@ class ROM:
                 AtA = jnp.matmul(A_c.T, A_c, precision=hp)
 
             def solve_one(x0_col, lo_i, hi_i):
-                g, _ = _boxls.admm_box_qp(
+                return _boxls.admm_box_qp(
                     H, jnp.matmul(Ur.T, x0_col, precision=hp), A_c,
                     lo_i, hi_i, AtA=AtA, max_iter=max_iter, tol=tol,
                     over_relax=over_relax)
-                return g
 
             in_axes = (1, 0 if jnp.ndim(lo) == 2 else None,
                        0 if jnp.ndim(hi) == 2 else None)
-            Gr = jax.vmap(solve_one, in_axes=in_axes)(self.X0, lo, hi)
+            Gr, info = jax.vmap(solve_one, in_axes=in_axes)(self.X0, lo, hi)
+            # per-snapshot solver diagnostics (see SPR.predict note: large
+            # primal residuals after the full budget flag infeasible sets)
+            self.admm_info = info
 
         self.Ar = Gr
         self.Vr = Gr / self.Sigma_r[None, :]

@@ -279,15 +279,21 @@ class SPR(ROM):
             AtA = jnp.matmul(A_c.T, A_c, precision=hp)
 
             def cols_one(w_i, y_i, lo_i, hi_i):
-                g, _ = _boxls.box_constrained_lstsq(
+                return _boxls.box_constrained_lstsq(
                     Theta, y_i, w_i, A_c, lo_i, hi_i, AtA=AtA,
                     max_iter=self.admm_max_iter, tol=self.admm_tol,
                     over_relax=getattr(self, "admm_over_relax", 1.6))
-                return g
             in_axes = (0, 0, 0 if jnp.ndim(lo) == 2 else None,
                        0 if jnp.ndim(hi) == 2 else None)
-            Ar = jax.vmap(cols_one, in_axes=in_axes)(
+            Ar, info = jax.vmap(cols_one, in_axes=in_axes)(
                 w, y0_stack[:, :, 0], lo, hi)
+            # Per-vector solver diagnostics: a primal residual far above
+            # tol after the full budget signals a (near-)infeasible
+            # constraint set — e.g. physical limits that exclude the data —
+            # where the returned coefficients are a compromise, not an
+            # optimum.  The solve stays silent (device-side); callers can
+            # inspect `self.admm_info`.
+            self.admm_info = info
         else:
             raise NotImplementedError(
                 "The prediction method selected has not been implemented yet")

@@ -320,3 +320,47 @@ class TestSPR:
                                                 "ftol": 1e-14})
         assert obj(a0) <= res.fun + 1e-7 * max(1.0, abs(res.fun))
 
+
+
+class TestADMMDiagnostics:
+    def test_predict_exposes_solver_info(self):
+        import numpy as np
+        from openmeasure_tpu import SPR
+        rng = np.random.default_rng(30)
+        X = rng.random((30, 6))
+        spr = SPR(X, 2, rng.random((15, 3)))
+        spr.fit(select_modes="number", n_modes=3)
+        C = np.asarray(spr.optimal_placement())
+        spr.train(C, method="COLS",
+                  limits=[np.array([-2.0, -2.0]), np.array([3.0, 3.0])])
+        rows = np.argmax(C, axis=1)
+        y = np.zeros((3, 3))
+        y[:, 0] = X[rows, 0]
+        y[:, 2] = rows // 15
+        spr.predict(y)
+        info = spr.admm_info
+        assert info.primal_residual.shape == (1,)
+        assert float(info.primal_residual[0]) < 1e-6   # feasible: converges
+
+    def test_infeasible_limits_flagged_by_residual(self):
+        """Physical limits that exclude the data leave a large primal
+        residual after the full budget — the documented infeasibility
+        signal."""
+        import numpy as np
+        from openmeasure_tpu import SPR
+        rng = np.random.default_rng(31)
+        X = 5.0 + rng.random((30, 6))           # data lives near +5
+        spr = SPR(X, 2, rng.random((15, 3)))
+        spr.fit(select_modes="number", n_modes=3)
+        C = np.asarray(spr.optimal_placement())
+        # upper limit excludes the data in scaled space for both features
+        spr.train(C, method="COLS",
+                  limits=[np.array([-100.0, -100.0]),
+                          np.array([-50.0, -50.0])],
+                  admm_max_iter=500)
+        rows = np.argmax(C, axis=1)
+        y = np.zeros((3, 3))
+        y[:, 0] = X[rows, 0]
+        y[:, 2] = rows // 15
+        spr.predict(y)
+        assert float(spr.admm_info.primal_residual[0]) > 1e-3
