@@ -172,7 +172,10 @@ def select_rank(
 
     if select_modes == "variance":
         if not 0 <= n_modes <= 100:
-            raise ValueError("The parameter n_modes is outside the [0-100] range.")
+            # message matches the reference byte-for-byte, including its
+            # missing space (sparse_sensing.py:309) — error-surface parity
+            raise ValueError(
+                "The parameter n_modes is outside the[0-100] range.")
         if n_modes == 100:
             return max_rank
         ev = np.asarray(exp_variance)

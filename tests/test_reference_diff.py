@@ -353,3 +353,78 @@ class TestMoreDiff:
         s1.train(I, cond=True)
         s2.train(I, cond=True)
         np.testing.assert_allclose(s2.k, s1.k, rtol=1e-6)
+
+
+class TestErrorSurfaceDiff:
+    """Validation-error parity: the exception TYPE and MESSAGE a user sees
+    must match the actual reference module (SURVEY §5: 'keep the same
+    validation surface')."""
+
+    @staticmethod
+    def _raises(fn):
+        try:
+            fn()
+        except Exception as e:          # noqa: BLE001 - intentional capture
+            return type(e).__name__, str(e)
+        return None, None
+
+    def _pair(self, ref_fn, our_fn):
+        rt, rm = self._raises(ref_fn)
+        ot, om = self._raises(our_fn)
+        assert rt is not None, "reference did not raise"
+        assert (ot, om) == (rt, rm)
+
+    def test_ctor_validation_matches(self, ref, data):
+        from openmeasure_tpu import ROM
+        X, xyz = data["X"], data["xyz"]
+        self._pair(lambda: ref.ROM([[1.0]], 1, xyz),
+                   lambda: ROM([[1.0]], 1, xyz))
+        self._pair(lambda: ref.ROM(X, 2.5, xyz),
+                   lambda: ROM(X, 2.5, xyz))
+        self._pair(lambda: ref.ROM(X[:89], 2, xyz),
+                   lambda: ROM(X[:89], 2, xyz))
+
+    def test_reduction_validation_matches(self, ref, data):
+        from openmeasure_tpu import ROM
+        X, xyz, nf = data["X"], data["xyz"], data["n_features"]
+
+        def ref_fit(**kw):
+            r = ref.ROM(X, nf, xyz)
+            r.fit(**kw)
+
+        def our_fit(**kw):
+            r = ROM(X, nf, xyz)
+            r.fit(**kw)
+
+        for kw in (dict(select_modes="variance", n_modes=150),
+                   dict(select_modes="number", n_modes=2.5),
+                   dict(select_modes="bogus", n_modes=3)):
+            self._pair(lambda kw=kw: ref_fit(**kw),
+                       lambda kw=kw: our_fit(**kw))
+
+    def test_spr_validation_matches(self, ref, data):
+        from openmeasure_tpu import SPR
+        X, xyz, nf = data["X"], data["xyz"], data["n_features"]
+
+        def make(mod_cls):
+            s = mod_cls(X, nf, xyz)
+            s.fit(select_modes="number", n_modes=3)
+            return s
+
+        # train: C column count mismatch
+        bad_C = np.zeros((3, X.shape[0] + 1))
+        self._pair(lambda: make(ref.SPR).train(bad_C),
+                   lambda: make(SPR).train(bad_C))
+        # predict: y row-count mismatch vs Theta
+        C = np.zeros((3, X.shape[0])); C[[0, 1, 2], [0, 1, 2]] = 1.0
+
+        def ref_predict(y):
+            s = make(ref.SPR); s.train(C); s.predict(y)
+
+        def our_predict(y):
+            s = make(SPR); s.train(C); s.predict(y)
+
+        self._pair(lambda: ref_predict(np.zeros((5, 3))),
+                   lambda: our_predict(np.zeros((5, 3))))
+        self._pair(lambda: ref_predict(np.zeros((3, 2))),
+                   lambda: our_predict(np.zeros((3, 2))))
