@@ -1,0 +1,158 @@
+"""Differential conformance vs the actual reference ``gpr.py``.
+
+The reference's GP module imports gpytorch at module scope but touches it
+only inside train/predict/update; everything numpy-side — constructor
+validation, the 14-type parameter scaling (C20), and ``GPR.fit``'s
+Vr/Sigma_r/P0 pipeline (C21) — runs without it.  A minimal gpytorch stub
+(torch itself is real) lets us import the module as part of the
+``openmeasure`` package and cross-check those paths on identical data.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF_SRC = "/root/reference/src"
+
+
+class _Cls:
+    def __init__(self, *a, **k):
+        pass
+
+
+@pytest.fixture(scope="module")
+def refgpr():
+    stubs = {}
+    gp = types.ModuleType("gpytorch")
+    models = types.ModuleType("gpytorch.models")
+    models.ExactGP = type("ExactGP", (), {"__init__":
+                                          lambda self, *a, **k: None})
+    likelihoods = types.ModuleType("gpytorch.likelihoods")
+    likelihoods.MultitaskGaussianLikelihood = _Cls
+    likelihoods.GaussianLikelihood = _Cls
+    distributions = types.ModuleType("gpytorch.distributions")
+    distributions.MultivariateNormal = _Cls
+    distributions.MultitaskMultivariateNormal = _Cls
+    mlls = types.ModuleType("gpytorch.mlls")
+    mlls.ExactMarginalLogLikelihood = _Cls
+    gp.models, gp.likelihoods = models, likelihoods
+    gp.distributions, gp.mlls = distributions, mlls
+    stubs.update({"gpytorch": gp, "gpytorch.models": models,
+                  "gpytorch.likelihoods": likelihoods,
+                  "gpytorch.distributions": distributions,
+                  "gpytorch.mlls": mlls})
+    cv = types.ModuleType("cvxpy")
+    cv.multiply = lambda a, b: np.multiply(a, b)
+    stubs["cvxpy"] = cv
+
+    saved = {k: sys.modules.get(k) for k in stubs}
+    sys.modules.update(stubs)
+    sys.path.insert(0, REF_SRC)
+    # the reference package may already be cached from the sparse_sensing
+    # differential suite under a different name; import fresh
+    for mod in [m for m in list(sys.modules)
+                if m == "openmeasure" or m.startswith("openmeasure.")]:
+        saved.setdefault(mod, sys.modules[mod])
+        del sys.modules[mod]
+    try:
+        import openmeasure.gpr as ref_gpr
+        yield ref_gpr
+    finally:
+        sys.path.remove(REF_SRC)
+        for mod in [m for m in list(sys.modules)
+                    if m == "openmeasure" or m.startswith("openmeasure.")]:
+            del sys.modules[mod]
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(7)
+    n_points, n_features, m, d = 25, 3, 8, 2
+    X = rng.random((n_points * n_features, m)) + 0.5
+    P = rng.random((m, d)) + 0.2
+    xyz = rng.random((n_points, 3))
+    return dict(X=X, P=P, xyz=xyz, n_features=n_features)
+
+
+ALL_P_SCALES = ["std", "none", "pareto", "vast", "range", "level", "max",
+                "variance", "median", "poisson", "vast_2", "vast_3",
+                "vast_4", "l2-norm"]
+
+
+class TestGPRDiff:
+    def test_ctor_validation_matches(self, refgpr, data):
+        from openmeasure_tpu import GPR
+        X, xyz = data["X"], data["xyz"]
+        P_bad = np.zeros((X.shape[1] + 1, 2))
+
+        def grab(fn):
+            try:
+                fn()
+            except Exception as e:      # noqa: BLE001
+                return type(e).__name__, str(e)
+            return None, None
+
+        rt = grab(lambda: refgpr.GPR(X, data["n_features"], xyz, P_bad))
+        ot = grab(lambda: GPR(X, data["n_features"], xyz, P_bad))
+        assert rt[0] is not None
+        assert ot == rt
+
+    @pytest.mark.parametrize("stype", ALL_P_SCALES)
+    def test_scale_GPR_data_all_types(self, refgpr, data, stype):
+        """C20: per-column parameter scaling, all 14 types — including the
+        vast_2/3/4 kurtosis variants, which are well-formed here because the
+        per-column x is 1-D (unlike the feature-block path's shape bug)."""
+        from openmeasure_tpu import GPR
+        X, P, xyz, nf = data["X"], data["P"], data["xyz"], data["n_features"]
+        ref = refgpr.GPR(X, nf, xyz, P)
+        ours = GPR(X, nf, xyz, P)
+        P0_ref = ref.scale_GPR_data(P, stype)
+        P0_our = np.asarray(ours.scale_GPR_data(P, stype))
+        np.testing.assert_allclose(P0_our, P0_ref, rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(ours.P_cnt), ref.P_cnt,
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(ours.P_scl), ref.P_scl,
+                                   rtol=1e-10, atol=1e-12)
+
+    def test_scale_GPR_data_unknown_type_matches(self, refgpr, data):
+        from openmeasure_tpu import GPR
+        X, P, xyz, nf = data["X"], data["P"], data["xyz"], data["n_features"]
+        ref = refgpr.GPR(X, nf, xyz, P)
+        ours = GPR(X, nf, xyz, P)
+
+        def grab(fn):
+            try:
+                fn()
+            except Exception as e:      # noqa: BLE001
+                return type(e).__name__, str(e)
+            return None, None
+
+        assert grab(lambda: ours.scale_GPR_data(P, "bogus")) == \
+            grab(lambda: ref.scale_GPR_data(P, "bogus"))
+
+    def test_fit_outputs_match(self, refgpr, data):
+        """C21: scale → decompose → normalize → parameter scaling, end to
+        end vs the actual reference fit (up to per-mode sign of the SVD)."""
+        from openmeasure_tpu import GPR
+        X, P, xyz, nf = data["X"], data["P"], data["xyz"], data["n_features"]
+        ref = refgpr.GPR(X, nf, xyz, P)
+        ref.fit(select_modes="number", n_modes=4)
+        ours = GPR(X, nf, xyz, P)
+        ours.fit(select_modes="number", n_modes=4)
+
+        np.testing.assert_allclose(np.asarray(ours.Sigma_r), ref.Sigma_r,
+                                   rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(ours.P0), ref.P0, rtol=1e-10)
+        for k in range(4):
+            sgn = np.sign(np.dot(np.asarray(ours.Ur[:, k]), ref.Ur[:, k]))
+            np.testing.assert_allclose(sgn * np.asarray(ours.Ur[:, k]),
+                                       ref.Ur[:, k], atol=1e-8)
+            np.testing.assert_allclose(sgn * np.asarray(ours.Vr[:, k]),
+                                       ref.Vr[:, k], atol=1e-8)
