@@ -1,4 +1,5 @@
-"""Differential conformance vs the actual reference ``gpr.py``.
+"""Differential conformance vs the actual reference ``gpr.py`` and
+``utils.py`` (camera).
 
 The reference's GP module imports gpytorch at module scope but touches it
 only inside train/predict/update; everything numpy-side — constructor
@@ -6,6 +7,8 @@ validation, the 14-type parameter scaling (C20), and ``GPR.fit``'s
 Vr/Sigma_r/P0 pipeline (C21) — runs without it.  A minimal gpytorch stub
 (torch itself is real) lets us import the module as part of the
 ``openmeasure`` package and cross-check those paths on identical data.
+The same trick with a pyvista stub imports ``utils.py`` and cross-checks
+the deterministic camera geometry (C30).
 """
 
 import sys
@@ -156,3 +159,70 @@ class TestGPRDiff:
                                        ref.Ur[:, k], atol=1e-8)
             np.testing.assert_allclose(sgn * np.asarray(ours.Vr[:, k]),
                                        ref.Vr[:, k], atol=1e-8)
+
+
+@pytest.fixture(scope="module")
+def refutils():
+    """Import the reference utils.py (camera geometry) with a pyvista stub —
+    pyvista is touched only in generate_camera/project/resample_to_grid."""
+    pv = types.ModuleType("pyvista")
+    for name in ("Box", "Cone", "Line", "StructuredGrid", "create_grid"):
+        setattr(pv, name, _Cls)
+    saved = {"pyvista": sys.modules.get("pyvista")}
+    sys.modules["pyvista"] = pv
+    sys.path.insert(0, REF_SRC)
+    for mod in [m for m in list(sys.modules)
+                if m == "openmeasure" or m.startswith("openmeasure.")]:
+        saved.setdefault(mod, sys.modules[mod])
+        del sys.modules[mod]
+    try:
+        import openmeasure.utils as ref_utils
+        yield ref_utils
+    finally:
+        sys.path.remove(REF_SRC)
+        for mod in [m for m in list(sys.modules)
+                    if m == "openmeasure" or m.startswith("openmeasure.")]:
+            del sys.modules[mod]
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+class TestCameraDiff:
+    """C30: the deterministic camera geometry — extrinsics, magnification,
+    object distance, sensor pixel grid — vs the actual reference ``camera``
+    class (the lens-disc sampling is RNG-driven and differs by design:
+    our RNG is seedable, the reference uses the numpy global state)."""
+
+    CASES = [
+        dict(p_cam=np.array([0.0, 0.0, 1.0, 1.0]),
+             theta=np.zeros(3), f=0.05, n_aper=2.8, d_sensor=0.06),
+        dict(p_cam=np.array([1.0, -0.5, 0.3, 1.0]),
+             theta=np.array([0.3, -1.1, 2.0]), f=0.035, n_aper=4.0,
+             d_sensor=0.052),
+        dict(p_cam=np.array([0.2, 0.9, -0.4, 1.0]),
+             theta=np.array([np.pi / 2, 0.0, -np.pi / 3]), f=0.05,
+             n_aper=2.8, d_sensor=0.05),   # m == 0 branch
+    ]
+
+    @pytest.mark.parametrize("case", range(3))
+    def test_geometry_matches(self, refutils, case):
+        from openmeasure_tpu.ctc import camera
+        c = self.CASES[case]
+        px = np.array([7, 5])
+        ref_cam = refutils.camera(c["p_cam"], c["theta"], c["f"],
+                                  c["n_aper"], c["d_sensor"], px, 1e-4)
+        our_cam = camera(c["p_cam"], c["theta"], c["f"], c["n_aper"],
+                         c["d_sensor"], px, 1e-4)
+        assert our_cam.m == pytest.approx(ref_cam.m, rel=1e-12)
+        assert our_cam.d_object == pytest.approx(ref_cam.d_object,
+                                                 rel=1e-12)
+        assert our_cam.d == pytest.approx(ref_cam.d, rel=1e-12)
+        np.testing.assert_allclose(our_cam._extr_matrix(),
+                                   ref_cam._extr_matrix(),
+                                   rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(our_cam._sensor_coordinates(),
+                                   ref_cam._sensor_coordinates(),
+                                   rtol=1e-12, atol=1e-14)
