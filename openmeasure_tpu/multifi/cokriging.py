@@ -59,13 +59,17 @@ class CoKriging:
 
         if (Y_train_lf_l.shape[1] != self.n_linked
                 or Y_train_hf_l.shape[1] != self.n_linked):
+            # message matches the reference byte-for-byte, including the
+            # newline + indentation its triple-quoted literal embeds
+            # (cokriging.py:45-47) — error-surface parity
             raise Exception(
-                "The number of linked conditions does not correspond to the "
-                "number of columns of Y_train_lf_l or Y_train_hf_l")
+                "The number of linked conditions does not correspond to the"
+                " number of columns of\n            Y_train_lf_l or"
+                " Y_train_hf_l")
         if Y_train_lf_u.shape[1] != self.n_unlinked:
             raise Exception(
-                "The number of unlinked conditions does not correspond to "
-                "the number of columns of Y_train_lf_u")
+                "The number of unlinked conditions does not correspond to"
+                " the number of columns of\n            Y_train_lf_u")
 
     # ------------------------------------------------------------------ #
 

@@ -226,3 +226,103 @@ class TestCameraDiff:
         np.testing.assert_allclose(our_cam._sensor_coordinates(),
                                    ref_cam._sensor_coordinates(),
                                    rtol=1e-12, atol=1e-14)
+
+
+@pytest.fixture(scope="module")
+def refck():
+    """Import the reference cokriging.py: stub openmdao's MultiFiCoKriging
+    (only used in fit/predict) and satisfy its non-relative
+    ``import sparse_sensing`` (the packaging bug, SURVEY §4) by putting the
+    reference package directory itself on sys.path."""
+    om_pkg = types.ModuleType("openmdao")
+    om_sm = types.ModuleType("openmdao.surrogate_models")
+    om_mfk = types.ModuleType("openmdao.surrogate_models.multifi_cokriging")
+    om_mfk.MultiFiCoKriging = _Cls
+    om_pkg.surrogate_models = om_sm
+    om_sm.multifi_cokriging = om_mfk
+    cv = types.ModuleType("cvxpy")
+    cv.multiply = lambda a, b: np.multiply(a, b)
+    stubs = {"openmdao": om_pkg, "openmdao.surrogate_models": om_sm,
+             "openmdao.surrogate_models.multifi_cokriging": om_mfk,
+             "cvxpy": cv}
+    saved = {k: sys.modules.get(k) for k in stubs}
+    saved["sparse_sensing"] = sys.modules.get("sparse_sensing")
+    saved["cokriging"] = sys.modules.get("cokriging")
+    sys.modules.update(stubs)
+    pkg_dir = REF_SRC + "/openmeasure"
+    sys.path.insert(0, pkg_dir)
+    try:
+        import importlib
+        import cokriging as ref_ck
+        ref_ck = importlib.reload(ref_ck)
+        yield ref_ck
+    finally:
+        sys.path.remove(pkg_dir)
+        for k in ("sparse_sensing", "cokriging"):
+            sys.modules.pop(k, None)
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+class TestCoKrigingDiff:
+    """C26/C27: container validation and the Procrustes manifold alignment
+    vs the actual reference cokriging.py (fit/predict delegate to openmdao
+    and are fixture-tested in test_multifi instead)."""
+
+    @pytest.fixture(scope="class")
+    def ckdata(self):
+        rng = np.random.default_rng(42)
+        nf, nc_hf, nc_lf = 2, 40, 25
+        n_l, n_u, d = 6, 9, 2
+        X_l = rng.random((n_l, d))
+        X_u = rng.random((n_u, d))
+        Y_lf_l = rng.random((nf * nc_lf, n_l)) + 0.5
+        Y_lf_u = rng.random((nf * nc_lf, n_u)) + 0.5
+        Y_hf_l = rng.random((nf * nc_hf, n_l)) + 0.5
+        xyz_lf = rng.random((nc_lf, 3))
+        xyz_hf = rng.random((nc_hf, 3))
+        return (X_l, X_u, Y_lf_l, Y_lf_u, Y_hf_l, xyz_lf, xyz_hf, nf)
+
+    def test_ctor_validation_matches(self, refck, ckdata):
+        from openmeasure_tpu import CoKriging
+        args = list(ckdata)
+
+        def grab(fn):
+            try:
+                fn()
+            except Exception as e:      # noqa: BLE001
+                return type(e).__name__, str(e)
+            return None, None
+
+        bad = list(args)
+        bad[2] = bad[2][:, :-1]          # Y_lf_l column mismatch
+        assert grab(lambda: CoKriging(*bad)) == \
+            grab(lambda: refck.CoKriging(*bad))
+        bad2 = list(args)
+        bad2[3] = bad2[3][:, :-1]        # Y_lf_u column mismatch
+        assert grab(lambda: CoKriging(*bad2)) == \
+            grab(lambda: refck.CoKriging(*bad2))
+
+    def test_manifold_alignment_matches(self, refck, ckdata):
+        from openmeasure_tpu import CoKriging
+        ref = refck.CoKriging(*ckdata)
+        ours = CoKriging(*ckdata)
+        ref.manifold_alignment(select_modes="number", n_modes_hf=4,
+                               n_modes_lf=3)
+        ours.manifold_alignment(select_modes="number", n_modes_hf=4,
+                                n_modes_lf=3)
+        assert ours.n_latent == ref.n_latent
+        assert (ours.r_hf, ours.r_lf) == (ref.r_hf, ref.r_lf)
+        Zh_o, Zh_r = np.asarray(ours.Zr_hf), np.asarray(ref.Zr_hf)
+        Za_o, Za_r = np.asarray(ours.Zr_aligned), np.asarray(ref.Zr_aligned)
+        for k in range(ref.n_latent):
+            # per-mode SVD sign: the aligned LF scores co-flip with the HF
+            # scores (the Procrustes rotation absorbs LF-side signs)
+            sgn = np.sign(np.dot(Zh_o[k], Zh_r[k]))
+            np.testing.assert_allclose(sgn * Zh_o[k], Zh_r[k],
+                                       rtol=1e-8, atol=1e-10)
+            np.testing.assert_allclose(sgn * Za_o[k], Za_r[k],
+                                       rtol=1e-8, atol=1e-10)
