@@ -64,10 +64,19 @@ def main():
     X_train64, X_test64 = data["X_train"], data["X_test"]
 
     # --- reference (CPU, float64, LAPACK) ---
-    # min over 3 runs: the CPU baseline is sensitive to background load
+    # The CPU baseline is sensitive to background load (observed 0.6-8 s
+    # for the same work).  Take the min over 5 runs, and when the spread
+    # is still large (max/min > 3: a load spike hit every run) keep
+    # sampling up to 5 more — the min converges to the unloaded time.
     ref_runs = [time_reference_cpu(X_train64, X_test64, n_features, R)
-                for _ in range(3)]
-    ref_time = min(t for t, _, _ in ref_runs)
+                for _ in range(5)]
+    times_ref = [t for t, _, _ in ref_runs]
+    extra = 0
+    while max(times_ref) / min(times_ref) > 3.0 and extra < 5:
+        times_ref.append(
+            time_reference_cpu(X_train64, X_test64, n_features, R)[0])
+        extra += 1
+    ref_time = min(times_ref)
     ref_nrmse = ref_runs[0][1]
 
     # --- ours (accelerator, float32) ---
