@@ -103,3 +103,108 @@ class TestTorchDiff:
         np.testing.assert_allclose(ls, ref["lengthscale"], rtol=1e-5)
         np.testing.assert_allclose(nz, ref["noise"], rtol=1e-5)
         np.testing.assert_allclose(cst, ref["constant"], atol=1e-5)
+
+
+def torch_train_multitask(X, Y, n_steps, lr=0.1):
+    """Independent torch multitask trainer: r per-task Matern-2.5+constant
+    models, ONE likelihood with global + per-task softplus noises, joint
+    loss −Σ_t lp_t / (p·r) — the reference's batch-independent multitask
+    semantics (gpr.py:65-106, 466-483)."""
+    p, r = X.shape[0], Y.shape[1]
+    X = torch.tensor(X, dtype=torch.float64)
+    Y = torch.tensor(Y, dtype=torch.float64)
+
+    raw_ls = torch.zeros((r, 1), dtype=torch.float64, requires_grad=True)
+    constant = torch.zeros(r, dtype=torch.float64, requires_grad=True)
+    raw_noise = torch.zeros((), dtype=torch.float64, requires_grad=True)
+    raw_task = torch.zeros(r, dtype=torch.float64, requires_grad=True)
+
+    opt = torch.optim.Adam([raw_ls, constant, raw_noise, raw_task], lr=lr)
+    sp = torch.nn.functional.softplus
+    eye = torch.eye(p, dtype=torch.float64)
+    eps = torch.finfo(torch.float64).eps ** 2
+    loss_val = None
+    for _ in range(n_steps):
+        opt.zero_grad()
+        noises = sp(raw_noise) + 1e-4 + sp(raw_task)          # (r,)
+        lp_sum = 0.0
+        for t in range(r):
+            ls = sp(raw_ls[t])
+            diff = (X[:, None, :] - X[None, :, :]) / ls
+            d2 = (diff * diff).sum(-1)
+            safe = d2 > eps
+            rr = torch.sqrt(torch.where(safe, d2, torch.ones_like(d2)))
+            c = np.sqrt(5.0) * rr
+            k = (1 + c + 5.0 / 3.0 * d2) * torch.exp(-c)
+            Kmat = torch.where(safe, k, torch.ones_like(k)) \
+                + (noises[t] + 1e-8) * eye
+            L = torch.linalg.cholesky(Kmat)
+            resid = Y[:, t] - constant[t]
+            alpha = torch.cholesky_solve(resid[:, None], L)[:, 0]
+            lp_sum = lp_sum + (-0.5 * resid @ alpha
+                               - torch.log(torch.diagonal(L)).sum()
+                               - 0.5 * p * np.log(2 * np.pi))
+        loss = -lp_sum / (p * r)
+        loss.backward()
+        opt.step()
+        loss_val = float(loss.detach())
+    sp_ = torch.nn.functional.softplus
+    return {
+        "loss": loss_val,
+        "lengthscales": sp_(raw_ls).detach().numpy()[:, 0],
+        "noises": (sp_(raw_noise) + 1e-4 + sp_(raw_task)).detach().numpy(),
+        "constants": constant.detach().numpy(),
+    }
+
+
+class TestTorchDiffMultitask:
+    def test_multitask_trajectory_matches_torch(self):
+        import jax
+        rng = np.random.default_rng(5)
+        p, d, r = 20, 2, 3
+        X = rng.standard_normal((p, d))
+        Y = np.stack([np.sin(1.5 * X[:, 0]) + 0.2 * t * X[:, 1]
+                      + 0.05 * rng.standard_normal(p)
+                      for t in range(r)], axis=1)
+        n_steps = 80
+
+        ref = torch_train_multitask(X, Y, n_steps)
+
+        mean, kern = K.ConstantMean(), K.MaternKernel(2.5)
+        lik = K.MultitaskGaussianLikelihood(num_tasks=r)
+        task = {"mean": mean.init_params(d), "kernel": kern.init_params(d)}
+        params0 = {
+            "tasks": jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (r,) + x.shape), task),
+            "likelihood": lik.init_params(),
+        }
+        params0_b = jax.tree_util.tree_map(lambda x: x[None], params0)
+        loss_raw = E.make_multitask_loss(mean, kern, lik, jnp.asarray(X),
+                                         jnp.asarray(Y))
+
+        def loss_fn(pb):
+            return loss_raw(jax.tree_util.tree_map(lambda x: x[0], pb))
+
+        vag_raw = E.make_multitask_value_and_grad(mean, kern, lik,
+                                                  jnp.asarray(X),
+                                                  jnp.asarray(Y))
+
+        def vag(pb):
+            losses, grads = vag_raw(
+                jax.tree_util.tree_map(lambda x: x[0], pb))
+            return losses, jax.tree_util.tree_map(lambda g: g[None], grads)
+
+        res = E.adam_early_stop(loss_fn, params0_b, lr=0.1,
+                                max_iter=n_steps, rel_error=0.0,
+                                value_and_grad=vag)
+        final = jax.tree_util.tree_map(lambda x: x[0], res.params)
+        np.testing.assert_allclose(float(res.loss[0]), ref["loss"],
+                                   rtol=1e-6)
+        ls = np.asarray(
+            K.MaternKernel(2.5).lengthscale(final["tasks"]["kernel"]))[:, 0]
+        np.testing.assert_allclose(ls, ref["lengthscales"], rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(lik.noise(final["likelihood"])),
+                                   ref["noises"], rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(final["tasks"]["mean"]["constant"]),
+            ref["constants"], atol=1e-5)
