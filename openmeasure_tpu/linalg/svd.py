@@ -188,7 +188,9 @@ def select_rank(
             r += 1
         return r
     if select_modes == "number":
-        if not isinstance(n_modes, (int,)):
+        # `type(...) is int` like the reference (sparse_sensing.py:325):
+        # bool must NOT pass as a mode count
+        if type(n_modes) is not int:
             raise TypeError("The parameter n_modes is not an integer.")
         if not 1 <= n_modes <= max_rank:
             raise ValueError("The parameter n_modes is outside the [1-m] range.")

@@ -207,6 +207,7 @@ class ROM:
             for i in range(Gr.shape[0]):
                 Gr[i, :] = solver_fn(self.Ur, self.X0[:, i], self.Ar[i, :])
             Gr = jnp.asarray(Gr)
+            self.admm_info = None          # host solver: no ADMM diagnostics
         else:
             Ur = self.Ur
             hp = jax.lax.Precision.HIGHEST

@@ -256,6 +256,7 @@ class SPR(ROM):
 
         if self.method == "OLS":
             Ar = Ar_ols
+            self.admm_info = None          # no ADMM ran for this predict
 
         elif self.method == "COLS":
             hp = jax.lax.Precision.HIGHEST

@@ -398,6 +398,7 @@ class TestErrorSurfaceDiff:
 
         for kw in (dict(select_modes="variance", n_modes=150),
                    dict(select_modes="number", n_modes=2.5),
+                   dict(select_modes="number", n_modes=True),  # bool != int
                    dict(select_modes="bogus", n_modes=3)):
             self._pair(lambda kw=kw: ref_fit(**kw),
                        lambda kw=kw: our_fit(**kw))

@@ -20,6 +20,16 @@ import pytest
 REF_SRC = "/root/reference/src"
 
 
+
+def _raise_info(fn):
+    """Run fn; return (exception type name, message) or (None, None)."""
+    try:
+        fn()
+    except Exception as e:              # noqa: BLE001 - intentional capture
+        return type(e).__name__, str(e)
+    return None, None
+
+
 class _Cls:
     def __init__(self, *a, **k):
         pass
@@ -95,12 +105,7 @@ class TestGPRDiff:
         X, xyz = data["X"], data["xyz"]
         P_bad = np.zeros((X.shape[1] + 1, 2))
 
-        def grab(fn):
-            try:
-                fn()
-            except Exception as e:      # noqa: BLE001
-                return type(e).__name__, str(e)
-            return None, None
+        grab = _raise_info
 
         rt = grab(lambda: refgpr.GPR(X, data["n_features"], xyz, P_bad))
         ot = grab(lambda: GPR(X, data["n_features"], xyz, P_bad))
@@ -130,12 +135,7 @@ class TestGPRDiff:
         ref = refgpr.GPR(X, nf, xyz, P)
         ours = GPR(X, nf, xyz, P)
 
-        def grab(fn):
-            try:
-                fn()
-            except Exception as e:      # noqa: BLE001
-                return type(e).__name__, str(e)
-            return None, None
+        grab = _raise_info
 
         assert grab(lambda: ours.scale_GPR_data(P, "bogus")) == \
             grab(lambda: ref.scale_GPR_data(P, "bogus"))
@@ -290,12 +290,7 @@ class TestCoKrigingDiff:
         from openmeasure_tpu import CoKriging
         args = list(ckdata)
 
-        def grab(fn):
-            try:
-                fn()
-            except Exception as e:      # noqa: BLE001
-                return type(e).__name__, str(e)
-            return None, None
+        grab = _raise_info
 
         bad = list(args)
         bad[2] = bad[2][:, :-1]          # Y_lf_l column mismatch
