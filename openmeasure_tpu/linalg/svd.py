@@ -28,6 +28,16 @@ reached bf16-level accuracy — Mosaic schedules the small-output
 reduction-shaped matmul poorly, while XLA's HIGH-precision pipeline is
 already near the bandwidth floor.  The kernel tier earns its keep only
 where on-chip residency changes the algorithm (see qrcp_pallas).
+
+Also evaluated and rejected: a FULLY-truncated refine for the ``rank``
+path (HIGHEST first Gram, ``B = X0 V[:, :r]``, one re-diagonalization of
+the (r, r) Gram — avoiding every full-width n-row product).  Measured
+jitted on v5e: 3D (1.7M×45, r=14) 8.7 vs 9.5 ms but NRMSE 6.2e-6 vs
+2.8e-6 (2× worse — the truncated span cannot correct the first Gram's
+mode-mixing error, exactly as the full-width refine exists to do), and
+no speed change at flagship scale (dispatch-bound).  8% speed is not
+worth 2× accuracy; the shipped ``rank`` path narrows only the FINAL
+rotation's output, which is top-r-exact.
 """
 
 from __future__ import annotations
