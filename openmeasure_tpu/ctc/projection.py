@@ -22,8 +22,15 @@ def stack_cameras(cams, obj_mesh, type_rec: str = "parallel",
                   N_rand: int = 10, seed=None, n_features: int = 1,
                   feature_index: int = 0):
     """Project with every camera and stack into one measurement operator,
-    optionally embedded into the feature-blocked layout."""
-    Cs = [c.project(obj_mesh, type_rec, N_rand, seed=seed) for c in cams]
+    optionally embedded into the feature-blocked layout.
+
+    Each camera gets an independent per-camera seed derived from ``seed``
+    (a shared seed would make every view's pixel-jitter and lens-disc
+    samples identical — perfectly correlated ray perturbations across
+    views, where the reference draws fresh randomness per pixel)."""
+    Cs = [c.project(obj_mesh, type_rec, N_rand,
+                    seed=None if seed is None else seed + i)
+          for i, c in enumerate(cams)]
     C = sp.vstack(Cs).tocsr().astype(float)
     if n_features > 1:
         C = embed_projection(C, n_features, feature_index)

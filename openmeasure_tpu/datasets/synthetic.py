@@ -42,15 +42,15 @@ def make_flame_dataset(
     xyz[:, 2] = z
 
     # Parameters (D, H2, phi) — ranges loosely matching the flame study.
-    def sample_params(m, offset):
+    def sample_params(m):
         P = np.zeros((m, 3))
         P[:, 0] = 1.0 + 2.0 * rng.random(m)      # D [mm]
         P[:, 1] = 100.0 * rng.random(m)          # H2 [%]
         P[:, 2] = 0.6 + 0.6 * rng.random(m)      # phi
         return P
 
-    P_train = sample_params(m_train, 0)
-    P_test = sample_params(m_test, 1)
+    P_train = sample_params(m_train)
+    P_test = sample_params(m_test)
 
     # Smooth spatial modes: Gaussian bumps modulated by harmonics, one
     # independent set per feature block.

@@ -102,9 +102,14 @@ def adam_early_stop(loss_fn: Callable, params0: Dict, lr: float = 0.1,
                     verbose: bool = False, unroll: int = 4,
                     value_and_grad: Optional[Callable] = None) -> TrainResult:
     """Minimize ``loss_fn(params) -> (B,) losses`` with Adam; per-model early
-    stop when |Δloss_b| < rel_error (reference stopping rule,
+    stop when |Δloss_b| ≤ rel_error (reference stopping rule,
     ``gpr.py:230``).  Converged models are frozen in place while the rest
-    keep stepping, all in one while_loop.
+    keep stepping, all in one while_loop.  Matching the reference's loop
+    exactly, the Adam step of the iteration on which convergence is
+    detected IS applied and that iteration IS counted (the reference's
+    while condition tests |Δloss| before the next iteration, after the
+    unconditional ``optimizer.step()``) — pinned by the early-stop
+    torch-differential test.
 
     ``unroll`` substeps run per while_loop iteration.  Honest measurement
     (tunneled v5e, 14-mode flame trainer, 400 iters): 107 ms at unroll=1,
@@ -151,18 +156,24 @@ def adam_early_stop(loss_fn: Callable, params0: Dict, lr: float = 0.1,
             losses, grads = value_and_grad(params)
         e = jnp.abs(losses - loss_old)
         active = j < max_iter
-        conv_new = jnp.where(active, conv | (e <= rel_error), conv)
         updates, opt_state_new = opt.update(grads, opt_state, params)
         params_new = optax.apply_updates(params, updates)
 
-        frozen = conv_new | jnp.logical_not(active)
+        # Reference semantics (gpr.py:230-251): the while condition checks
+        # |Δloss| BEFORE an iteration, and the body always applies
+        # optimizer.step() — so the Adam step of the iteration on which
+        # convergence is DETECTED is still applied, and that iteration is
+        # counted.  Freeze therefore uses the PREVIOUS convergence state;
+        # conv_new only stops the NEXT substep.
+        frozen = conv | jnp.logical_not(active)
+        conv_new = jnp.where(active, conv | (e <= rel_error), conv)
 
         def freeze(new, old):
             mask = frozen.reshape(frozen.shape + (1,) * (new.ndim - 1))
             return jnp.where(mask, old, new)
 
         params_new = jax.tree_util.tree_map(freeze, params_new, params)
-        loss_next = jnp.where(active, losses, loss_old)
+        loss_next = jnp.where(frozen, loss_old, losses)
         iters = jnp.where(frozen, iters, iters + 1)
         return (params_new, opt_state_new, loss_next, conv_new, iters, j + 1)
 

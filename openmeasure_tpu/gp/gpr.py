@@ -330,12 +330,9 @@ class GPR(ROM):
             v0 = jnp.asarray((values - cnt[:, None]) / scl[:, None]).T
             parts.append(_boxls.LinearConstraints(S[rows, :], v0, v0))
         if constraints is not None:
-            if isinstance(constraints, (list, tuple)) and not isinstance(
-                    constraints, _boxls.LinearConstraints):
-                parts.extend(_boxls.LinearConstraints(*c)
-                             for c in constraints)
-            else:
-                parts.append(_boxls.LinearConstraints(*constraints))
+            # shared normalization (single contract with CPOD/SPR/serving)
+            cs_user, _ = _boxls.build_constraint_set(constraints, None)
+            parts.append(cs_user)
 
         if parts:
             if self.gpr_type != "MultiTask":

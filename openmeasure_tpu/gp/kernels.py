@@ -26,11 +26,6 @@ def softplus(x):
     return jax.nn.softplus(x)
 
 
-def inv_softplus(y):
-    # numerically-stable inverse of softplus
-    return y + jnp.log(-jnp.expm1(-y))
-
-
 # --------------------------------------------------------------------- #
 # Means
 # --------------------------------------------------------------------- #

@@ -54,9 +54,15 @@ class SPR(ROM):
 
     def scale_vector(self, y):
         """Scale a measurement vector y (s, 3) = [value, σ, feature-id] with
-        the training statistics.  Returns y0 (s, 2)."""
+        the training statistics.  Returns y0 (s, 2).
+
+        ``C @ X_cnt`` is constant once trained; :meth:`train` caches it so
+        a stream of predict calls against a huge sparse CTC operator does
+        not pay one SpMV per measurement vector."""
         y = np.asarray(y)
-        cnt_vector = np.asarray(apply_sampling(self.C, self.X_cnt[:, 0]))
+        cnt_vector = getattr(self, "_cnt_vector_cache", None)
+        if cnt_vector is None:
+            cnt_vector = np.asarray(apply_sampling(self.C, self.X_cnt[:, 0]))
         scl_full = np.asarray(self.X_scl[:, 0])
         scl_vector = scl_full[y[:, 2].astype(int) * self.n_points]
 
@@ -157,8 +163,12 @@ class SPR(ROM):
         if not is_Theta:
             self.C = C
             Theta = apply_sampling(C, self.Ur)
+            # constant across predicts (see scale_vector docstring)
+            self._cnt_vector_cache = np.asarray(
+                apply_sampling(C, self.X_cnt[:, 0]))
         else:
             Theta = _as_device(C)
+            self._cnt_vector_cache = None
 
         if Theta.shape[1] != self.Ur.shape[1]:
             raise ValueError("The number of columns of Theta does not match"

@@ -208,3 +208,90 @@ class TestTorchDiffMultitask:
         np.testing.assert_allclose(
             np.asarray(final["tasks"]["mean"]["constant"]),
             ref["constants"], atol=1e-5)
+
+
+def torch_train_early_stop(X, y, max_iter, rel_error, lr=0.1):
+    """Reference loop semantics verbatim (gpr.py:225-251): check |Δloss|
+    BEFORE each iteration, always apply optimizer.step() — so the step of
+    the detection iteration lands in the final parameters, and that
+    iteration is counted."""
+    X = torch.tensor(X, dtype=torch.float64)
+    y = torch.tensor(y, dtype=torch.float64)
+    n = X.shape[0]
+    raw_ls = torch.zeros(1, dtype=torch.float64, requires_grad=True)
+    raw_noise = torch.zeros((), dtype=torch.float64, requires_grad=True)
+    constant = torch.zeros((), dtype=torch.float64, requires_grad=True)
+    opt = torch.optim.Adam([raw_ls, raw_noise, constant], lr=lr)
+    eps = torch.finfo(torch.float64).eps ** 2
+    loss_old, e, j = 1e10, 1e10, 0
+    while (e > rel_error) and (j < max_iter):
+        opt.zero_grad()
+        ls = torch.nn.functional.softplus(raw_ls)
+        noise = torch.nn.functional.softplus(raw_noise) + 1e-4
+        diff = (X[:, None, :] - X[None, :, :]) / ls
+        d2 = (diff * diff).sum(-1)
+        safe = d2 > eps
+        r = torch.sqrt(torch.where(safe, d2, torch.ones_like(d2)))
+        c = np.sqrt(5.0) * r
+        k = (1 + c + 5.0 / 3.0 * d2) * torch.exp(-c)
+        Kmat = torch.where(safe, k, torch.ones_like(k)) \
+            + (noise + 1e-8) * torch.eye(n, dtype=torch.float64)
+        L = torch.linalg.cholesky(Kmat)
+        resid = y - constant
+        alpha = torch.cholesky_solve(resid[:, None], L)[:, 0]
+        loss = -(-0.5 * resid @ alpha
+                 - torch.log(torch.diagonal(L)).sum()
+                 - 0.5 * n * np.log(2 * np.pi)) / n
+        loss.backward()
+        e = abs(float(loss.detach()) - (loss_old if j else 1e10))
+        loss_old = float(loss.detach())
+        opt.step()
+        j += 1
+    return {
+        "iters": j,
+        "loss": loss_old,
+        "lengthscale": float(torch.nn.functional.softplus(raw_ls).detach()),
+        "noise": float((torch.nn.functional.softplus(raw_noise)
+                        + 1e-4).detach()),
+        "constant": float(constant.detach()),
+    }
+
+
+class TestTorchDiffEarlyStop:
+    @pytest.mark.parametrize("rel_error", [1e-4, 1e-5])
+    def test_early_stop_semantics_match_reference_loop(self, rel_error):
+        """With rel_error > 0 the trainer must stop at the SAME iteration as
+        the reference loop AND carry the detection iteration's Adam step in
+        the final hyperparameters (a freeze one step early is a systematic
+        one-Adam-step parity error the rel_error=0 tests cannot see)."""
+        import jax
+        rng = np.random.default_rng(3)
+        X = rng.standard_normal((25, 2))
+        y = np.sin(1.5 * X[:, 0]) + 0.3 * X[:, 1] \
+            + 0.05 * rng.standard_normal(25)
+        max_iter = 500
+
+        ref = torch_train_early_stop(X, y, max_iter, rel_error)
+        assert 0 < ref["iters"] < max_iter   # early stop actually fires
+
+        mean, kern, lik = K.ConstantMean(), K.MaternKernel(2.5), \
+            K.GaussianLikelihood()
+        task0 = {"mean": mean.init_params(2), "kernel": kern.init_params(2),
+                 "likelihood": lik.init_params()}
+        import jax as _jax
+        params0 = _jax.tree_util.tree_map(lambda x: x[None], task0)
+        loss_fn = E.make_single_task_loss(mean, kern, lik, jnp.asarray(X),
+                                          jnp.asarray(y)[None, :])
+        res = E.adam_early_stop(loss_fn, params0, lr=0.1, max_iter=max_iter,
+                                rel_error=rel_error)
+        final = _jax.tree_util.tree_map(lambda x: x[0], res.params)
+        assert int(res.iterations[0]) == ref["iters"]
+        np.testing.assert_allclose(float(res.loss[0]), ref["loss"],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(
+            float(kern.lengthscale(final["kernel"])[0]),
+            ref["lengthscale"], rtol=1e-6)
+        np.testing.assert_allclose(float(lik.noise(final["likelihood"])),
+                                   ref["noise"], rtol=1e-6)
+        np.testing.assert_allclose(float(final["mean"]["constant"]),
+                                   ref["constant"], atol=1e-7)
