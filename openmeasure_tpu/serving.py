@@ -28,6 +28,94 @@ import jax
 import jax.numpy as jnp
 
 
+def _predict_math(state, y_values, y_sigma, method, admm_iters, over_relax):
+    """The full single-request math: scaling → weighted QR(+refinement)
+    solve → optional COLS ADMM → reconstruct+unscale.
+
+    Model state arrives as a pytree ARGUMENT (not closure constants), so the
+    jitted wrappers below are shared across every :class:`SoftSensor` of the
+    same shapes — reloading a retrained checkpoint (blue/green deploys,
+    periodic refits) hits the compile cache instead of paying a fresh
+    XLA compile.
+    """
+    from .linalg import boxls as _boxls
+    hp = jax.lax.Precision.HIGHEST
+    y0 = (y_values - state["cnt_sensors"]) / state["scl_sensors"]
+    sig0 = y_sigma / state["scl_sensors"]
+    use_w = jnp.any(y_sigma > 0)
+    # Same weighting as SPR.predict (spr.py, documented deviation): a
+    # σ=0 entry inside an otherwise-weighted vector gets the LARGEST
+    # finite weight of the vector — exact measurements dominate — so
+    # SoftSensor.from_spr(spr).predict(y) reproduces spr.predict(y).
+    inv_sigma = jnp.where(sig0 > 0,
+                          1.0 / jnp.where(sig0 > 0, sig0, 1.0), 0.0)
+    w_max = jnp.max(inv_sigma)
+    w = jnp.where(use_w, jnp.where(sig0 > 0, inv_sigma, w_max),
+                  jnp.ones_like(sig0))
+    # Weighted LS via QR + ONE iterative-refinement step, not pinv: the
+    # scaled per-feature sigmas make the weights span decades, so
+    # cond(WΘ) reaches ~1e5 even for a well-conditioned Θ, and the
+    # device fp32 SVD-route pinv then loses ~1% of the coefficients
+    # (measured on flame-scale: pinv 3.3 abs err, QR 0.40, QR+refine
+    # 5e-5 — fp32 round-off — vs the f64 solution; LAPACK-f64 parity
+    # for the eager API lives in SPR.predict).
+    Theta = state["Theta"]
+    WT = Theta * w[:, None]
+    Q, R = jnp.linalg.qr(WT)
+    # Rank-deficiency guard: a masked placement can zero Ur rows
+    # destructively and leave Theta singular; a zero on R's diagonal
+    # would turn the triangular solves into NaN where pinv returned the
+    # least-norm solution.  Floor the diagonal at eps-level — the
+    # served solution is then a bounded REGULARIZED one (documented
+    # deviation; the eager SPR.predict keeps exact f64 pinv semantics).
+    d = jnp.diagonal(R)
+    floor = (jnp.maximum(jnp.max(jnp.abs(d)), 1.0)
+             * jnp.finfo(d.dtype).eps * WT.shape[0])
+    d_safe = jnp.where(jnp.abs(d) < floor,
+                       jnp.where(d < 0, -floor, floor), d)
+    R = R + jnp.diag(d_safe - d)
+
+    def wsolve(rhs):
+        x = jax.scipy.linalg.solve_triangular(
+            R, jnp.matmul(Q.T, rhs, precision=hp), lower=False)
+        resid = rhs - jnp.matmul(WT, x, precision=hp)
+        return x + jax.scipy.linalg.solve_triangular(
+            R, jnp.matmul(Q.T, resid, precision=hp), lower=False)
+
+    a_ols = jnp.where(use_w, wsolve(w * y0), state["pinv"] @ y0)
+    if method == "COLS":
+        # tol=0 → the while_loop runs the full fixed budget: every
+        # request compiles to the same instruction count (deterministic
+        # latency), and the budget is the accuracy knob.
+        a, _ = _boxls.box_constrained_lstsq(
+            Theta, y0, w, state["A_c"], state["lo"], state["hi"],
+            AtA=state["AtA"], max_iter=admm_iters, tol=0.0,
+            over_relax=over_relax)
+    else:
+        a = a_ols
+    a_sigma = jnp.where(use_w, jnp.abs(wsolve(sig0)),
+                        jnp.zeros(Theta.shape[1], dtype=y0.dtype))
+    x = jnp.matmul(state["Ur"], a, precision=hp) * state["X_scl"] \
+        + state["X_cnt"]
+    return x, a, a_sigma
+
+
+@functools.partial(jax.jit, static_argnames=("method", "admm_iters",
+                                             "over_relax"))
+def _predict_one(state, y_values, y_sigma, *, method, admm_iters,
+                 over_relax):
+    return _predict_math(state, y_values, y_sigma, method, admm_iters,
+                         over_relax)
+
+
+@functools.partial(jax.jit, static_argnames=("method", "admm_iters",
+                                             "over_relax"))
+def _predict_many(state, Y_values, Y_sigma, *, method, admm_iters,
+                  over_relax):
+    return jax.vmap(lambda yv, ys: _predict_math(
+        state, yv, ys, method, admm_iters, over_relax))(Y_values, Y_sigma)
+
+
 class SoftSensor:
     """Immutable, compiled gappy-POD soft sensor.
 
@@ -71,8 +159,25 @@ class SoftSensor:
         self._pinv = jnp.asarray(
             np.linalg.pinv(np.asarray(self.Theta, np.float64)).astype(
                 np.asarray(self.Theta).dtype))
-        self._predict = jax.jit(self._predict_impl)
-        self._predict_batch = jax.jit(jax.vmap(self._predict_impl))
+        # static knobs normalized so equal values hash equally across models
+        self.admm_iters = int(admm_iters)
+        self.admm_over_relax = float(admm_over_relax)
+        # model state as a pytree: the shared jitted kernels take it as an
+        # ARGUMENT, so same-shape models (e.g. a reloaded retrained
+        # checkpoint) reuse the existing compilation
+        self._state = {"Ur": self.Ur, "Theta": self.Theta,
+                       "cnt_sensors": self.cnt_sensors,
+                       "scl_sensors": self.scl_sensors,
+                       "X_cnt": self.X_cnt, "X_scl": self.X_scl,
+                       "pinv": self._pinv}
+        if method == "COLS":
+            self._state.update(A_c=self._A_c, lo=self._lo, hi=self._hi,
+                               AtA=self._AtA)
+        kw = dict(method=self.method, admm_iters=self.admm_iters,
+                  over_relax=self.admm_over_relax)
+        self._predict = functools.partial(_predict_one, self._state, **kw)
+        self._predict_batch = functools.partial(_predict_many, self._state,
+                                                **kw)
 
     # ------------------------------------------------------------------ #
 
@@ -162,65 +267,8 @@ class SoftSensor:
     # ------------------------------------------------------------------ #
 
     def _predict_impl(self, y_values, y_sigma):
-        from .linalg import boxls as _boxls
-        hp = jax.lax.Precision.HIGHEST
-        y0 = (y_values - self.cnt_sensors) / self.scl_sensors
-        sig0 = y_sigma / self.scl_sensors
-        use_w = jnp.any(y_sigma > 0)
-        # Same weighting as SPR.predict (spr.py, documented deviation): a
-        # σ=0 entry inside an otherwise-weighted vector gets the LARGEST
-        # finite weight of the vector — exact measurements dominate — so
-        # SoftSensor.from_spr(spr).predict(y) reproduces spr.predict(y).
-        inv_sigma = jnp.where(sig0 > 0,
-                              1.0 / jnp.where(sig0 > 0, sig0, 1.0), 0.0)
-        w_max = jnp.max(inv_sigma)
-        w = jnp.where(use_w, jnp.where(sig0 > 0, inv_sigma, w_max),
-                      jnp.ones_like(sig0))
-        # Weighted LS via QR + ONE iterative-refinement step, not pinv: the
-        # scaled per-feature sigmas make the weights span decades, so
-        # cond(WΘ) reaches ~1e5 even for a well-conditioned Θ, and the
-        # device fp32 SVD-route pinv then loses ~1% of the coefficients
-        # (measured on flame-scale: pinv 3.3 abs err, QR 0.40, QR+refine
-        # 5e-5 — fp32 round-off — vs the f64 solution; LAPACK-f64 parity
-        # for the eager API lives in SPR.predict).
-        WT = self.Theta * w[:, None]
-        Q, R = jnp.linalg.qr(WT)
-        # Rank-deficiency guard: a masked placement can zero Ur rows
-        # destructively and leave Theta singular; a zero on R's diagonal
-        # would turn the triangular solves into NaN where pinv returned the
-        # least-norm solution.  Floor the diagonal at eps-level — the
-        # served solution is then a bounded REGULARIZED one (documented
-        # deviation; the eager SPR.predict keeps exact f64 pinv semantics).
-        d = jnp.diagonal(R)
-        floor = (jnp.maximum(jnp.max(jnp.abs(d)), 1.0)
-                 * jnp.finfo(d.dtype).eps * WT.shape[0])
-        d_safe = jnp.where(jnp.abs(d) < floor,
-                           jnp.where(d < 0, -floor, floor), d)
-        R = R + jnp.diag(d_safe - d)
-
-        def wsolve(rhs):
-            x = jax.scipy.linalg.solve_triangular(
-                R, jnp.matmul(Q.T, rhs, precision=hp), lower=False)
-            resid = rhs - jnp.matmul(WT, x, precision=hp)
-            return x + jax.scipy.linalg.solve_triangular(
-                R, jnp.matmul(Q.T, resid, precision=hp), lower=False)
-
-        a_ols = jnp.where(use_w, wsolve(w * y0), self._pinv @ y0)
-        if self.method == "COLS":
-            # tol=0 → the while_loop runs the full fixed budget: every
-            # request compiles to the same instruction count (deterministic
-            # latency), and the budget is the accuracy knob.
-            a, _ = _boxls.box_constrained_lstsq(
-                self.Theta, y0, w, self._A_c, self._lo, self._hi,
-                AtA=self._AtA, max_iter=self.admm_iters, tol=0.0,
-                over_relax=self.admm_over_relax)
-        else:
-            a = a_ols
-        a_sigma = jnp.where(use_w, jnp.abs(wsolve(sig0)),
-                            jnp.zeros(self.r, dtype=y0.dtype))
-        x = jnp.matmul(self.Ur, a, precision=hp) * self.X_scl \
-            + self.X_cnt
-        return x, a, a_sigma
+        return _predict_math(self._state, y_values, y_sigma, self.method,
+                             self.admm_iters, self.admm_over_relax)
 
     def predict_full(self, y_values, y_sigma=None
                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:

@@ -559,3 +559,30 @@ class TestServingRobustness:
                   admm_over_relax=1.3)
         sensor = SoftSensor.from_spr(spr)
         assert sensor.admm_over_relax == 1.3
+
+
+class TestServingCompileSharing:
+    def test_same_shape_models_share_compilation(self):
+        """Model state is an argument of the shared jitted kernels, so a
+        reloaded same-shape model (blue/green deploy, periodic retrain)
+        reuses the existing compilation instead of re-jitting."""
+        import numpy as np
+        from openmeasure_tpu import SPR
+        from openmeasure_tpu import serving as S
+
+        def make(seed):
+            rng = np.random.default_rng(seed)
+            spr = SPR(rng.random((30, 6)), 2, rng.random((15, 3)))
+            spr.fit(select_modes="number", n_modes=4)
+            spr.train(np.asarray(spr.optimal_placement()))
+            return S.SoftSensor.from_spr(spr, dtype=np.float64)
+
+        s1 = make(1).warmup()
+        size_after_first = S._predict_one._cache_size()
+        s2 = make(2).warmup()                     # different model, same shapes
+        assert S._predict_one._cache_size() == size_after_first
+        # and the two models still produce their own (different) answers
+        y = np.linspace(0.1, 0.4, 4)
+        x1 = np.asarray(s1(y))
+        x2 = np.asarray(s2(y))
+        assert not np.allclose(x1, x2)
