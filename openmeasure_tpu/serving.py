@@ -266,10 +266,6 @@ class SoftSensor:
 
     # ------------------------------------------------------------------ #
 
-    def _predict_impl(self, y_values, y_sigma):
-        return _predict_math(self._state, y_values, y_sigma, self.method,
-                             self.admm_iters, self.admm_over_relax)
-
     def predict_full(self, y_values, y_sigma=None
                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Returns (field (n,), coefficients (r,), coefficient σ (r,))."""
