@@ -48,4 +48,7 @@ def __getattr__(name):
     if name == "SoftSensor":
         from .serving import SoftSensor
         return SoftSensor
+    if name == "GPRSensor":
+        from .serving import GPRSensor
+        return GPRSensor
     raise AttributeError(f"module 'openmeasure_tpu' has no attribute {name!r}")

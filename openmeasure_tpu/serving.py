@@ -307,3 +307,125 @@ class SoftSensor:
             self._predict(jnp.zeros((self.s,), self.Ur.dtype),
                           jnp.zeros((self.s,), self.Ur.dtype)))
         return self
+
+
+# ---------------------------------------------------------------------- #
+# GPR serving: parameter -> field
+# ---------------------------------------------------------------------- #
+
+def _gpr_predict_math(state, P_star, mean_spec, kernel_spec,
+                      likelihood_spec, gpr_type):
+    """Posterior at scaled design points + rescale + reconstruct — the
+    compiled form of ``GPR.predict(...)`` followed by ``reconstruct``.
+    Specs are static (hashable frozen dataclasses); model state is a pytree
+    argument, so same-shape retrained models share the compilation."""
+    from .gp import exact_gp as E
+    from .gp import kernels as K
+    hp = jax.lax.Precision.HIGHEST
+    P0s = (P_star - state["P_cnt"][None, :]) / state["P_scl"][None, :]
+    X, Y = state["P0_train"], state["Y"]
+
+    if gpr_type == "MultiTask":
+        noises = likelihood_spec.noise(state["params"]["likelihood"])
+
+        def post_one(tp, y, nz):
+            return E.gp_posterior(mean_spec, kernel_spec, tp, nz, X, y,
+                                  P0s, include_noise=True)
+        means, variances = jax.vmap(post_one)(
+            state["params"]["tasks"], Y.T, noises)
+    else:
+        def post_one(tp, y):
+            if isinstance(likelihood_spec, K.FixedNoiseGaussianLikelihood):
+                nz_vec = likelihood_spec.noise(tp["likelihood"])
+                return E.gp_posterior(mean_spec, kernel_spec, tp, nz_vec,
+                                      X, y, P0s, include_noise=True,
+                                      pred_noise=jnp.mean(nz_vec))
+            nz = likelihood_spec.noise(tp["likelihood"])
+            return E.gp_posterior(mean_spec, kernel_spec, tp, nz, X, y,
+                                  P0s, include_noise=True)
+        means, variances = jax.vmap(post_one)(state["params"], Y.T)
+
+    V_pred = means.T                                   # (q, r)
+    V_sigma = jnp.sqrt(variances).T
+    A = V_pred * state["Sigma_r"][None, :]
+    A_sigma = V_sigma * state["Sigma_r"][None, :]
+    fields = (jnp.matmul(state["Ur"], A.T, precision=hp)
+              * state["X_scl"][:, None] + state["X_cnt"][:, None]).T
+    return fields, A, A_sigma
+
+
+@functools.partial(jax.jit, static_argnames=("mean_spec", "kernel_spec",
+                                             "likelihood_spec", "gpr_type"))
+def _gpr_predict_kernel(state, P_star, *, mean_spec, kernel_spec,
+                        likelihood_spec, gpr_type):
+    return _gpr_predict_math(state, P_star, mean_spec, kernel_spec,
+                             likelihood_spec, gpr_type)
+
+
+class GPRSensor:
+    """Compiled parameter→field soft sensor for a trained
+    :class:`openmeasure_tpu.GPR` — the serving form of the second model
+    family (``predict`` + ``reconstruct`` as one shared jitted program).
+
+        sensor = GPRSensor.from_gpr(gpr)       # gpr after fit + train
+        fields, A, A_sigma = sensor(P_star)    # (q, d) -> (q, n) fields
+
+    Same compile-sharing design as :class:`SoftSensor`: the model state is
+    an argument of a module-level jitted kernel, so retrained same-shape
+    models (checkpoint reloads) skip recompilation.  Each distinct test
+    batch shape compiles once — keep query batch sizes fixed.
+    """
+
+    def __init__(self, mean_spec, kernel_spec, likelihood_spec,
+                 gpr_type, state):
+        self.mean_spec = mean_spec
+        self.kernel_spec = kernel_spec
+        self.likelihood_spec = likelihood_spec
+        self.gpr_type = gpr_type
+        self._state = state
+        self.d = int(state["P_cnt"].shape[0])
+        self.r = int(state["Sigma_r"].shape[0])
+        self.n = int(state["Ur"].shape[0])
+
+    @classmethod
+    def from_gpr(cls, gpr) -> "GPRSensor":
+        """Package a trained GPR (after ``fit`` + ``train``)."""
+        if not hasattr(gpr, "models"):
+            raise AttributeError("The function fit has to be called "
+                                 "before calling predict.")
+        state = {
+            "P0_train": jnp.asarray(gpr._train_X),
+            "Y": jnp.asarray(gpr._train_Y),
+            "params": gpr.params,
+            "Sigma_r": jnp.asarray(gpr.Sigma_r),
+            "Ur": jnp.asarray(gpr.Ur),
+            "X_cnt": jnp.asarray(gpr.X_cnt)[:, 0],
+            "X_scl": jnp.asarray(gpr.X_scl)[:, 0],
+            "P_cnt": jnp.asarray(gpr.P_cnt)[0],
+            "P_scl": jnp.asarray(gpr.P_scl)[0],
+        }
+        return cls(gpr.mean, gpr.kernel, gpr.likelihood, gpr.gpr_type,
+                   state)
+
+    @classmethod
+    def load(cls, path: str) -> "GPRSensor":
+        from .utils.checkpoint import load_model
+        return cls.from_gpr(load_model(path))
+
+    def __call__(self, P_star):
+        P_star = jnp.asarray(P_star, self._state["Ur"].dtype)
+        if P_star.ndim < 2:
+            P_star = P_star[None, :]
+        if P_star.shape[1] != self.d:
+            raise ValueError(
+                f"P_star must be (batch, d={self.d}); got {P_star.shape}.")
+        return _gpr_predict_kernel(
+            self._state, P_star, mean_spec=self.mean_spec,
+            kernel_spec=self.kernel_spec,
+            likelihood_spec=self.likelihood_spec, gpr_type=self.gpr_type)
+
+    def warmup(self, batch: int = 1) -> "GPRSensor":
+        _ = jax.tree_util.tree_map(
+            lambda x: x.block_until_ready(),
+            self(jnp.zeros((batch, self.d), self._state["Ur"].dtype)))
+        return self

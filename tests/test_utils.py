@@ -614,3 +614,74 @@ class TestProfilerAndViz:
         else:
             with _pytest.raises(ImportError, match="pyvista"):
                 cam.generate_camera()
+
+
+class TestGPRSensor:
+    def _trained_gpr(self, seed=3, gpr_type="SingleTask"):
+        import numpy as np
+        from openmeasure_tpu import GPR
+        rng = np.random.default_rng(seed)
+        X = rng.random((30, 8))
+        P = np.linspace(0, 1, 8)[:, None] + 0.01 * rng.random((8, 1))
+        gpr = GPR(X, 2, rng.random((15, 3)), P, gpr_type=gpr_type)
+        gpr.fit(select_modes="number", n_modes=3)
+        gpr.train(max_iter=60)
+        return gpr
+
+    @pytest.mark.parametrize("gpr_type", ["SingleTask", "MultiTask"])
+    def test_matches_eager_predict_reconstruct(self, gpr_type):
+        import numpy as np
+        from openmeasure_tpu.serving import GPRSensor
+        gpr = self._trained_gpr(gpr_type=gpr_type)
+        P_star = np.array([[0.25], [0.8]])
+        A_ref, S_ref = gpr.predict(P_star)
+        X_ref = np.asarray(gpr.reconstruct(A_ref))       # (n, q)
+
+        sensor = GPRSensor.from_gpr(gpr).warmup(batch=2)
+        fields, A, A_sigma = sensor(P_star)
+        np.testing.assert_allclose(np.asarray(A), np.asarray(A_ref),
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(A_sigma), np.asarray(S_ref),
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(fields), X_ref.T,
+                                   rtol=1e-8, atol=1e-10)
+
+    def test_same_shape_models_share_compilation(self):
+        import numpy as np
+        from openmeasure_tpu import serving as S
+        g1 = self._trained_gpr(seed=3)
+        g2 = self._trained_gpr(seed=4)
+        s1 = S.GPRSensor.from_gpr(g1).warmup()
+        size = S._gpr_predict_kernel._cache_size()
+        s2 = S.GPRSensor.from_gpr(g2).warmup()
+        assert S._gpr_predict_kernel._cache_size() == size
+        P = np.array([[0.5]])
+        assert not np.allclose(np.asarray(s1(P)[0]), np.asarray(s2(P)[0]))
+
+    def test_checkpoint_load(self, tmp_path):
+        import numpy as np
+        from openmeasure_tpu.serving import GPRSensor
+        gpr = self._trained_gpr()
+        path = str(tmp_path / "g.npz")
+        save_model(gpr, path)
+        sensor = GPRSensor.load(path)
+        P_star = np.array([[0.4]])
+        A_ref, _ = gpr.predict(P_star)
+        _, A, _ = sensor(P_star)
+        np.testing.assert_allclose(np.asarray(A), np.asarray(A_ref),
+                                   rtol=1e-8, atol=1e-10)
+
+    def test_validates_shape_and_untrained(self):
+        import numpy as np
+        import pytest as _pytest
+        from openmeasure_tpu import GPR
+        from openmeasure_tpu.serving import GPRSensor
+        rng = np.random.default_rng(9)
+        gpr = GPR(rng.random((30, 8)), 2, rng.random((15, 3)),
+                  np.linspace(0, 1, 8)[:, None])
+        with _pytest.raises(AttributeError, match="fit"):
+            GPRSensor.from_gpr(gpr)
+        trained = self._trained_gpr()
+        sensor = GPRSensor.from_gpr(trained)
+        with _pytest.raises(ValueError, match="batch"):
+            sensor(np.zeros((2, 5)))
