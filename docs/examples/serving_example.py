@@ -106,3 +106,19 @@ print(f"CTC COLS batched serving: {dtb/10*1e3:.2f} ms/frame "
       f"({10/dtb:.0f} frames/s) at batch=10")
 assert vols.shape == (10, X_ctc.shape[0])
 assert vols.min() >= -1e-4 and vols.max() <= 1.0 + 1e-4
+
+# ---- GPR serving: parameters -> field ------------------------------------
+from openmeasure_tpu import GPR
+from openmeasure_tpu.serving import GPRSensor
+
+gpr = GPR(data["X_train"].astype(np.float32), data["n_features"],
+          data["xyz"], data["P_train"].astype(np.float32))
+gpr.fit(select_modes="number", n_modes=8)
+gpr.train(max_iter=300)
+save_model(gpr, "/tmp/gpr_soft_sensor.npz")
+gpr_sensor = GPRSensor.load("/tmp/gpr_soft_sensor.npz").warmup(batch=4)
+fields, A, A_sigma = gpr_sensor(data["P_test"].astype(np.float32))
+Xt = data["X_test"]
+print(f"GPR serving: field NRMSE "
+      f"{float(nrmse(np.asarray(fields).T, Xt)):.3e} over "
+      f"{fields.shape[0]} unseen operating conditions")
