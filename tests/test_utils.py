@@ -685,3 +685,24 @@ class TestGPRSensor:
         sensor = GPRSensor.from_gpr(trained)
         with _pytest.raises(ValueError, match="batch"):
             sensor(np.zeros((2, 5)))
+
+    def test_pigpr_serves_through_gpr_sensor(self):
+        """PIGPR is a MultiTask GPR subclass; its trained posterior serves
+        through the same compiled kernel."""
+        import numpy as np
+        from openmeasure_tpu import PIGPR
+        from openmeasure_tpu.serving import GPRSensor
+        rng = np.random.default_rng(11)
+        X = rng.random((30, 8))
+        P = np.linspace(0, 1, 8)[:, None]
+        P_cstr = np.linspace(0, 1, 5)[:, None]
+        pigpr = PIGPR(X, 2, rng.random((15, 3)), P, P_cstr,
+                      lambda ctx: 0.0)
+        pigpr.fit(select_modes="number", n_modes=2)
+        pigpr.train(max_iter=40)
+        P_star = np.array([[0.3], [0.7]])
+        A_ref, _ = pigpr.predict(P_star)
+        sensor = GPRSensor.from_gpr(pigpr)
+        _, A, _ = sensor(P_star)
+        np.testing.assert_allclose(np.asarray(A), np.asarray(A_ref),
+                                   rtol=1e-8, atol=1e-10)
