@@ -51,4 +51,7 @@ def __getattr__(name):
     if name == "GPRSensor":
         from .serving import GPRSensor
         return GPRSensor
+    if name == "CoKrigingSensor":
+        from .serving import CoKrigingSensor
+        return CoKrigingSensor
     raise AttributeError(f"module 'openmeasure_tpu' has no attribute {name!r}")

@@ -166,6 +166,57 @@ def _multistart_opt(starts: jax.Array, X, F, y, lo, hi,
                                  tol, n_steps, lr)[0]
 
 
+def predict_levels_batch(levels, rho_cols_seq, regr, rho_regr,
+                         l: int, Xs: jax.Array):
+    """(K, s) recursive co-kriging posterior mean/variance at normalized Xs
+    — pure function over the stacked per-level state (a pytree of arrays),
+    with ``rho_cols_seq`` static so the rho-coefficient slice stays a
+    static shape under jit.  Shared by :class:`BatchedMFK` and the compiled
+    CoKriging serving kernel.
+    """
+    lev = levels[l]
+    K = lev["Y"].shape[0]
+
+    if l == 0:
+        m_prev = jnp.zeros((K, Xs.shape[0]), dtype=Xs.dtype)
+        s2_prev = jnp.zeros_like(m_prev)
+    else:
+        m_prev, s2_prev = predict_levels_batch(levels, rho_cols_seq, regr,
+                                               rho_regr, l - 1, Xs)
+
+    Fr = _regr(regr, Xs)
+    if l == 0:
+        f_tilde = jnp.broadcast_to(Fr, (K,) + Fr.shape)
+        rho = None
+    else:
+        G = _regr(rho_regr, Xs)
+        beta_rho = lev["beta"][:, : rho_cols_seq[l]]         # (K, q)
+        rho = jnp.einsum("sq,kq->ks", G, beta_rho,
+                         precision=jax.lax.Precision.HIGHEST)
+        f_tilde = jnp.concatenate(
+            [G[None] * m_prev[:, :, None],
+             jnp.broadcast_to(Fr, (K,) + Fr.shape)], axis=2)
+
+    def one(theta, beta, gamma, sigma2, L, Ggls, F, ft):
+        with jax.default_matmul_precision("highest"):
+            r = _corr(theta, Xs, lev["X"])
+            mean = ft @ beta + r @ gamma
+            Ri_rT = jax.scipy.linalg.cho_solve((L, True), r.T)
+            rRr = jnp.sum(r.T * Ri_rT, axis=0)
+            u = F.T @ Ri_rT - ft.T
+            Gi_u = jnp.linalg.solve(Ggls, u)
+            uGu = jnp.sum(u * Gi_u, axis=0)
+            var = sigma2 * jnp.maximum(1.0 - rRr + uGu, 0.0)
+            return mean, var
+
+    mean, var = jax.vmap(one)(lev["theta"], lev["beta"], lev["gamma"],
+                              lev["sigma2"], lev["L"], lev["G"],
+                              lev["F"], f_tilde)
+    if l > 0:
+        var = var + rho ** 2 * s2_prev
+    return mean, var
+
+
 class BatchedMFK:
     """K independent recursive co-kriging models sharing the SAME input
     sites — the CoKriging workload shape (one model per latent POD
@@ -254,46 +305,10 @@ class BatchedMFK:
 
     def _predict_level_batch(self, l: int, Xs: jax.Array):
         """(K, s) recursive posterior mean/variance at normalized Xs."""
-        p = self._proto
-        lev = self.levels[l]
-
-        if l == 0:
-            m_prev = jnp.zeros((self.K, Xs.shape[0]), dtype=Xs.dtype)
-            s2_prev = jnp.zeros_like(m_prev)
-        else:
-            m_prev, s2_prev = self._predict_level_batch(l - 1, Xs)
-
-        Fr = _regr(p.regr, Xs)
-        if l == 0:
-            f_tilde = jnp.broadcast_to(Fr, (self.K,) + Fr.shape)
-            rho = None
-        else:
-            G = _regr(p.rho_regr, Xs)
-            beta_rho = lev["beta"][:, : lev["rho_cols"]]     # (K, q)
-            rho = jnp.einsum("sq,kq->ks", G, beta_rho,
-                             precision=jax.lax.Precision.HIGHEST)
-            f_tilde = jnp.concatenate(
-                [G[None] * m_prev[:, :, None],
-                 jnp.broadcast_to(Fr, (self.K,) + Fr.shape)], axis=2)
-
-        def one(theta, beta, gamma, sigma2, L, Ggls, F, ft):
-            with jax.default_matmul_precision("highest"):
-                r = _corr(theta, Xs, lev["X"])
-                mean = ft @ beta + r @ gamma
-                Ri_rT = jax.scipy.linalg.cho_solve((L, True), r.T)
-                rRr = jnp.sum(r.T * Ri_rT, axis=0)
-                u = F.T @ Ri_rT - ft.T
-                Gi_u = jnp.linalg.solve(Ggls, u)
-                uGu = jnp.sum(u * Gi_u, axis=0)
-                var = sigma2 * jnp.maximum(1.0 - rRr + uGu, 0.0)
-                return mean, var
-
-        mean, var = jax.vmap(one)(lev["theta"], lev["beta"], lev["gamma"],
-                                  lev["sigma2"], lev["L"], lev["G"],
-                                  lev["F"], f_tilde)
-        if l > 0:
-            var = var + rho ** 2 * s2_prev
-        return mean, var
+        rho_cols_seq = tuple(lev["rho_cols"] for lev in self.levels)
+        return predict_levels_batch(self.levels, rho_cols_seq,
+                                    self._proto.regr, self._proto.rho_regr,
+                                    l, Xs)
 
     def predict(self, X: np.ndarray, n_outputs: Optional[int] = None):
         """Returns (means (K', n), mses (K', n)) for the first

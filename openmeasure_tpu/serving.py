@@ -429,3 +429,96 @@ class GPRSensor:
             lambda x: x.block_until_ready(),
             self(jnp.zeros((batch, self.d), self._state["Ur"].dtype)))
         return self
+
+
+# ---------------------------------------------------------------------- #
+# CoKriging serving: multifidelity parameters -> HF field
+# ---------------------------------------------------------------------- #
+
+@functools.partial(jax.jit, static_argnames=("regr", "rho_regr",
+                                             "rho_cols_seq", "n_levels"))
+def _ck_predict_kernel(state, X, *, regr, rho_regr, rho_cols_seq,
+                       n_levels):
+    """Recursive co-kriging posterior for all latent dims + HF projection +
+    unscale, as one program (the compiled form of ``CoKriging.predict``).
+    Same compile-sharing design as the other serving kernels."""
+    from .multifi.mfk import predict_levels_batch
+    hp = jax.lax.Precision.HIGHEST
+    Xn = (X - state["X_mean"][None, :]) / state["X_std"][None, :]
+    mean, var = predict_levels_batch(state["levels"], rho_cols_seq, regr,
+                                     rho_regr, n_levels - 1, Xn)
+    means = mean * state["y_std"][:, None] + state["y_mean"][:, None]
+    mses = var * state["y_std"][:, None] ** 2
+    Y0_pred = jnp.matmul(state["Ur"], means, precision=hp)   # (n, q)
+    Y0_mse = jnp.matmul(state["Ur"], mses, precision=hp)
+    # unscale BOTH, exactly like CoKriging.predict (the reference unscales
+    # the MSE through the same affine map — quirk kept, cokriging.py:140-142)
+    scl, cnt = state["X_scl"][:, None], state["X_cnt"][:, None]
+    return scl * Y0_pred + cnt, scl * Y0_mse + cnt
+
+
+class CoKrigingSensor:
+    """Compiled multifidelity parameter→field sensor for a fitted
+    :class:`openmeasure_tpu.CoKriging` (after ``manifold_alignment`` +
+    ``fit`` with the batched engine).
+
+        sensor = CoKrigingSensor.from_cokriging(ck)
+        Y_pred, Y_mse = sensor(X_test)          # (q, d) -> (n, q), (n, q)
+
+    Output orientation matches ``CoKriging.predict``.  Model state is a
+    pytree argument of a shared jitted kernel — same-shape refits reuse the
+    compilation.
+    """
+
+    def __init__(self, regr, rho_regr, rho_cols_seq, n_levels, state):
+        self.regr = regr
+        self.rho_regr = rho_regr
+        self.rho_cols_seq = rho_cols_seq
+        self.n_levels = n_levels
+        self._state = state
+        self.d = int(state["X_mean"].shape[0])
+
+    @classmethod
+    def from_cokriging(cls, ck) -> "CoKrigingSensor":
+        if not hasattr(ck, "_batch"):
+            raise AttributeError(
+                "CoKrigingSensor needs a CoKriging fitted with the batched "
+                "engine (call manifold_alignment() then fit()).")
+        b = ck._batch
+        n_latent = ck.n_latent
+        levels = [{k: jnp.asarray(v) for k, v in lev.items()
+                   if k != "rho_cols"} for lev in b.levels]
+        state = {
+            "levels": levels,
+            "X_mean": jnp.asarray(b._X_mean),
+            "X_std": jnp.asarray(b._X_std),
+            "y_mean": jnp.asarray(b._y_mean),
+            "y_std": jnp.asarray(b._y_std),
+            "Ur": jnp.asarray(ck.Ur_hf[:, :n_latent]),
+            "X_cnt": jnp.asarray(ck.rom_hf.X_cnt)[:, 0],
+            "X_scl": jnp.asarray(ck.rom_hf.X_scl)[:, 0],
+        }
+        rho_cols_seq = tuple(lev["rho_cols"] for lev in b.levels)
+        return cls(b._proto.regr, b._proto.rho_regr, rho_cols_seq,
+                   b.n_levels, state)
+
+    @classmethod
+    def load(cls, path: str) -> "CoKrigingSensor":
+        from .utils.checkpoint import load_model
+        return cls.from_cokriging(load_model(path))
+
+    def __call__(self, X_test):
+        X_test = np.atleast_2d(np.asarray(X_test, dtype=float))
+        if X_test.shape[1] != self.d:
+            raise ValueError(
+                f"X_test must be (q, d={self.d}); got {X_test.shape}.")
+        X_test = jnp.asarray(X_test, self._state["X_mean"].dtype)
+        return _ck_predict_kernel(
+            self._state, X_test, regr=self.regr, rho_regr=self.rho_regr,
+            rho_cols_seq=self.rho_cols_seq, n_levels=self.n_levels)
+
+    def warmup(self, batch: int = 1) -> "CoKrigingSensor":
+        _ = jax.tree_util.tree_map(
+            lambda x: x.block_until_ready(),
+            self(np.zeros((batch, self.d))))
+        return self

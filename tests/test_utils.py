@@ -706,3 +706,76 @@ class TestGPRSensor:
         _, A, _ = sensor(P_star)
         np.testing.assert_allclose(np.asarray(A), np.asarray(A_ref),
                                    rtol=1e-8, atol=1e-10)
+
+
+class TestCoKrigingSensor:
+    def _fitted_ck(self, seed=0):
+        import numpy as np
+        from openmeasure_tpu import CoKriging
+        rng = np.random.default_rng(seed)
+        nf, nc_hf, nc_lf = 2, 30, 20
+        n_l, n_u = 6, 8
+        xyz_hf = rng.random((nc_hf, 3))
+        xyz_lf = rng.random((nc_lf, 3))
+        X_l = rng.random((n_l, 2))
+        X_u = rng.random((n_u, 2))
+
+        def field(xyz, P):
+            return np.stack([np.sin(3 * xyz[:, 0:1] * (1 + p[0]))
+                             + p[1] * xyz[:, 1:2] for p in P],
+                            axis=1)[:, :, 0]
+
+        Y_hf_l = np.concatenate([field(xyz_hf, X_l),
+                                 0.5 * field(xyz_hf, X_l)], axis=0)
+        Y_lf_l = np.concatenate([field(xyz_lf, X_l) + 0.1,
+                                 0.5 * field(xyz_lf, X_l)], axis=0)
+        Y_lf_u = np.concatenate([field(xyz_lf, X_u) + 0.1,
+                                 0.5 * field(xyz_lf, X_u)], axis=0)
+        ck = CoKriging(X_l, X_u, Y_lf_l, Y_lf_u, Y_hf_l, xyz_lf, xyz_hf, nf)
+        ck.manifold_alignment(select_modes="number", n_modes_hf=3,
+                              n_modes_lf=3)
+        ck.fit()
+        return ck
+
+    def test_matches_eager_predict(self):
+        import numpy as np
+        from openmeasure_tpu.serving import CoKrigingSensor
+        ck = self._fitted_ck()
+        X_test = np.random.default_rng(5).random((4, 2))
+        Yp_ref, Ym_ref = ck.predict(X_test)
+        sensor = CoKrigingSensor.from_cokriging(ck).warmup(batch=4)
+        Yp, Ym = sensor(X_test)
+        np.testing.assert_allclose(np.asarray(Yp), Yp_ref,
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(Ym), Ym_ref,
+                                   rtol=1e-8, atol=1e-10)
+
+    def test_checkpoint_and_compile_sharing(self, tmp_path):
+        import numpy as np
+        from openmeasure_tpu import serving as S
+        ck1 = self._fitted_ck(seed=0)
+        path = str(tmp_path / "ck.npz")
+        save_model(ck1, path)
+        s1 = S.CoKrigingSensor.load(path).warmup(batch=2)
+        size = S._ck_predict_kernel._cache_size()
+        s2 = S.CoKrigingSensor.from_cokriging(
+            self._fitted_ck(seed=7)).warmup(batch=2)
+        assert S._ck_predict_kernel._cache_size() == size
+        X = np.random.default_rng(1).random((2, 2))
+        Yp_ref, _ = ck1.predict(X)
+        np.testing.assert_allclose(np.asarray(s1(X)[0]), Yp_ref,
+                                   rtol=1e-8, atol=1e-10)
+        assert not np.allclose(np.asarray(s1(X)[0]), np.asarray(s2(X)[0]))
+
+    def test_unfitted_raises(self):
+        import numpy as np
+        import pytest as _pytest
+        from openmeasure_tpu import CoKriging
+        from openmeasure_tpu.serving import CoKrigingSensor
+        rng = np.random.default_rng(2)
+        ck = CoKriging(rng.random((3, 1)), rng.random((4, 1)),
+                       rng.random((8, 3)), rng.random((8, 4)),
+                       rng.random((8, 3)), rng.random((4, 3)),
+                       rng.random((4, 3)), 2)
+        with _pytest.raises(AttributeError, match="batched"):
+            CoKrigingSensor.from_cokriging(ck)
