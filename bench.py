@@ -87,9 +87,9 @@ def main():
     # Timing methodology: the TPU may sit behind a high-latency tunnel where
     # even block_until_ready returns before remote completion, so we (a) force
     # a host readback of a scalar that depends on the whole computation, and
-    # (b) amortize the round-trip by chaining K data-dependent pipeline
-    # executions inside one jitted loop and subtracting the measured bare
-    # round-trip latency.
+    # (b) chain K data-dependent pipeline executions inside one jitted loop,
+    # timing at K and 2K so the per-call fixed cost cancels (see
+    # slope_per_iter below).
     X_train = jnp.asarray(X_train64, dtype=jnp.float32)
     X_test = jnp.asarray(X_test64, dtype=jnp.float32)
 
@@ -104,16 +104,8 @@ def main():
             return res.nrmse.astype(jnp.float32)
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
-    # bare round-trip latency (tiny op + readback) — used only for the
-    # single-shot GPR measurement below
-    tiny = jax.jit(lambda x: x * 1.0)
-    _ = float(tiny(jnp.zeros((1,), jnp.float32))[0])
-    rt_times = []
-    for _ in range(7):
-        t0 = time.perf_counter()
-        _ = float(tiny(jnp.zeros((1,), jnp.float32))[0])
-        rt_times.append(time.perf_counter() - t0)
-    roundtrip = float(np.median(rt_times))
+    # warm the dispatch path once before any timing
+    _ = float(jax.jit(lambda x: x * 1.0)(jnp.zeros((1,), jnp.float32))[0])
 
     # Two-point slope: time the chained loop at K and 2K iterations and
     # difference them — the per-call fixed cost (tunnel round-trip, ~27-55
@@ -165,20 +157,24 @@ def main():
 
     # --- GPR ROM pipeline (second model family): full fit + 1000-iteration
     # vmapped GP training of all 14 modes + posterior + reconstruction ---
+    # Same K-vs-2K chained-slope timing as the other rows (the single-shot
+    # roundtrip-subtract measurement scattered 0.10-0.14 s run to run).
     from openmeasure_tpu.pipelines import gpr_end_to_end
     P_train = jnp.asarray(data["P_train"], jnp.float32)
     P_test = jnp.asarray(data["P_test"], jnp.float32)
-    _ = float(gpr_end_to_end(X_train, P_train, P_test, X_test,
-                              n_features, R).nrmse)
-    # perturbed input materialized BEFORE timing: the eager add would
-    # otherwise remote-compile (~0.4 s one-off) inside the timed region
-    X_train_p = X_train + 1e-7
-    _ = float(X_train_p[0, 0])
-    t0 = time.perf_counter()
-    res_gpr = gpr_end_to_end(X_train_p, P_train, P_test,
-                             X_test, n_features, R)
-    gpr_nrmse = float(res_gpr.nrmse)
-    t_gpr = max(time.perf_counter() - t0 - roundtrip, 1e-9)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def bench_loop_gpr(Xt, k):
+        def body(i, acc):
+            res = gpr_end_to_end(Xt + acc * 1e-30, P_train, P_test,
+                                 X_test, n_features, R)
+            return res.nrmse.astype(jnp.float32)
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    t_gpr = slope_per_iter(
+        lambda k: float(bench_loop_gpr(X_train, k)), 2, reps=2)
+    gpr_nrmse = float(gpr_end_to_end(X_train, P_train, P_test, X_test,
+                                     n_features, R).nrmse)  # unchained
 
     print(json.dumps({
         "metric": "SPR end-to-end (POD fit + QRCP placement + gappy-POD "
