@@ -172,7 +172,7 @@ def main():
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
     t_gpr = slope_per_iter(
-        lambda k: float(bench_loop_gpr(X_train, k)), 2, reps=2)
+        lambda k: float(bench_loop_gpr(X_train, k)), 2, reps=3)
     gpr_nrmse = float(gpr_end_to_end(X_train, P_train, P_test, X_test,
                                      n_features, R).nrmse)  # unchained
 

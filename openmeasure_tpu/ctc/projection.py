@@ -24,13 +24,15 @@ def stack_cameras(cams, obj_mesh, type_rec: str = "parallel",
     """Project with every camera and stack into one measurement operator,
     optionally embedded into the feature-blocked layout.
 
-    Each camera gets an independent per-camera seed derived from ``seed``
+    Each camera gets an independent child generator spawned from ``seed``
     (a shared seed would make every view's pixel-jitter and lens-disc
     samples identical — perfectly correlated ray perturbations across
-    views, where the reference draws fresh randomness per pixel)."""
-    Cs = [c.project(obj_mesh, type_rec, N_rand,
-                    seed=None if seed is None else seed + i)
-          for i, c in enumerate(cams)]
+    views, where the reference draws fresh randomness per pixel).
+    ``seed`` accepts anything ``np.random.default_rng`` does (None, int,
+    Generator, SeedSequence)."""
+    rngs = np.random.default_rng(seed).spawn(len(cams))
+    Cs = [c.project(obj_mesh, type_rec, N_rand, seed=rng)
+          for c, rng in zip(cams, rngs)]
     C = sp.vstack(Cs).tocsr().astype(float)
     if n_features > 1:
         C = embed_projection(C, n_features, feature_index)

@@ -45,6 +45,33 @@ class MultitaskPosterior(NamedTuple):
     stddev: jax.Array   # (n_points, r)
 
 
+def posterior_all_modes(mean, kernel, likelihood, gpr_type, params, X, Y,
+                        Xs):
+    """Noise-inclusive posterior over all modes — the ONE implementation of
+    the SingleTask/MultiTask/FixedNoise branching, shared by the eager
+    ``GPR._posterior_all`` and the compiled ``serving.GPRSensor`` kernel
+    (a fix to e.g. the fixed-noise ``pred_noise`` quirk lands in both).
+    Returns ``(means (r, q), variances (r, q))``."""
+    if gpr_type == "MultiTask":
+        noises = likelihood.noise(params["likelihood"])
+
+        def post_one(tp, y, nz):
+            return E.gp_posterior(mean, kernel, tp, nz, X, y, Xs,
+                                  include_noise=True)
+        return jax.vmap(post_one)(params["tasks"], Y.T, noises)
+
+    def post_one(tp, y):
+        if isinstance(likelihood, K.FixedNoiseGaussianLikelihood):
+            nz_vec = likelihood.noise(tp["likelihood"])
+            return E.gp_posterior(mean, kernel, tp, nz_vec, X, y, Xs,
+                                  include_noise=True,
+                                  pred_noise=jnp.mean(nz_vec))
+        nz = likelihood.noise(tp["likelihood"])
+        return E.gp_posterior(mean, kernel, tp, nz, X, y, Xs,
+                              include_noise=True)
+    return jax.vmap(post_one)(params, Y.T)
+
+
 def _stack_params(params, r):
     return jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (r,) + x.shape), params)
@@ -231,31 +258,9 @@ class GPR(ROM):
 
     def _posterior_all(self, P0_star) -> MultitaskPosterior:
         """Noise-inclusive posterior at scaled test points, all modes."""
-        X, Y = self._train_X, self._train_Y
-        mean, kernel = self.mean, self.kernel
-
-        if self.gpr_type == "MultiTask":
-            task_params = self.params["tasks"]
-            noises = self.likelihood.noise(self.params["likelihood"])
-
-            def post_one(tp, y, nz):
-                return E.gp_posterior(mean, kernel, tp, nz, X, y, P0_star,
-                                      include_noise=True)
-            means, variances = jax.vmap(post_one)(task_params, Y.T, noises)
-        else:
-            def post_one(tp, y):
-                if isinstance(self.likelihood,
-                              K.FixedNoiseGaussianLikelihood):
-                    nz_vec = self.likelihood.noise(tp["likelihood"])
-                    return E.gp_posterior(
-                        mean, kernel, tp, nz_vec, X, y, P0_star,
-                        include_noise=True,
-                        pred_noise=jnp.mean(nz_vec))
-                nz = self.likelihood.noise(tp["likelihood"])
-                return E.gp_posterior(mean, kernel, tp, nz, X, y, P0_star,
-                                      include_noise=True)
-            means, variances = jax.vmap(post_one)(self.params, Y.T)
-
+        means, variances = posterior_all_modes(
+            self.mean, self.kernel, self.likelihood, self.gpr_type,
+            self.params, self._train_X, self._train_Y, P0_star)
         return MultitaskPosterior(mean=means.T,
                                   stddev=jnp.sqrt(variances).T)
 

@@ -138,8 +138,10 @@ class SoftSensor:
         self.r = self.Theta.shape[1]
         self.s = self.Theta.shape[0]
         self.method = method
-        self.admm_iters = admm_iters
-        self.admm_over_relax = admm_over_relax
+        # normalized so equal values hash equally across models (they key
+        # the shared jitted kernels' static arguments)
+        self.admm_iters = int(admm_iters)
+        self.admm_over_relax = float(admm_over_relax)
         if method == "COLS":
             if constraint_A is None or constraint_lo is None \
                     or constraint_hi is None:
@@ -159,9 +161,6 @@ class SoftSensor:
         self._pinv = jnp.asarray(
             np.linalg.pinv(np.asarray(self.Theta, np.float64)).astype(
                 np.asarray(self.Theta).dtype))
-        # static knobs normalized so equal values hash equally across models
-        self.admm_iters = int(admm_iters)
-        self.admm_over_relax = float(admm_over_relax)
         # model state as a pytree: the shared jitted kernels take it as an
         # ARGUMENT, so same-shape models (e.g. a reloaded retrained
         # checkpoint) reuse the existing compilation
@@ -319,31 +318,12 @@ def _gpr_predict_math(state, P_star, mean_spec, kernel_spec,
     compiled form of ``GPR.predict(...)`` followed by ``reconstruct``.
     Specs are static (hashable frozen dataclasses); model state is a pytree
     argument, so same-shape retrained models share the compilation."""
-    from .gp import exact_gp as E
-    from .gp import kernels as K
+    from .gp.gpr import posterior_all_modes
     hp = jax.lax.Precision.HIGHEST
     P0s = (P_star - state["P_cnt"][None, :]) / state["P_scl"][None, :]
-    X, Y = state["P0_train"], state["Y"]
-
-    if gpr_type == "MultiTask":
-        noises = likelihood_spec.noise(state["params"]["likelihood"])
-
-        def post_one(tp, y, nz):
-            return E.gp_posterior(mean_spec, kernel_spec, tp, nz, X, y,
-                                  P0s, include_noise=True)
-        means, variances = jax.vmap(post_one)(
-            state["params"]["tasks"], Y.T, noises)
-    else:
-        def post_one(tp, y):
-            if isinstance(likelihood_spec, K.FixedNoiseGaussianLikelihood):
-                nz_vec = likelihood_spec.noise(tp["likelihood"])
-                return E.gp_posterior(mean_spec, kernel_spec, tp, nz_vec,
-                                      X, y, P0s, include_noise=True,
-                                      pred_noise=jnp.mean(nz_vec))
-            nz = likelihood_spec.noise(tp["likelihood"])
-            return E.gp_posterior(mean_spec, kernel_spec, tp, nz, X, y,
-                                  P0s, include_noise=True)
-        means, variances = jax.vmap(post_one)(state["params"], Y.T)
+    means, variances = posterior_all_modes(
+        mean_spec, kernel_spec, likelihood_spec, gpr_type,
+        state["params"], state["P0_train"], state["Y"], P0s)
 
     V_pred = means.T                                   # (q, r)
     V_sigma = jnp.sqrt(variances).T

@@ -364,3 +364,30 @@ class TestADMMDiagnostics:
         y[:, 2] = rows // 15
         spr.predict(y)
         assert float(spr.admm_info.primal_residual[0]) > 1e-3
+
+
+class TestRefitCacheInvalidation:
+    def test_refit_invalidates_measurement_centering_cache(self):
+        """A refit with a different scale type changes X_cnt/X_scl; the
+        cached C @ X_cnt from the earlier train() must not survive it."""
+        import numpy as np
+        from openmeasure_tpu import SPR
+        rng = np.random.default_rng(17)
+        X = rng.random((30, 6)) + 1.0
+        spr = SPR(X, 2, rng.random((15, 3)))
+        spr.fit(select_modes="number", n_modes=3)
+        C = np.asarray(spr.optimal_placement())
+        spr.train(C)
+        rows = np.argmax(C, axis=1)
+        y = np.zeros((3, 3))
+        y[:, 0] = X[rows, 1]
+        y[:, 2] = rows // 15
+
+        spr.fit(scale_type="pareto", select_modes="number", n_modes=3)
+        spr.train(C)
+        y0 = spr.scale_vector(y)
+        cnt_expected = C @ np.asarray(spr.X_cnt)[:, 0]
+        scl_expected = np.asarray(spr.X_scl)[rows, 0]
+        np.testing.assert_allclose(
+            np.asarray(y0)[:, 0], (y[:, 0] - cnt_expected) / scl_expected,
+            rtol=1e-12)
