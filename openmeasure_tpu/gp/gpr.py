@@ -21,6 +21,13 @@ API-parity re-implementation of the reference ``GPR``/``PIGPR``
 
 Defaults match the reference: ConstantMean, Matern-2.5 kernel, Gaussian /
 multitask-Gaussian likelihood, Adam(lr=0.1), max_iter=1000, rel_error=1e-5.
+
+Documented deviation (SURVEY §4 convention): the reference's class
+docstring lists an ``unscale_coefficients(scale_type)`` method that is
+never defined anywhere in the module (``gpr.py:194-196``) and has no
+documented signature or semantics — unlike ``SPR.fit_predict`` (also
+declared-but-undefined, which we implement from its documented signature),
+no behavior can be inferred, so it is intentionally not invented here.
 """
 
 from __future__ import annotations
