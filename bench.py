@@ -95,7 +95,11 @@ def main():
 
     K = 20
 
-    @functools.partial(jax.jit, static_argnames=("k",))
+    # k is a TRACED argument (fori_loop lowers to while_loop), so ONE
+    # compilation serves both the K and 2K timing shapes — remote compiles
+    # through the tunnel cost 40 s-6 min each, and the slope method would
+    # otherwise pay two per pipeline.
+    @jax.jit
     def bench_loop(X_train, X_test, k):
         def body(i, acc):
             # acc-dependent perturbation serializes iterations and defeats CSE
@@ -144,7 +148,7 @@ def main():
     X3t = jnp.asarray(data3d["X_test"])
     K3 = 5
 
-    @functools.partial(jax.jit, static_argnames=("k",))
+    @jax.jit
     def bench_loop_3d(Xt, Xs, k):
         def body(i, acc):
             res = spr_end_to_end(Xt + acc * 1e-30, Xs, 9, R)
@@ -163,7 +167,7 @@ def main():
     P_train = jnp.asarray(data["P_train"], jnp.float32)
     P_test = jnp.asarray(data["P_test"], jnp.float32)
 
-    @functools.partial(jax.jit, static_argnames=("k",))
+    @jax.jit
     def bench_loop_gpr(Xt, k):
         def body(i, acc):
             res = gpr_end_to_end(Xt + acc * 1e-30, P_train, P_test,
