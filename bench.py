@@ -51,8 +51,6 @@ def time_reference_cpu(X_train, X_test, n_features, r):
 
 
 def main():
-    import functools
-
     import jax
     import jax.numpy as jnp
     from openmeasure_tpu.datasets.synthetic import make_flame_dataset
