@@ -42,7 +42,11 @@ def _predict_math(state, y_values, y_sigma, method, admm_iters, over_relax):
     hp = jax.lax.Precision.HIGHEST
     y0 = (y_values - state["cnt_sensors"]) / state["scl_sensors"]
     sig0 = y_sigma / state["scl_sensors"]
-    use_w = jnp.any(y_sigma > 0)
+    # Same weighted-path trigger as the eager SPR.predict (`np.any(yi[:, 1])`
+    # — any NONZERO sigma, matching the reference's test at
+    # sparse_sensing.py:869), not `> 0`: the two paths must agree even on
+    # malformed (negative-sigma) input.
+    use_w = jnp.any(y_sigma != 0)
     # Same weighting as SPR.predict (spr.py, documented deviation): a
     # σ=0 entry inside an otherwise-weighted vector gets the LARGEST
     # finite weight of the vector — exact measurements dominate — so
@@ -69,7 +73,13 @@ def _predict_math(state, y_values, y_sigma, method, admm_iters, over_relax):
     # served solution is then a bounded REGULARIZED one (documented
     # deviation; the eager SPR.predict keeps exact f64 pinv semantics).
     d = jnp.diagonal(R)
-    floor = (jnp.maximum(jnp.max(jnp.abs(d)), 1.0)
+    # Floor scales with max|diag(R)| only — an absolute clamp (e.g.
+    # max(·, 1.0)) would assume O(1) scaling and silently over-regularize a
+    # legitimately tiny-scale system.  The `where` guards the all-zero
+    # operator (fully masked placement), where any positive floor just keeps
+    # the solves finite.
+    dmax = jnp.max(jnp.abs(d))
+    floor = (jnp.where(dmax > 0, dmax, 1.0)
              * jnp.finfo(d.dtype).eps * WT.shape[0])
     d_safe = jnp.where(jnp.abs(d) < floor,
                        jnp.where(d < 0, -floor, floor), d)
@@ -196,13 +206,31 @@ class SoftSensor:
         (``limits`` box or a general ``constraints`` spec with unbatched
         bounds) into the compiled server."""
         import scipy.sparse as sp
+        from jax.experimental import sparse as jsparse
         C = spr.C
         X_cnt = np.asarray(spr.X_cnt)[:, 0]
         X_scl = np.asarray(spr.X_scl)[:, 0]
 
         # measurement centering is always C @ X_cnt (reference
         # sparse_sensing.py:573)
-        if sp.issparse(C):
+        if isinstance(C, jsparse.BCOO):
+            # BCOO analog of the CSR branch: SPR.train accepts BCOO
+            # measurement operators (rom.py apply_sampling), so a
+            # BCOO-trained model must package too.  Row-nnz / one-hot
+            # detection runs on the COO triplets host-side.
+            cnt_sensors = np.asarray(C @ jnp.asarray(X_cnt))
+            idx = np.asarray(C.indices).reshape(-1, 2)
+            dat = np.asarray(C.data).ravel()
+            nz = dat != 0
+            rows_nz, cols_nz, dat_nz = idx[nz, 0], idx[nz, 1], dat[nz]
+            row_nnz = np.bincount(rows_nz, minlength=C.shape[0])
+            # duplicate (row, col) triplets would double-count: only a
+            # duplicate-free one-hot pattern takes the automatic path
+            one_hot = bool(np.all(row_nnz == 1) and np.all(dat_nz == 1.0))
+            argmax_rows = np.zeros(C.shape[0], dtype=int)
+            if one_hot:
+                argmax_rows[rows_nz] = cols_nz
+        elif sp.issparse(C):
             cnt_sensors = np.asarray(C.dot(X_cnt)).ravel()
             row_nnz = np.diff(C.tocsr().indptr)
             one_hot = bool(np.all(row_nnz == 1) and
@@ -313,12 +341,21 @@ class SoftSensor:
 # ---------------------------------------------------------------------- #
 
 def _gpr_predict_math(state, P_star, mean_spec, kernel_spec,
-                      likelihood_spec, gpr_type):
+                      likelihood_spec, gpr_type, constrained, admm_iters,
+                      over_relax):
     """Posterior at scaled design points + rescale + reconstruct — the
     compiled form of ``GPR.predict(...)`` followed by ``reconstruct``.
     Specs are static (hashable frozen dataclasses); model state is a pytree
-    argument, so same-shape retrained models share the compilation."""
+    argument, so same-shape retrained models share the compilation.
+
+    ``constrained=True`` serves the constrained prediction (the eager
+    ``GPR.predict(limits=..., bc=..., constraints=...)`` path, reference
+    ``gpr.py:569-580``): each point's posterior mean is replaced by the
+    whitened ADMM MAP under the constraint set baked into ``state`` at
+    packaging time, run for a FIXED iteration budget (``tol=0``) so request
+    latency is deterministic — same design as COLS :class:`SoftSensor`."""
     from .gp.gpr import posterior_all_modes
+    from .linalg import boxls as _boxls
     hp = jax.lax.Precision.HIGHEST
     P0s = (P_star - state["P_cnt"][None, :]) / state["P_scl"][None, :]
     means, variances = posterior_all_modes(
@@ -327,6 +364,16 @@ def _gpr_predict_math(state, P_star, mean_spec, kernel_spec,
 
     V_pred = means.T                                   # (q, r)
     V_sigma = jnp.sqrt(variances).T
+    if constrained:
+        A_c, lo, hi, AtA = (state["A_c"], state["lo"], state["hi"],
+                            state["AtA"])
+
+        def map_one(mu, var):
+            v, _ = _boxls.box_constrained_map(
+                mu, jnp.diag(var), A_c, lo, hi, AtA=AtA,
+                max_iter=admm_iters, tol=0.0, over_relax=over_relax)
+            return v
+        V_pred = jax.vmap(map_one)(V_pred, variances.T)
     A = V_pred * state["Sigma_r"][None, :]
     A_sigma = V_sigma * state["Sigma_r"][None, :]
     fields = (jnp.matmul(state["Ur"], A.T, precision=hp)
@@ -335,11 +382,15 @@ def _gpr_predict_math(state, P_star, mean_spec, kernel_spec,
 
 
 @functools.partial(jax.jit, static_argnames=("mean_spec", "kernel_spec",
-                                             "likelihood_spec", "gpr_type"))
+                                             "likelihood_spec", "gpr_type",
+                                             "constrained", "admm_iters",
+                                             "over_relax"))
 def _gpr_predict_kernel(state, P_star, *, mean_spec, kernel_spec,
-                        likelihood_spec, gpr_type):
+                        likelihood_spec, gpr_type, constrained=False,
+                        admm_iters=300, over_relax=1.6):
     return _gpr_predict_math(state, P_star, mean_spec, kernel_spec,
-                             likelihood_spec, gpr_type)
+                             likelihood_spec, gpr_type, constrained,
+                             admm_iters, over_relax)
 
 
 class GPRSensor:
@@ -354,25 +405,49 @@ class GPRSensor:
     an argument of a module-level jitted kernel, so retrained same-shape
     models (checkpoint reloads) skip recompilation.  Each distinct test
     batch shape compiles once — keep query batch sizes fixed.
+
+    A constraint set (``limits`` box / ``bc`` pins / general
+    ``constraints``) given to :meth:`from_gpr` is baked into the server:
+    every request's posterior mean is replaced by the whitened ADMM MAP of
+    the eager ``GPR.predict(limits=...)`` path (reference ``gpr.py:569-580``)
+    under a fixed iteration budget.
     """
 
     def __init__(self, mean_spec, kernel_spec, likelihood_spec,
-                 gpr_type, state):
+                 gpr_type, state, admm_iters: int = 300,
+                 admm_over_relax: float = 1.6):
         self.mean_spec = mean_spec
         self.kernel_spec = kernel_spec
         self.likelihood_spec = likelihood_spec
         self.gpr_type = gpr_type
         self._state = state
+        self.constrained = "A_c" in state
+        self.admm_iters = int(admm_iters)
+        self.admm_over_relax = float(admm_over_relax)
         self.d = int(state["P_cnt"].shape[0])
         self.r = int(state["Sigma_r"].shape[0])
         self.n = int(state["Ur"].shape[0])
 
     @classmethod
-    def from_gpr(cls, gpr) -> "GPRSensor":
-        """Package a trained GPR (after ``fit`` + ``train``)."""
+    def from_gpr(cls, gpr, limits=None, bc=None, constraints=None,
+                 admm_iters: int = 300,
+                 admm_over_relax: float = 1.6) -> "GPRSensor":
+        """Package a trained GPR (after ``fit`` + ``train``).
+
+        ``limits``/``bc``/``constraints`` follow ``GPR.predict``'s contract
+        (they COMPOSE), with two serving restrictions: ``bc=(rows, values)``
+        values are a fixed (n_bc,) vector enforced on every request (the
+        per-request batched form cannot be baked into a compiled model), and
+        ``constraints`` bounds must be unbatched — same rule as COLS
+        :class:`SoftSensor`."""
+        if not hasattr(gpr, "Ur"):
+            raise AttributeError(
+                "GPRSensor.from_gpr needs a fitted and trained GPR: "
+                "call gpr.fit() and gpr.train() first.")
         if not hasattr(gpr, "models"):
-            raise AttributeError("The function fit has to be called "
-                                 "before calling predict.")
+            raise AttributeError(
+                "GPRSensor.from_gpr needs a trained GPR: call gpr.train() "
+                "after fit().")
         state = {
             "P0_train": jnp.asarray(gpr._train_X),
             "Y": jnp.asarray(gpr._train_Y),
@@ -384,13 +459,56 @@ class GPRSensor:
             "P_cnt": jnp.asarray(gpr.P_cnt)[0],
             "P_scl": jnp.asarray(gpr.P_scl)[0],
         }
+        parts = []
+        if limits is not None or bc is not None or constraints is not None:
+            from .linalg import boxls as _boxls
+            if gpr.gpr_type != "MultiTask":
+                raise NotImplementedError(
+                    "Constrained prediction only works for MultiTask "
+                    "models.")
+            # same constraint-space construction as GPR.predict: the MAP
+            # variable is the normalized coefficient vector v, the physical
+            # operator is Ur diag(Sigma_r)
+            S = state["Ur"] * state["Sigma_r"][None, :]
+            if limits is not None:
+                lo_b, hi_b = gpr.scale_limits(limits)
+                parts.append(_boxls.LinearConstraints(S, lo_b, hi_b))
+            if bc is not None:
+                rows = np.asarray(bc[0], dtype=int)
+                values = np.asarray(bc[1], dtype=float)
+                if values.ndim != 1:
+                    raise ValueError(
+                        "serving bc values must be a fixed (n_bc,) vector "
+                        "(per-request batched pins cannot be baked into a "
+                        "compiled model).")
+                cnt = np.asarray(gpr.X_cnt)[rows, 0]
+                scl = np.asarray(gpr.X_scl)[rows, 0]
+                v0 = jnp.asarray((values - cnt) / scl)
+                parts.append(_boxls.LinearConstraints(S[rows, :], v0, v0))
+            if constraints is not None:
+                cs_user, _ = _boxls.build_constraint_set(constraints, None)
+                parts.append(cs_user)
+            cs = _boxls.concat_constraints(parts)
+            if np.ndim(np.asarray(cs.lo)) == 2 or \
+                    np.ndim(np.asarray(cs.hi)) == 2:
+                raise ValueError(
+                    "per-request batched constraint bounds cannot be baked "
+                    "into a serving model; use unbatched bounds.")
+            state.update(
+                A_c=jnp.asarray(cs.A), lo=jnp.asarray(cs.lo),
+                hi=jnp.asarray(cs.hi),
+                AtA=jnp.matmul(cs.A.T, cs.A,
+                               precision=jax.lax.Precision.HIGHEST))
         return cls(gpr.mean, gpr.kernel, gpr.likelihood, gpr.gpr_type,
-                   state)
+                   state, admm_iters=admm_iters,
+                   admm_over_relax=admm_over_relax)
 
     @classmethod
-    def load(cls, path: str) -> "GPRSensor":
+    def load(cls, path: str, limits=None, bc=None, constraints=None,
+             admm_iters: int = 300) -> "GPRSensor":
         from .utils.checkpoint import load_model
-        return cls.from_gpr(load_model(path))
+        return cls.from_gpr(load_model(path), limits=limits, bc=bc,
+                            constraints=constraints, admm_iters=admm_iters)
 
     def __call__(self, P_star):
         P_star = jnp.asarray(P_star, self._state["Ur"].dtype)
@@ -402,7 +520,9 @@ class GPRSensor:
         return _gpr_predict_kernel(
             self._state, P_star, mean_spec=self.mean_spec,
             kernel_spec=self.kernel_spec,
-            likelihood_spec=self.likelihood_spec, gpr_type=self.gpr_type)
+            likelihood_spec=self.likelihood_spec, gpr_type=self.gpr_type,
+            constrained=self.constrained, admm_iters=self.admm_iters,
+            over_relax=self.admm_over_relax)
 
     def warmup(self, batch: int = 1) -> "GPRSensor":
         _ = jax.tree_util.tree_map(
