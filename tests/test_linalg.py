@@ -107,6 +107,73 @@ class TestQRCP:
 
 
 class TestBoxQP:
+    @staticmethod
+    def _assert_kkt(H, c, A, lo, hi, g, bar=1e-6, act_tol=1e-6):
+        """First-order (KKT) optimality certificate for
+        ``min ½gᵀHg − cᵀg  s.t. lo ≤ Ag ≤ hi`` — solver-independent, so it
+        catches a wrong answer even if two iterative solvers agreed on it.
+
+        Stationarity: ∇f(g) + Aᵀμ = 0 with μ_i ≥ 0 on upper-active rows,
+        μ_i ≤ 0 on lower-active rows, free on equality rows (lo == hi), and
+        0 on inactive rows.  μ is recovered on the active set by least
+        squares, projected onto its sign constraints, and the remaining
+        stationarity residual (the projected gradient) must be ≤ `bar`
+        relative to the gradient scale; feasibility must hold to the same
+        order."""
+        g = np.asarray(g, np.float64)
+        grad = H @ g - c
+        Ag = A @ g
+        scale = 1.0 + np.linalg.norm(c) + np.linalg.norm(H @ g)
+        # feasibility
+        viol = max(np.max(lo - Ag, initial=0.0),
+                   np.max(Ag - hi, initial=0.0))
+        assert viol <= bar * (1.0 + np.max(np.abs(np.concatenate(
+            [lo[np.isfinite(lo)], hi[np.isfinite(hi)]])))), \
+            f"constraint violation {viol:.3e}"
+        act_lo = (Ag - lo) <= act_tol * (1.0 + np.abs(np.where(
+            np.isfinite(lo), lo, 0.0)))
+        act_hi = (hi - Ag) <= act_tol * (1.0 + np.abs(np.where(
+            np.isfinite(hi), hi, 0.0)))
+        act_lo &= np.isfinite(lo)
+        act_hi &= np.isfinite(hi)
+        eq = np.isfinite(lo) & np.isfinite(hi) & (hi - lo <= act_tol)
+        act = act_lo | act_hi
+        if not np.any(act):
+            resid = np.linalg.norm(grad)
+        else:
+            A_act = A[act]
+            mu, *_ = np.linalg.lstsq(A_act.T, -grad, rcond=None)
+            lo_only = act_lo[act] & ~act_hi[act] & ~eq[act]
+            hi_only = act_hi[act] & ~act_lo[act] & ~eq[act]
+            mu = np.where(lo_only, np.minimum(mu, 0.0), mu)
+            mu = np.where(hi_only, np.maximum(mu, 0.0), mu)
+            resid = np.linalg.norm(grad + A_act.T @ mu)
+        assert resid / scale <= bar, \
+            f"projected-gradient residual {resid / scale:.3e} > {bar:.1e}"
+
+    @staticmethod
+    def _trust_constr(H, c, A, lo, hi, x0, maxiter=3000):
+        """Second independent solver family (interior-point flavored
+        trust-region SQP) — SURVEY hard-part #2 asks for a conic-grade
+        oracle beyond SLSQP; trust-constr with tight tolerances is the
+        strongest one available offline (cvxpy/Clarabel not installed).
+
+        Measured limitation on the ill-scaled active sets below: it
+        terminates on xtol with an objective ABOVE the ADMM solution's
+        (even when warm-started AT the ADMM solution it drifts upward),
+        so pointwise x-agreement at 1e-5 is not attainable from it; the
+        ill-scaled tests therefore use objective domination + the KKT
+        certificate instead of pointwise comparison."""
+        from scipy.optimize import LinearConstraint
+        res = minimize(lambda g: 0.5 * g @ H @ g - c @ g, x0,
+                       jac=lambda g: H @ g - c, hess=lambda g: H,
+                       method="trust-constr",
+                       constraints=[LinearConstraint(A, lo, hi)],
+                       options={"gtol": 1e-12, "xtol": 1e-14,
+                                "maxiter": maxiter})
+        assert res.status in (1, 2), res.message
+        return res.x
+
     def _slsqp(self, H, c, A, lo, hi, x0):
         fun = lambda g: 0.5 * g @ H @ g - c @ g
         jac = lambda g: H @ g - c
@@ -132,6 +199,8 @@ class TestBoxQP:
         g, info = _boxls.box_constrained_lstsq(Theta, y, w, A, lo, hi)
         g_ols = np.linalg.pinv(Theta) @ y
         np.testing.assert_allclose(np.asarray(g), g_ols, atol=1e-6)
+        self._assert_kkt(Theta.T @ Theta, Theta.T @ y, A, lo, hi,
+                         np.asarray(g))
 
     def test_active_constraints_match_slsqp(self):
         s, r, n = 15, 4, 30
@@ -147,6 +216,7 @@ class TestBoxQP:
         c = Theta.T @ y
         g_ref = self._slsqp(H, c, A, lo, hi, np.zeros(r))
         np.testing.assert_allclose(np.asarray(g), g_ref, atol=2e-5)
+        self._assert_kkt(H, c, A, lo, hi, np.asarray(g))
 
     def test_weighted(self):
         s, r, n = 12, 3, 20
@@ -161,6 +231,7 @@ class TestBoxQP:
         c = Theta.T @ (w ** 2 * y)
         g_ref = self._slsqp(H, c, A, lo, hi, np.zeros(r))
         np.testing.assert_allclose(np.asarray(g), g_ref, atol=2e-5)
+        self._assert_kkt(H, c, A, lo, hi, np.asarray(g))
 
     def test_map_qp(self):
         r, n = 5, 40
@@ -174,6 +245,7 @@ class TestBoxQP:
         H = np.linalg.inv(cov)
         g_ref = self._slsqp(H, H @ mean, A, lo, hi, np.zeros(r))
         np.testing.assert_allclose(np.asarray(v), g_ref, atol=2e-5)
+        self._assert_kkt(H, H @ mean, A, lo, hi, np.asarray(v))
 
     def test_map_qp_equality_pins(self):
         # mixed set: box rows + equality pins (lo == hi) — the bc0_limits
@@ -208,6 +280,71 @@ class TestBoxQP:
                        options={"maxiter": 500, "ftol": 1e-14})
         assert res.success
         np.testing.assert_allclose(v, res.x, atol=5e-5)
+        self._assert_kkt(H, H @ mean, A, lo, hi, v)
+
+    def test_ill_scaled_cols_vs_trust_constr(self):
+        """Reference COLS shape (s = r = 14 sensors/modes, tall constraint
+        operator, sparse_sensing.py:880-892) with decade-spanning weights
+        and an ill-conditioned Theta (cond(H) ~ 1e6), ~half the constraint
+        rows active: ADMM must (a) carry a first-order KKT certificate and
+        (b) reach an objective AT LEAST as low as the second, independent
+        solver family (trust-constr) at matching feasibility (SURVEY
+        hard-part #2).  Measured: trust-constr stalls on xtol ABOVE the
+        ADMM objective here (Δf ≈ 2e-5 relative, persisting even when
+        warm-started at the ADMM point), so objective domination + KKT is
+        the honest cross-check, not pointwise x-agreement."""
+        s = r = 14
+        n = 120
+        rng = np.random.default_rng(7)
+        Ur, _ = np.linalg.qr(rng.standard_normal((n, r)))
+        rows = rng.choice(n, s, replace=False)
+        # column scaling -> cond(Theta) ~ 1e3, cond(H) ~ 1e6
+        Theta = Ur[rows] * np.logspace(0, 3, r)[None, :]
+        y = 5.0 * rng.standard_normal(s)
+        w = np.logspace(-2, 2, s)
+        rng.shuffle(w)
+        H = (Theta * w[:, None] ** 2).T @ Theta
+        c = Theta.T @ (w ** 2 * y)
+        g_unc = np.linalg.lstsq(Theta * w[:, None], w * y, rcond=None)[0]
+        z = Ur @ g_unc
+        lo = np.quantile(z, 0.25) * np.ones(n)      # ~half the rows active
+        hi = np.quantile(z, 0.75) * np.ones(n)
+        g, info = _boxls.box_constrained_lstsq(
+            Theta, y, w, A=jnp.asarray(Ur), lo=jnp.asarray(lo),
+            hi=jnp.asarray(hi), max_iter=60000, tol=1e-13)
+        g = np.asarray(g)
+        self._assert_kkt(H, c, Ur, lo, hi, g)
+        g_ref = self._trust_constr(H, c, Ur, lo, hi, np.zeros(r))
+        f = lambda x: 0.5 * x @ H @ x - c @ x
+        # objective domination over the independent solver family
+        assert f(g) <= f(g_ref) + 1e-6 * abs(f(g_ref)), (f(g), f(g_ref))
+
+    def test_ill_scaled_map_vs_trust_constr(self):
+        """Constrained-GPR MAP QP (gpr.py:569-580) with posterior variances
+        spanning 8 decades and an ill-scaled Ur·diag(Σ_r) operator — the
+        whitened ADMM (identity Hessian) vs trust-constr on the raw QP:
+        KKT certificate + objective domination (see the COLS test above
+        for why pointwise agreement is not the right bar)."""
+        r, n = 14, 100
+        rng = np.random.default_rng(11)
+        var = np.logspace(-6, 2, r)
+        rng.shuffle(var)
+        cov = np.diag(var)
+        mean = rng.standard_normal(r)
+        U0, _ = np.linalg.qr(rng.standard_normal((n, r)))
+        A = U0 * np.logspace(0, 4, r)[None, :]      # Ur diag(Sigma_r) pattern
+        z = A @ mean
+        lo = np.quantile(z, 0.3) * np.ones(n)
+        hi = np.quantile(z, 0.7) * np.ones(n)
+        v, _ = _boxls.box_constrained_map(
+            jnp.asarray(mean), jnp.asarray(cov), jnp.asarray(A),
+            jnp.asarray(lo), jnp.asarray(hi), max_iter=60000, tol=1e-13)
+        v = np.asarray(v)
+        H = np.diag(1.0 / var)
+        self._assert_kkt(H, H @ mean, A, lo, hi, v)
+        g_ref = self._trust_constr(H, H @ mean, A, lo, hi, mean)
+        f = lambda x: 0.5 * x @ H @ x - (H @ mean) @ x
+        assert f(v) <= f(g_ref) + 1e-6 * abs(f(g_ref)), (f(v), f(g_ref))
 
     def test_concat_constraints_batched(self):
         A1 = RNG.standard_normal((6, 3))
