@@ -50,6 +50,210 @@ def time_reference_cpu(X_train, X_test, n_features, r):
     return t1 - t0, nrmse, piv
 
 
+def time_reference_gpr_cpu(X_train, P_train, P_test, X_test, n_features, r,
+                           max_iter=1000, rel_error=1e-5, lr=0.1):
+    """Reference GPR-ROM flow, reference op set on CPU: numpy f64 scale+SVD
+    (``gpr.py:356-402``), then r SERIAL torch-f64 Adam+Cholesky −MLL loops
+    with the reference's stop rule (the op set of the gpytorch/libtorch
+    trainer at ``gpr.py:220-251`` crossed r times serially at
+    ``gpr.py:497-509``: Matern-2.5 + constant mean + softplus noise, full
+    Cholesky MLL gradient per iteration), then per-mode posterior predict +
+    reconstruction (``gpr.py:517-567``)."""
+    import torch
+
+    t0 = time.perf_counter()
+    n, m = X_train.shape
+    n_points = n // n_features
+    X_cnt = np.mean(X_train, axis=1)[:, None]
+    X_scl = np.zeros((n, 1))
+    for i in range(n_features):
+        X_scl[i * n_points:(i + 1) * n_points] = np.std(
+            X_train[i * n_points:(i + 1) * n_points])
+    X0 = (X_train - X_cnt) / X_scl
+    U, S, Vt = np.linalg.svd(X0, full_matrices=False)
+    Ur = U[:, :r]
+    Ar = (S[:r, None] * Vt[:r]).T                      # (m, r)
+    Sigma_r = np.linalg.norm(Ar, axis=0)
+    Vr = Ar / Sigma_r[None, :]
+    P_cnt, P_scl = P_train.mean(0), P_train.std(0)
+    P0 = (P_train - P_cnt) / P_scl
+    P0_test = (P_test - P_cnt) / P_scl
+
+    Xt = torch.tensor(P0, dtype=torch.float64)
+    Xs = torch.tensor(P0_test, dtype=torch.float64)
+    p = Xt.shape[0]
+    eps = torch.finfo(torch.float64).eps ** 2
+    sp = torch.nn.functional.softplus
+
+    def matern(A, B, ls):
+        diff = (A[:, None, :] - B[None, :, :]) / ls
+        d2 = (diff * diff).sum(-1)
+        safe = d2 > eps
+        rr = torch.sqrt(torch.where(safe, d2, torch.ones_like(d2)))
+        c = np.sqrt(5.0) * rr
+        k = (1 + c + 5.0 / 3.0 * d2) * torch.exp(-c)
+        return torch.where(safe, k, torch.ones_like(k))
+
+    A_pred = np.zeros((P_test.shape[0], r))
+    for i in range(r):                                  # SERIAL over modes
+        y = torch.tensor(Vr[:, i], dtype=torch.float64)
+        raw_ls = torch.zeros(1, dtype=torch.float64, requires_grad=True)
+        raw_noise = torch.zeros((), dtype=torch.float64, requires_grad=True)
+        constant = torch.zeros((), dtype=torch.float64, requires_grad=True)
+        opt = torch.optim.Adam([raw_ls, raw_noise, constant], lr=lr)
+        loss_old, e, j = 1e10, 1e10, 0
+        while (e > rel_error) and (j < max_iter):       # gpr.py:230
+            opt.zero_grad()
+            ls = sp(raw_ls)
+            noise = sp(raw_noise) + 1e-4
+            Kmat = matern(Xt, Xt, ls) \
+                + (noise + 1e-8) * torch.eye(p, dtype=torch.float64)
+            L = torch.linalg.cholesky(Kmat)
+            resid = y - constant
+            alpha = torch.cholesky_solve(resid[:, None], L)[:, 0]
+            loss = -(-0.5 * resid @ alpha
+                     - torch.log(torch.diagonal(L)).sum()
+                     - 0.5 * p * np.log(2 * np.pi)) / p
+            loss.backward()
+            e = abs(float(loss.detach()) - loss_old)
+            loss_old = float(loss.detach())
+            opt.step()
+            j += 1
+        with torch.no_grad():
+            ls = sp(raw_ls)
+            noise = sp(raw_noise) + 1e-4
+            Kmat = matern(Xt, Xt, ls) \
+                + (noise + 1e-8) * torch.eye(p, dtype=torch.float64)
+            L = torch.linalg.cholesky(Kmat)
+            alpha = torch.cholesky_solve((y - constant)[:, None], L)[:, 0]
+            A_pred[:, i] = (constant + matern(Xs, Xt, ls) @ alpha).numpy() \
+                * Sigma_r[i]
+    X_rec = (Ur @ A_pred.T) * X_scl + X_cnt
+    t1 = time.perf_counter()
+    err = X_rec - X_test
+    nrmse = float(np.sqrt(np.mean(err ** 2)) / (X_test.max() - X_test.min()))
+    return t1 - t0, nrmse
+
+
+def _mfk_problem(K=8, n_lf=40, n_hf=15, n_test=25, d=2, seed=3):
+    """Forrester-style two-fidelity multi-output latent workload — the
+    shape of the reference's latent co-kriging stage (K models on shared
+    parameter sites, ``cokriging.py:113-119``)."""
+    rng = np.random.default_rng(seed)
+    X_lf = rng.random((n_lf, d))
+    X_hf = X_lf[::max(1, n_lf // n_hf)][:n_hf]
+    X_test = rng.random((n_test, d))
+
+    def hf(X, k):
+        return np.sin(3 * X[:, 0] + 0.7 * k) + 0.5 * np.cos(2 * X[:, 1] + k)
+
+    Y_hf = np.stack([hf(X_hf, k) for k in range(K)])
+    Y_lf = np.stack([0.6 * hf(X_lf, k) - 0.3 + 0.2 * X_lf[:, 0]
+                     for k in range(K)])
+    return X_lf, Y_lf, X_hf, Y_hf, X_test
+
+
+def time_reference_cokriging_cpu(X_lf, Y_lf, X_hf, Y_hf, X_test):
+    """Reference latent co-kriging op set on CPU: K SERIAL OpenMDAO-style
+    ``MultiFiCoKriging`` fits + predicts (``cokriging.py:109-144``) in
+    numpy f64 — per level, multistart gradient-free COBYLA on the same
+    concentrated NLL (openmdao's optimizer family), GLS terms, recursive
+    predict.  Same 5-point start grid and θ bounds as our fit."""
+    from scipy.optimize import minimize as _min
+
+    llo, lhi = np.log10(1e-6), np.log10(100.0)
+    d = X_lf.shape[1]
+    rng = np.random.default_rng(0)
+    s0 = np.clip(np.log10(np.full(d, 0.5)), llo, lhi)
+    starts = [s0]
+    for _ in range(2):
+        starts.append(np.clip(s0 + 0.3 * (2 * rng.random(d) - 1), llo, lhi))
+    for _ in range(2):
+        starts.append(llo + (lhi - llo) * rng.random(d))
+
+    def corr(theta, A, B):
+        dd = A[:, None, :] - B[None, :, :]
+        return np.exp(-np.sum(theta * dd * dd, axis=-1))
+
+    def nll(log_t, X, F, y):
+        theta = 10.0 ** np.clip(log_t, llo, lhi)
+        n = X.shape[0]
+        R = corr(theta, X, X) + 1e-10 * np.eye(n)
+        try:
+            L = np.linalg.cholesky(R)
+        except np.linalg.LinAlgError:
+            return 1e12
+        Fi = np.linalg.solve(L.T, np.linalg.solve(L, F))
+        yi = np.linalg.solve(L.T, np.linalg.solve(L, y))
+        beta = np.linalg.solve(F.T @ Fi, F.T @ yi)
+        resid = y - F @ beta
+        ri = np.linalg.solve(L.T, np.linalg.solve(L, resid))
+        sigma2 = (resid @ ri) / n
+        return float(n * np.log(max(sigma2, 1e-300))
+                     + 2.0 * np.sum(np.log(np.diagonal(L))))
+
+    def fit_level(X, F, y):
+        best, best_f = None, np.inf
+        for st in starts:                      # multistart COBYLA, serial
+            res = _min(lambda lt: nll(lt, X, F, y), st, method="COBYLA",
+                       options={"rhobeg": 0.5, "tol": 1e-6, "maxiter": 200})
+            if res.fun < best_f:
+                best, best_f = res.x, res.fun
+        theta = 10.0 ** np.clip(best, llo, lhi)
+        n = X.shape[0]
+        R = corr(theta, X, X) + 1e-10 * np.eye(n)
+        Ri = np.linalg.inv(R)
+        G = F.T @ Ri @ F
+        beta = np.linalg.solve(G, F.T @ Ri @ y)
+        resid = y - F @ beta
+        gamma = Ri @ resid
+        return dict(X=X, F=F, theta=theta, beta=beta, gamma=gamma,
+                    sigma2=(resid @ gamma) / n, Ri=Ri, G=G)
+
+    def predict(levels, l, Xs):
+        lev = levels[l]
+        rmat = corr(lev["theta"], Xs, lev["X"])
+        ones = np.ones((Xs.shape[0], 1))
+        if l == 0:
+            f = ones
+            m_prev = s2_prev = np.zeros(Xs.shape[0])
+            rho = np.zeros(Xs.shape[0])
+        else:
+            m_prev, s2_prev = predict(levels, l - 1, Xs)
+            rho = (ones @ lev["beta"][:1]).ravel()
+            f = np.concatenate([ones * m_prev[:, None], ones], axis=1)
+        mean = f @ lev["beta"] + rmat @ lev["gamma"]
+        Ri_rT = lev["Ri"] @ rmat.T
+        rRr = np.sum(rmat.T * Ri_rT, axis=0)
+        u = lev["F"].T @ Ri_rT - f.T
+        uGu = np.sum(u * np.linalg.solve(lev["G"], u), axis=0)
+        var = lev["sigma2"] * np.maximum(1.0 - rRr + uGu, 0.0)
+        if l > 0:
+            var = var + rho ** 2 * s2_prev
+        return mean, var
+
+    # normalization (openmdao normalize=True)
+    X_all = np.concatenate([X_lf, X_hf])
+    Xm, Xs_ = X_all.mean(0), X_all.std(0)
+    Xs_[Xs_ == 0] = 1.0
+    t0 = time.perf_counter()
+    K = Y_lf.shape[0]
+    means = np.zeros((K, X_test.shape[0]))
+    for k in range(K):                          # SERIAL over latent dims
+        yall = np.concatenate([Y_lf[k], Y_hf[k]])
+        ym, ys = yall.mean(), yall.std() or 1.0
+        Xn_lf, Xn_hf = (X_lf - Xm) / Xs_, (X_hf - Xm) / Xs_
+        lev0 = fit_level(Xn_lf, np.ones((len(X_lf), 1)), (Y_lf[k] - ym) / ys)
+        m_prev, _ = predict([lev0], 0, Xn_hf)
+        F1 = np.concatenate([m_prev[:, None], np.ones((len(X_hf), 1))],
+                            axis=1)
+        lev1 = fit_level(Xn_hf, F1, (Y_hf[k] - ym) / ys)
+        mean, _ = predict([lev0, lev1], 1, (X_test - Xm) / Xs_)
+        means[k] = mean * ys + ym
+    t1 = time.perf_counter()
+    return t1 - t0, means
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -178,6 +382,46 @@ def main():
     gpr_nrmse = float(gpr_end_to_end(X_train, P_train, P_test, X_test,
                                      n_features, R).nrmse)  # unchained
 
+    # reference GPR baseline: r serial torch-f64 Adam+Cholesky loops (the
+    # reference's own op set and stop rule); min over 2 runs (load spikes)
+    ref_gpr_runs = [time_reference_gpr_cpu(
+        X_train64, np.asarray(data["P_train"], np.float64),
+        np.asarray(data["P_test"], np.float64), X_test64, n_features, R)
+        for _ in range(2)]
+    ref_gpr_time = min(t for t, _ in ref_gpr_runs)
+    ref_gpr_nrmse = ref_gpr_runs[0][1]
+
+    # --- CoKriging latent stage (third model family): K=8 two-level
+    # recursive co-kriging fits + predicts as ONE XLA program, vs the
+    # reference's K serial OpenMDAO-style fits (COBYLA multistart) ---
+    from openmeasure_tpu.pipelines import mfk_end_to_end
+    X_lf, Y_lf, X_hf, Y_hf, X_mfkt = _mfk_problem()
+    ref_ck_runs = [time_reference_cokriging_cpu(X_lf, Y_lf, X_hf, Y_hf,
+                                                X_mfkt) for _ in range(2)]
+    ref_ck_time = min(t for t, _ in ref_ck_runs)
+    ref_ck_means = ref_ck_runs[0][1]
+
+    Xlf_j = jnp.asarray(X_lf, jnp.float32)
+    Ylf_j = jnp.asarray(Y_lf, jnp.float32)
+    Xhf_j = jnp.asarray(X_hf, jnp.float32)
+    Yhf_j = jnp.asarray(Y_hf, jnp.float32)
+    Xt_j = jnp.asarray(X_mfkt, jnp.float32)
+
+    @jax.jit
+    def bench_loop_mfk(Xl, k):
+        def body(i, acc):
+            res = mfk_end_to_end(Xl + acc * 1e-30, Ylf_j, Xhf_j, Yhf_j,
+                                 Xt_j)
+            return jnp.sum(res.mean).astype(jnp.float32) * 1e-6
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    t_mfk = slope_per_iter(
+        lambda k: float(bench_loop_mfk(Xlf_j, k)), 3, reps=3)
+    our_ck_means = np.asarray(mfk_end_to_end(Xlf_j, Ylf_j, Xhf_j, Yhf_j,
+                                             Xt_j).mean)  # unchained
+    ck_dev = float(np.sqrt(np.mean((our_ck_means - ref_ck_means) ** 2))
+                   / (ref_ck_means.max() - ref_ck_means.min()))
+
     print(json.dumps({
         "metric": "SPR end-to-end (POD fit + QRCP placement + gappy-POD "
                   "reconstruction, 165258x41 flame, r=14)",
@@ -192,6 +436,13 @@ def main():
             "nrmse_3d": round(nrmse_3d, 6),
             "gpr_fit_train1000_predict_s": round(t_gpr, 6),
             "gpr_nrmse": round(gpr_nrmse, 6),
+            "reference_gpr_cpu_s": round(ref_gpr_time, 6),
+            "reference_gpr_nrmse": round(ref_gpr_nrmse, 6),
+            "gpr_vs_baseline": round(ref_gpr_time / t_gpr, 3),
+            "cokriging_fit_predict_s": round(t_mfk, 6),
+            "reference_cokriging_cpu_s": round(ref_ck_time, 6),
+            "cokriging_vs_baseline": round(ref_ck_time / t_mfk, 3),
+            "cokriging_pred_dev_vs_ref": round(ck_dev, 6),
             "device": str(jax.devices()[0]),
         },
     }))

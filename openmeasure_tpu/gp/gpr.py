@@ -22,12 +22,30 @@ API-parity re-implementation of the reference ``GPR``/``PIGPR``
 Defaults match the reference: ConstantMean, Matern-2.5 kernel, Gaussian /
 multitask-Gaussian likelihood, Adam(lr=0.1), max_iter=1000, rel_error=1e-5.
 
-Documented deviation (SURVEY §4 convention): the reference's class
-docstring lists an ``unscale_coefficients(scale_type)`` method that is
-never defined anywhere in the module (``gpr.py:194-196``) and has no
-documented signature or semantics — unlike ``SPR.fit_predict`` (also
-declared-but-undefined, which we implement from its documented signature),
-no behavior can be inferred, so it is intentionally not invented here.
+Documented deviations (SURVEY §4 convention):
+
+* the reference's class docstring lists an ``unscale_coefficients
+  (scale_type)`` method that is never defined anywhere in the module
+  (``gpr.py:194-196``) and has no documented signature or semantics —
+  unlike ``SPR.fit_predict`` (also declared-but-undefined, which we
+  implement from its documented signature), no behavior can be inferred,
+  so it is intentionally not invented here;
+* ``update`` persists the concatenated training data for MultiTask models
+  too: the reference only calls ``set_train_data`` on the SingleTask
+  branch (``gpr.py:652-667``), so its MultiTask posterior silently keeps
+  conditioning on the ORIGINAL data after an update — here ``_train_X`` /
+  ``_train_Y`` extend in both branches (intended assimilation semantics);
+  relatedly, when no uncertainties are supplied we extend ``Vr_sigma``
+  with the prior stddev at the new points instead of the reference's
+  zeroed array (``gpr.py:654``), keeping a later fixed-noise retrain
+  well-formed (see the inline comments in ``update``);
+* SingleTask ``predict(..., limits=/bc=/constraints=)`` raises
+  ``NotImplementedError`` where the reference silently IGNORES the
+  constraints and returns the unconstrained posterior (its constrained
+  branch is gated on ``gpr_type == 'MultiTask'`` only,
+  ``gpr.py:569-580``) — silently dropping a physical constraint the
+  caller asked for is treated as an error surface, not a behavior to
+  preserve.
 """
 
 from __future__ import annotations

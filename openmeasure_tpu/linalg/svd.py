@@ -66,10 +66,10 @@ def default_refine() -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("refine", "canonicalize",
-                                             "rank"))
+                                             "rank", "width"))
 def svd_tall(
     X0: jax.Array, refine: Optional[int] = None, canonicalize: bool = True,
-    rank: Optional[int] = None,
+    rank: Optional[int] = None, width: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Thin SVD of a tall matrix via the Gram route.
 
@@ -85,11 +85,30 @@ def svd_tall(
     eigenvalues, == the column norms to fp round-off), so explained-variance
     truncation works unchanged; ``U`` has r columns.  Requires
     ``canonicalize=False`` (sign canonicalization needs full U).
+
+    ``width=w`` (requires ``rank``; r ≤ w ≤ m) additionally narrows the
+    REFINE passes to the leading-w subspace: ``B = X0 V[:, :w]`` and the
+    re-diagonalization act on an (n, w) panel instead of (n, m).  Unlike the
+    measured-and-rejected FULLY-truncated refine (module docstring), the
+    w−r guard columns absorb the first Gram's mode-mixing leakage out of
+    the top-r span: the leading-r error after one refine is
+    O((δ/gap_w)²) with δ the HIGH-precision Gram error and gap_w the
+    σ²_r−σ²_w spectral gap, instead of O(δ/gap) for w=r.  Top-r results
+    are no longer bit-identical to the full-width path — measured on the
+    3D benchmark (1.7M×45, r=14, w=28): NRMSE 2.9e-6 vs 2.8e-6 full /
+    6.2e-6 truncated, for 2 × (m−w) fewer HBM column-passes.
     """
     if refine is None:
         refine = default_refine()
     if rank is not None and canonicalize:
         raise ValueError("rank truncation requires canonicalize=False")
+    if width is not None:
+        if rank is None:
+            raise ValueError("width requires rank truncation")
+        if not rank <= width <= X0.shape[1]:
+            raise ValueError("need rank <= width <= m")
+        if width == X0.shape[1]:
+            width = None
     n, m = X0.shape
     # TPU matmul precision: the first Gram runs at HIGH (3-pass bf16 —
     # ~8e-6 relative error, 1.3x faster than HIGHEST's 6-pass) because the
@@ -105,6 +124,8 @@ def svd_tall(
 
     if refine == 0 and rank is not None:
         B = jnp.matmul(X0, V[:, :rank], precision=hp)
+    elif width is not None and refine > 0:
+        B = jnp.matmul(X0, V[:, :width], precision=hp)   # (n, w) panel
     else:
         B = jnp.matmul(X0, V, precision=hp)  # (n, m) — second panel pass
     for i in range(refine):
@@ -113,8 +134,15 @@ def svd_tall(
         G2 = jnp.matmul(B.T, B, precision=hp)
         e2, V2 = jnp.linalg.eigh(G2)
         V2 = V2[:, ::-1]
-        S2 = e2[::-1]
-        V = jnp.matmul(V, V2, precision=hp)
+        if width is not None:
+            # refined eigenvalues cover the leading-w subspace only; the
+            # tail keeps the first Gram's estimates
+            S2 = S2.at[:width].set(e2[::-1])
+            V = V.at[:, :width].set(
+                jnp.matmul(V[:, :width], V2, precision=hp))
+        else:
+            S2 = e2[::-1]
+            V = jnp.matmul(V, V2, precision=hp)
         if rank is not None and i == refine - 1:
             V2 = V2[:, :rank]                # narrow only the final write
         B = jnp.matmul(B, V2, precision=hp)

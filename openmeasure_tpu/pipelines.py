@@ -31,7 +31,7 @@ class SPRResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("n_features", "r", "scale_type",
-                                             "refine"))
+                                             "refine", "svd_width"))
 def spr_end_to_end(
     X_train: jax.Array,
     X_test: jax.Array,
@@ -39,6 +39,7 @@ def spr_end_to_end(
     r: int,
     scale_type: str = "std",
     refine: Optional[int] = None,
+    svd_width: Optional[int] = None,
 ) -> SPRResult:
     """POD fit + QRCP sensor placement + gappy-POD OLS reconstruction of the
     test snapshots, sampled at the selected sensors.  One XLA program.
@@ -46,9 +47,14 @@ def spr_end_to_end(
     Equivalent reference flow: ``SPR.fit(select_modes='number', n_modes=r)``;
     ``optimal_placement()``; ``train(C_qr)``; ``predict(y)``;
     ``reconstruct(ap)``.
+
+    ``svd_width``: optional width (r ≤ w ≤ m) of the SVD refine subspace —
+    see :func:`openmeasure_tpu.linalg.svd.svd_tall`; ``None`` keeps the
+    full-width (top-r-exact) refine.
     """
     X0, cnt, scl = _scaling.scale_data(X_train, n_features, scale_type, 1)
-    U, S, _ = _svd.svd_tall(X0, refine=refine, canonicalize=False, rank=r)
+    U, S, _ = _svd.svd_tall(X0, refine=refine, canonicalize=False, rank=r,
+                            width=svd_width)
     Ur = U
     exp_var = _svd.explained_variance(S)[:r]
 
@@ -136,6 +142,95 @@ def gpr_end_to_end(
     nrmse = jnp.sqrt(jnp.mean(err * err)) / (
         jnp.max(X_test) - jnp.min(X_test))
     return GPRResult(X_rec, A_pred, A_sigma, nrmse, res.loss)
+
+
+class MFKResult(NamedTuple):
+    mean: jax.Array     # (K, n_test) recursive co-kriging posterior mean
+    mse: jax.Array      # (K, n_test) posterior MSE
+    theta: jax.Array    # (2, K, d) fitted correlation parameters per level
+
+
+@functools.partial(jax.jit, static_argnames=("regr", "rho_regr"))
+def mfk_end_to_end(
+    X_lf: jax.Array, Y_lf: jax.Array,
+    X_hf: jax.Array, Y_hf: jax.Array,
+    X_test: jax.Array,
+    regr: str = "constant", rho_regr: str = "constant",
+) -> MFKResult:
+    """Two-level recursive co-kriging for K outputs sharing the same sites,
+    as ONE XLA program: normalize → level-0 θ-multistart + GLS fit →
+    level-0 posterior at the HF sites → level-1 (ρ-coupled) θ-multistart +
+    GLS fit → recursive posterior at X_test → denormalize.
+
+    The latent-space workload of the reference's ``CoKriging.fit`` +
+    ``predict`` (``cokriging.py:109-144``: K serial OpenMDAO
+    ``MultiFiCoKriging`` fits and predicts), with the default knobs
+    (θ0=0.5, bounds [1e-6, 100], initial_range=0.3, tol=1e-6).  Same math
+    as :class:`openmeasure_tpu.multifi.mfk.BatchedMFK` (shared helpers) —
+    parity pinned in ``tests/test_multifi.py``.
+
+    Y_lf: (K, n_lf); Y_hf: (K, n_hf).  Returns per-output means/MSEs.
+    """
+    from .multifi import mfk as M
+
+    K_out = Y_lf.shape[0]
+    d = X_lf.shape[1]
+
+    # ---- normalization (BatchedMFK normalize=True semantics) ----
+    X_all = jnp.concatenate([X_lf, X_hf], axis=0)
+    X_mean = jnp.mean(X_all, axis=0)
+    X_std0 = jnp.std(X_all, axis=0)
+    X_std = jnp.where(X_std0 == 0.0, 1.0, X_std0)
+    Y_all = jnp.concatenate([Y_lf, Y_hf], axis=1)
+    y_mean = jnp.mean(Y_all, axis=1)
+    y_std0 = jnp.std(Y_all, axis=1)
+    y_std = jnp.where(y_std0 == 0.0, 1.0, y_std0)
+    Xn_lf = (X_lf - X_mean) / X_std
+    Xn_hf = (X_hf - X_mean) / X_std
+    Xn_t = (X_test - X_mean) / X_std
+    Yn_lf = (Y_lf - y_mean[:, None]) / y_std[:, None]
+    Yn_hf = (Y_hf - y_mean[:, None]) / y_std[:, None]
+
+    # ---- hyperparameter search grid (host-side constants at trace time) --
+    import numpy as _np
+    theta0 = _np.full((d,), 0.5)
+    thetaL = _np.full((d,), 1e-6)
+    thetaU = _np.full((d,), 100.0)
+    starts = M._make_starts(theta0, thetaL, thetaU, 0.3)
+    starts = jnp.asarray(starts, X_lf.dtype)
+    lo = jnp.asarray(_np.log10(thetaL), X_lf.dtype)
+    hi = jnp.asarray(_np.log10(thetaU), X_lf.dtype)
+
+    def fit_level(Xl, F_batch, Yl):
+        log_t = M._multistart_opt_batch(starts, Xl, F_batch, Yl, lo, hi,
+                                        1e-6)
+        thetas = 10.0 ** log_t
+        beta, gamma, sigma2, L, Ggls = jax.vmap(
+            lambda th, F, y: M._level_fit_terms(th, Xl, F, y)
+        )(thetas, F_batch, Yl)
+        return dict(X=Xl, Y=Yl, F=F_batch, theta=thetas, beta=beta,
+                    gamma=gamma, sigma2=sigma2, L=L, G=Ggls)
+
+    # ---- level 0 (LF) ----
+    F0 = M._regr(regr, Xn_lf)
+    lev0 = fit_level(Xn_lf, jnp.broadcast_to(F0, (K_out,) + F0.shape), Yn_lf)
+
+    # ---- level 1 (HF, rho-coupled) ----
+    rho_cols = M._regr(rho_regr, Xn_hf).shape[1]
+    m_prev, _ = M.predict_levels_batch([lev0], (0,), regr, rho_regr, 0,
+                                       Xn_hf)
+    G1 = M._regr(rho_regr, Xn_hf)
+    Fr = M._regr(regr, Xn_hf)
+    F1 = jnp.concatenate([G1[None] * m_prev[:, :, None],
+                          jnp.broadcast_to(Fr, (K_out,) + Fr.shape)], axis=2)
+    lev1 = fit_level(Xn_hf, F1, Yn_hf)
+
+    # ---- recursive posterior at X_test ----
+    mean_n, var_n = M.predict_levels_batch([lev0, lev1], (0, rho_cols),
+                                           regr, rho_regr, 1, Xn_t)
+    mean = mean_n * y_std[:, None] + y_mean[:, None]
+    mse = var_n * y_std[:, None] ** 2
+    return MFKResult(mean, mse, jnp.stack([lev0["theta"], lev1["theta"]]))
 
 
 @functools.partial(jax.jit, static_argnames=("n_features", "r", "scale_type"))

@@ -407,3 +407,55 @@ class TestSVDRankTruncation:
     def test_rank_with_canonicalize_raises(self):
         with pytest.raises(ValueError, match="canonicalize"):
             _svd.svd_tall(jnp.zeros((10, 4)), rank=2)
+
+
+class TestSVDWidthRefine:
+    def test_width_refine_accuracy(self):
+        """Width-limited refine (rank <= width < m): top-r factors must stay
+        within the full-width refine's accuracy envelope vs f64 LAPACK
+        (measured: width=2r matches full width; width=r degrades 2x — the
+        guard columns absorb the first Gram's mode-mixing leakage)."""
+        rng = np.random.default_rng(1)
+        n, m, r = 4000, 24, 8
+        U0, _ = np.linalg.qr(rng.standard_normal((n, m)))
+        V0, _ = np.linalg.qr(rng.standard_normal((m, m)))
+        s = np.logspace(1, -3, m)
+        X = (U0 * s[None, :]) @ V0.T
+        Uref = np.linalg.svd(X, full_matrices=False)[0][:, :r]
+        X32 = jnp.asarray(X, jnp.float32)
+
+        def err(U):
+            U = np.asarray(U, np.float64)
+            sgn = np.sign((U * Uref).sum(0))
+            return np.linalg.norm(U * sgn[None, :] - Uref)
+
+        e_full = err(_svd.svd_tall(X32, refine=2, canonicalize=False,
+                                   rank=r)[0])
+        e_w = err(_svd.svd_tall(X32, refine=2, canonicalize=False,
+                                rank=r, width=2 * r)[0])
+        assert e_w <= 2.0 * e_full + 1e-6, (e_w, e_full)
+
+    def test_width_validation(self):
+        X = jnp.asarray(np.random.default_rng(0).standard_normal((50, 10)),
+                        jnp.float32)
+        with pytest.raises(ValueError):
+            _svd.svd_tall(X, canonicalize=False, width=8)   # width w/o rank
+        with pytest.raises(ValueError):
+            _svd.svd_tall(X, canonicalize=False, rank=6, width=4)  # w < r
+        # width == m is the full path
+        U, S, Vt = _svd.svd_tall(X, canonicalize=False, rank=4, width=10)
+        assert U.shape == (50, 4)
+
+    def test_width_singular_values_tail(self):
+        """S beyond the refine width keeps the first Gram's estimates; the
+        leading values are refined + column-norm-exact — explained-variance
+        truncation must still see a full-length, descending S."""
+        rng = np.random.default_rng(3)
+        X = rng.standard_normal((500, 12))
+        S = np.asarray(_svd.svd_tall(jnp.asarray(X), refine=1,
+                                     canonicalize=False, rank=4,
+                                     width=8)[1])
+        Sn = np.linalg.svd(X, compute_uv=False)
+        assert S.shape == (12,)
+        np.testing.assert_allclose(S, Sn, rtol=1e-5)
+        assert np.all(np.diff(S) <= 1e-10)
