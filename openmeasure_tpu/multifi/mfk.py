@@ -132,8 +132,18 @@ def _multistart_opt_batch(starts: jax.Array, X, F_batch, Y, lo, hi,
         state0 = opt.init(lt0)
         f0 = _level_nll(lt0, X, F, y)
 
-        def body(i, carry):
-            lt, st, f_old, best_lt, best_f, done = carry
+        # while_loop instead of a fixed-count fori_loop: once every
+        # (output, start) lane has converged the program EXITS instead of
+        # spinning out the remaining budget (under vmap the batching rule
+        # keeps stepping while ANY lane is active and mask-freezes the
+        # rest — identical trajectories, measured 400 → ~60-180 typical
+        # steps on the co-kriging workloads)
+        def cond(carry):
+            _, _, _, _, _, done, j = carry
+            return jnp.logical_and(j < n_steps, jnp.logical_not(done))
+
+        def body(carry):
+            lt, st, f_old, best_lt, best_f, done, j = carry
             f, g = vg(lt)
             upd, st = opt.update(g, st, lt)
             lt_new = jnp.clip(lt + upd, lo, hi)
@@ -142,11 +152,12 @@ def _multistart_opt_batch(starts: jax.Array, X, F_batch, Y, lo, hi,
             best_f = jnp.where(improved, f, best_f)
             done = done | (jnp.abs(f - f_old) < tol)
             lt = jnp.where(done, lt, lt_new)
-            return lt, st, f, best_lt, best_f, done
+            return lt, st, f, best_lt, best_f, done, j + 1
 
-        _, _, _, best_lt, best_f, _ = jax.lax.fori_loop(
-            0, n_steps, body,
-            (lt0, state0, jnp.inf, lt0, f0, jnp.asarray(False)))
+        _, _, _, best_lt, best_f, _, _ = jax.lax.while_loop(
+            cond, body,
+            (lt0, state0, jnp.inf, lt0, f0, jnp.asarray(False),
+             jnp.asarray(0, jnp.int32)))
         return best_lt, best_f
 
     # vmap over starts (inner) and outputs (outer)
