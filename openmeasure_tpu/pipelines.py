@@ -6,6 +6,19 @@ scale → Gram-SVD → truncate → QRCP placement → gappy-POD solve → recon
 (``README.md:157-183`` of the reference) — compiles to ONE XLA program with
 static shapes, so XLA fuses the scaling into the Gram pass and keeps every
 intermediate in HBM.  This is the benchmark ("flagship model") entry point.
+
+Evaluated and rejected on measurement (TPU v5e): a WIDE-layout variant of
+the SPR pipeline carrying every panel transposed — snapshots as rows,
+state in lanes, ``(r, n)`` instead of ``(n, r)`` — on the theory that the
+narrow panels pay minor-dim lane padding (14 → 128) on every pass and the
+QRCP kernel consumes ``Urᵀ`` without a physical transpose.  Measured
+end-to-end (slope method): 3D 1.7M×45 r=14 **20.8 ms vs 9.7 ms tall**
+(2.1× SLOWER — XLA inserts layout changes for the sublane-contraction
+matmuls ``VᵀX0w`` / ``V2ᵀBw``, which cost more than any padding saved) and
+NRMSE 1.27e-5 vs 2.8e-6 (the sublane-contraction MXU path also loses
+accuracy at HIGHEST); flagship 0.65 ms vs 0.85 but NRMSE 3.0e-6 vs 1.3e-6.
+The variant passed full numerical parity on CPU (pivot-exact in f64) —
+the rejection is purely the measured TPU regression.
 """
 
 from __future__ import annotations
