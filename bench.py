@@ -350,16 +350,21 @@ def main():
     X3t = jnp.asarray(data3d["X_test"])
     K3 = 5
 
+    # svd_width=2r: the refine passes act on a 28-wide subspace; measured
+    # 9.9 -> 9.3 ms with NRMSE 2.8e-6 -> 2.4e-6 (the guard columns absorb
+    # the first Gram's mode-mixing leakage; see linalg/svd.py docstring)
     @jax.jit
     def bench_loop_3d(Xt, Xs, k):
         def body(i, acc):
-            res = spr_end_to_end(Xt + acc * 1e-30, Xs, 9, R)
+            res = spr_end_to_end(Xt + acc * 1e-30, Xs, 9, R,
+                                 svd_width=2 * R)
             return res.nrmse.astype(jnp.float32)
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
     t3d = slope_per_iter(
         lambda k: float(bench_loop_3d(X3, X3t, k)), K3, reps=3)
-    nrmse_3d = float(spr_end_to_end(X3, X3t, 9, R).nrmse)  # unchained
+    nrmse_3d = float(spr_end_to_end(X3, X3t, 9, R,
+                                    svd_width=2 * R).nrmse)  # unchained
 
     # --- GPR ROM pipeline (second model family): full fit + 1000-iteration
     # vmapped GP training of all 14 modes + posterior + reconstruction ---
