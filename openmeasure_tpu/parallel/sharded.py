@@ -269,6 +269,31 @@ def init_mode_stacked_params(r: int, d: int):
         lambda x: jnp.broadcast_to(x, (r,) + x.shape), p)
 
 
+def sharded_mfk_end_to_end(mesh: Mesh, X_lf, Y_lf, X_hf, Y_hf, X_test):
+    """Two-level recursive co-kriging for K outputs with the OUTPUT axis
+    sharded over the 'mode' mesh axis — the third model family's multichip
+    path (SURVEY §5).
+
+    The reference fits its K latent models serially
+    (``cokriging.py:113-119``); here they are one vmapped XLA program
+    (:func:`openmeasure_tpu.pipelines.mfk_end_to_end`), so sharding the
+    leading output axis of ``Y_lf``/``Y_hf`` makes GSPMD place each
+    device's share of the θ-multistart optimizations and GLS fits locally
+    — the per-level programs need NO cross-output communication (outputs
+    are independent given the shared sites), so the only collectives are
+    layout bookkeeping.  Returns the same :class:`MFKResult` (mean/mse
+    gathered on the output axis)."""
+    from ..pipelines import mfk_end_to_end
+    out_shard = NamedSharding(mesh, P("mode", None))
+    repl = NamedSharding(mesh, P(None, None))
+    Y_lf = jax.device_put(jnp.asarray(Y_lf), out_shard)
+    Y_hf = jax.device_put(jnp.asarray(Y_hf), out_shard)
+    X_lf = jax.device_put(jnp.asarray(X_lf), repl)
+    X_hf = jax.device_put(jnp.asarray(X_hf), repl)
+    X_test = jax.device_put(jnp.asarray(X_test), repl)
+    return mfk_end_to_end(X_lf, Y_lf, X_hf, Y_hf, X_test)
+
+
 def sharded_mode_lstsq(mesh: Mesh, P0: jax.Array, Vr: jax.Array):
     """Mode-parallel batched solve: one ridge LS per POD mode, sharded over
     the 'mode' mesh axis — the communication-free pattern the GP training

@@ -188,3 +188,32 @@ def test_sharded_gp_train_step(mesh):
     assert np.all(losses_hist[-1] < losses_hist[0])
     leaf = params["kernel"]["raw_lengthscale"]
     assert len({s.device for s in leaf.addressable_shards}) > 1
+
+
+def test_sharded_mfk_matches_single_device(mesh):
+    """Mode-sharded co-kriging (third model family, SURVEY §5): the
+    output-sharded program must reproduce the single-device pipeline."""
+    from openmeasure_tpu.parallel.sharded import sharded_mfk_end_to_end
+    from openmeasure_tpu.pipelines import mfk_end_to_end
+    rng = np.random.default_rng(4)
+    K, d = 8, 2
+    X_lf = rng.random((20, d))
+    X_hf = X_lf[::3]
+    f = lambda X, k: np.sin(3 * X[:, 0] + k) + 0.4 * np.cos(2 * X[:, 1])
+    Y_hf = np.stack([f(X_hf, k) for k in range(K)])
+    Y_lf = np.stack([0.7 * f(X_lf, k) - 0.2 for k in range(K)])
+    X_t = rng.random((9, d))
+
+    res_s = sharded_mfk_end_to_end(mesh, X_lf, Y_lf, X_hf, Y_hf, X_t)
+    res_1 = mfk_end_to_end(jnp.asarray(X_lf), jnp.asarray(Y_lf),
+                           jnp.asarray(X_hf), jnp.asarray(Y_hf),
+                           jnp.asarray(X_t))
+    # same program partitioned over outputs: tolerances cover fp
+    # reassociation in the per-device reductions (outputs are independent,
+    # so disagreement beyond round-off = wrong collective layout)
+    np.testing.assert_allclose(np.asarray(res_s.mean),
+                               np.asarray(res_1.mean), rtol=1e-4,
+                               atol=1e-5 * np.abs(res_1.mean).max())
+    np.testing.assert_allclose(np.asarray(res_s.mse),
+                               np.asarray(res_1.mse), rtol=1e-2,
+                               atol=1e-5 * np.abs(res_1.mse).max())
