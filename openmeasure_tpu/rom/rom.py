@@ -262,11 +262,14 @@ class ROM:
         candidate distance (``sparse_sensing.py:377-432``).
 
         Deviation from the reference: the reference computes
-        ``Vt[k,:] @ V[k,:]`` — a *scalar* inner product — where the
-        leave-one-out projector ``I − v_k v_kᵀ`` was intended
-        (``sparse_sensing.py:402``); the literal form makes every influence 0
-        and the result an arbitrary LHS candidate.  We implement the intended
-        rank-1 projector.
+        ``Vt[k,:] @ V[k,:]`` — a *scalar* inner product
+        ``c_k = Σ_i Vt[k,i]·Vt[i,k]`` — where the leave-one-out projector
+        ``I − v_k v_kᵀ`` was intended (``sparse_sensing.py:402``); the
+        literal form builds ``diag(S)(I − c_k·𝟙𝟙ᵀ)``, a finite but
+        meaningless uniform all-ones shift unrelated to removing snapshot
+        k's direction.  We implement the intended rank-1 projector; the
+        literal behavior is pinned bit-for-bit in
+        ``tests/test_reference_diff.py::TestAdaptiveSamplingDiff``.
         """
         from scipy.stats import qmc
 

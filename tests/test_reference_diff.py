@@ -429,3 +429,92 @@ class TestErrorSurfaceDiff:
                    lambda: our_predict(np.zeros((5, 3))))
         self._pair(lambda: ref_predict(np.zeros((3, 2))),
                    lambda: our_predict(np.zeros((3, 2))))
+
+
+class TestAdaptiveSamplingDiff:
+    """C8: the reference's leave-one-out influence uses a scalar where a
+    rank-1 projector was intended (``sparse_sensing.py:402``).
+
+    ``Vt[k,:] @ V[k,:]`` contracts two 1-D rows to a SCALAR
+    ``c_k = Σ_i Vt[k,i]·Vt[i,k]``, so the reference forms
+    ``M = diag(S)(I − c_k·𝟙𝟙ᵀ)`` — a uniform all-ones shift unrelated to
+    removing snapshot k's right-singular direction (the comment at
+    ``sparse_sensing.py:403`` says "Influence of snapshot j on mode i", and
+    the cited method needs the projector ``I − v_k v_kᵀ``).  The literal
+    form is finite but meaningless; we implement the intended projector
+    (``rom/rom.py adaptive_sampling``).  These tests (a) reproduce the
+    reference's literal output bit-for-bit with a seeded candidate pool —
+    proving the deviation claim pins the reference's ACTUAL semantics — and
+    (b) assert our implementation equals an independent numpy oracle of the
+    intended form, which genuinely diverges from the literal form here.
+    """
+
+    @staticmethod
+    def _influence_pair(X0):
+        """(literal, intended) relative-influence vectors, numpy float64."""
+        _, S, Vt = np.linalg.svd(X0, full_matrices=False)
+        V = Vt.T
+        p = V.shape[0]
+        lit = np.zeros(p)
+        intended = np.zeros(p)
+        for k in range(p):
+            M_lit = np.diag(S) @ (np.eye(p) - Vt[k, :] @ V[k, :])
+            M_int = np.diag(S) @ (np.eye(p) - np.outer(V[:, k], V[:, k]))
+            for tgt, M in ((lit, M_lit), (intended, M_int)):
+                Un = np.linalg.svd(M, full_matrices=False)[0]
+                tgt[k] = np.sum(S * (1.0 / np.abs(np.diagonal(Un)) - 1.0))
+        return lit / lit.sum(), intended / intended.sum()
+
+    @staticmethod
+    def _candidates(P, seed):
+        from scipy.stats import qmc
+        q = 100 * P.shape[1]
+        s0 = qmc.LatinHypercube(d=P.shape[1], seed=seed).random(n=q)
+        span = P.max(axis=0) - P.min(axis=0)
+        return span[None, :] * s0 + P.min(axis=0)[None, :]
+
+    @staticmethod
+    def _pick(sample, P, inf_rel):
+        dist = np.linalg.norm(sample[:, None, :] - P[None, :, :], axis=2)
+        j = np.argmin(dist, axis=1)
+        pot = dist[np.arange(sample.shape[0]), j] * inf_rel[j]
+        return int(np.argmax(pot))
+
+    def test_reference_literal_form_pinned_and_ours_intended(
+            self, ref, data, monkeypatch):
+        from scipy.stats import qmc
+        from openmeasure_tpu import ROM
+
+        X, xyz, nf, m = data["X"], data["xyz"], data["n_features"], data["m"]
+        P = np.random.default_rng(7).random((m, 3)) * 2.0 + 1.0
+        seed = 42
+
+        class _SeededQMC:
+            class LatinHypercube:
+                def __init__(self, d):
+                    self._s = qmc.LatinHypercube(d=d, seed=seed)
+
+                def random(self, n):
+                    return self._s.random(n)
+
+        monkeypatch.setattr(ref, "qmc", _SeededQMC)
+        s_ref = ref.ROM(X, nf, xyz).adaptive_sampling(P)
+
+        X0 = ref.ROM(X, nf, xyz).scale_data("std")
+        lit_rel, int_rel = self._influence_pair(X0)
+        sample = self._candidates(P, seed)
+
+        # (a) the reference's output IS the literal-scalar pipeline, exactly
+        np.testing.assert_array_equal(
+            s_ref, sample[self._pick(sample, P, lit_rel)])
+
+        # (b) ours is the intended-projector pipeline, exactly (same seeded
+        # candidate pool -> the returned row is bitwise one of `sample`)
+        s_ours = np.asarray(ROM(X, nf, xyz).adaptive_sampling(P, seed=seed))
+        np.testing.assert_array_equal(
+            s_ours, sample[self._pick(sample, P, int_rel)])
+
+        # the two forms genuinely diverge on this data (documents that the
+        # deviation is substantive, not a formatting nicety)
+        assert np.abs(lit_rel - int_rel).max() > 0.05
+        assert not np.array_equal(s_ref, s_ours)
