@@ -254,6 +254,12 @@ def time_reference_cokriging_cpu(X_lf, Y_lf, X_hf, Y_hf, X_test):
     return t1 - t0, means
 
 
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -427,6 +433,43 @@ def main():
     ck_dev = float(np.sqrt(np.mean((our_ck_means - ref_ck_means) ** 2))
                    / (ref_ck_means.max() - ref_ck_means.min()))
 
+    # --- CTC projection (fourth workload family): the reference's ctc_doc
+    # example scale — 32^3 voxel grid, 64x64 sensor, parallel rays
+    # (docs/ctc_doc.ipynb cells 9-10; the reference's hot loop is 4096
+    # serial Python iterations each calling VTK C++
+    # find_cells_intersecting_line, utils.py:366-379).  VTK is NOT
+    # installed in this environment, so no measured reference ratio is
+    # reported for this row — only our absolute numbers: the device DDA
+    # trace of the full 4096-ray bundle (chained-slope, round-trip-free)
+    # and the user-visible wall-clock of camera.project() end-to-end
+    # (device trace + host CSR assembly, INCLUDING the tunnel round-trip).
+    from openmeasure_tpu.ctc import VoxelGrid, camera as ctc_camera
+    from openmeasure_tpu.ctc.raytrace import trace_rays
+
+    grid32 = VoxelGrid.from_bounds((-0.1, 0.1, -0.1, 0.1, -0.1, 0.1),
+                                   (32, 32, 32))
+    cam = ctc_camera(np.array([0.0, 0.0, 1.0, 1.0]), np.zeros(3), 0.05,
+                     2.8, 0.06, np.array([64, 64]), 0.25 / 64)
+    p1s, p2s, _pix = cam._make_rays("parallel", 1,
+                                    np.random.default_rng(0))
+    P1 = jnp.asarray(p1s, jnp.float32)
+    P2 = jnp.asarray(p2s, jnp.float32)
+    org = jnp.asarray(grid32.origin, jnp.float32)
+    spc = jnp.asarray(grid32.spacing, jnp.float32)
+
+    @jax.jit
+    def bench_loop_ctc(P1, k):
+        def body(i, acc):
+            cells, counts = trace_rays(P1 + acc * 1e-30, P2, org, spc,
+                                       (32, 32, 32))
+            return jnp.sum(counts).astype(jnp.float32) * 1e-9
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    t_ctc = slope_per_iter(lambda k: float(bench_loop_ctc(P1, k)), 20,
+                           reps=3)
+    t_proj = min(_timed(lambda: cam.project(grid32, "parallel"))
+                 for _ in range(3))
+
     print(json.dumps({
         "metric": "SPR end-to-end (POD fit + QRCP placement + gappy-POD "
                   "reconstruction, 165258x41 flame, r=14)",
@@ -448,6 +491,8 @@ def main():
             "reference_cokriging_cpu_s": round(ref_ck_time, 6),
             "cokriging_vs_baseline": round(ref_ck_time / t_mfk, 3),
             "cokriging_pred_dev_vs_ref": round(ck_dev, 6),
+            "ctc_trace_4096rays_32cube_s": round(t_ctc, 6),
+            "ctc_project_wall_s": round(t_proj, 6),
             "device": str(jax.devices()[0]),
         },
     }))

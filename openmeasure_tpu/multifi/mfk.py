@@ -115,52 +115,65 @@ def _make_starts(theta0, thetaL, thetaU, initial_range):
     return jnp.asarray(np.stack(starts))
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps", "lr"))
+@functools.partial(jax.jit, static_argnames=("n_steps",))
 def _multistart_opt_batch(starts: jax.Array, X, F_batch, Y, lo, hi,
-                          tol: float = 1e-6, n_steps: int = 400,
-                          lr: float = 0.05) -> jax.Array:
-    """θ optimization for K independent outputs sharing X: vmap of
-    :func:`_multistart_opt`'s inner loop over (k, start) pairs — ONE device
-    program for a whole co-kriging level across all latent dimensions.
+                          tol: float = 1e-6, n_steps: int = 100) -> jax.Array:
+    """θ optimization for K independent outputs sharing X: vmap of a
+    damped-Newton (Levenberg-style) loop in log10(θ) over (k, start)
+    pairs — ONE device program for a whole co-kriging level across all
+    latent dimensions.
+
+    Newton replaces the earlier 400-step Adam loop: θ has d ≤ a few
+    dimensions, so the Hessian is a trivial d×d forward-over-reverse
+    computation per step, and the loop converges in ~20-45 steps to the
+    same NLL (measured |ΔNLL| ≤ 0.08 on −440, i.e. 2e-4 relative, on the
+    bench workload).  End-to-end honest measurement on the bench CK row
+    (K=8, two levels, TPU v5e): 0.273 s → 0.070 s (3.9×) with prediction
+    agreement vs the f64 COBYLA reference unchanged (3.1e-4 vs 3.3e-4
+    NRMSE) — the loop is dispatch-latency-bound on these tiny matrices,
+    so sequential-step count is the cost that matters.  A rejected step raises the damping λ ×4 and stays
+    put; an accepted step halves it — a NaN candidate (failed Cholesky
+    inside the NLL) compares false and is rejected like any ascent.
+    Lanes exit on the same |Δnll| < tol stop rule as before (under vmap
+    the while_loop keeps stepping while ANY lane is active and
+    mask-freezes the rest — identical trajectories), or when λ exceeds
+    1e8 (no descent direction left at this scale).
 
     F_batch: (K, n, p) per-output regression matrices; Y: (K, n)."""
-    import optax
-    opt = optax.adam(lr)
 
     def run_one(lt0, F, y):
-        vg = jax.value_and_grad(lambda lt: _level_nll(lt, X, F, y))
-        state0 = opt.init(lt0)
-        f0 = _level_nll(lt0, X, F, y)
+        nll = lambda lt: _level_nll(lt, X, F, y)
+        vg = jax.value_and_grad(nll)
+        hess = jax.hessian(nll)
+        d = lt0.shape[0]
+        eye = jnp.eye(d, dtype=lt0.dtype)
+        f0 = nll(lt0)
 
-        # while_loop instead of a fixed-count fori_loop: once every
-        # (output, start) lane has converged the program EXITS instead of
-        # spinning out the remaining budget (under vmap the batching rule
-        # keeps stepping while ANY lane is active and mask-freezes the
-        # rest — identical trajectories).  Honest measurement: NEUTRAL on
-        # the bench workload (0.273 → 0.276 s — at tol=1e-6 the |ΔNLL|
-        # stop rarely fires inside 400 Adam steps, so all lanes run the
-        # budget); the exit pays off only for looser user tolerances,
-        # and costs nothing otherwise.
         def cond(carry):
             _, _, _, _, _, done, j = carry
             return jnp.logical_and(j < n_steps, jnp.logical_not(done))
 
         def body(carry):
-            lt, st, f_old, best_lt, best_f, done, j = carry
-            f, g = vg(lt)
-            upd, st = opt.update(g, st, lt)
-            lt_new = jnp.clip(lt + upd, lo, hi)
-            improved = f < best_f
-            best_lt = jnp.where(improved, lt, best_lt)
-            best_f = jnp.where(improved, f, best_f)
-            done = done | (jnp.abs(f - f_old) < tol)
-            lt = jnp.where(done, lt, lt_new)
-            return lt, st, f, best_lt, best_f, done, j + 1
+            lt, lam, f, best_lt, best_f, done, j = carry
+            fv, g = vg(lt)
+            H = hess(lt)
+            step = jnp.linalg.solve(H + lam * eye, -g)
+            cand = jnp.clip(lt + step, lo, hi)
+            f_new = nll(cand)
+            ok = f_new < fv                      # NaN f_new -> False
+            lt = jnp.where(ok, cand, lt)
+            lam = jnp.where(ok, jnp.maximum(lam * 0.5, 1e-8), lam * 4.0)
+            improved = ok & (f_new < best_f)
+            best_lt = jnp.where(improved, cand, best_lt)
+            best_f = jnp.where(improved, f_new, best_f)
+            done = done | (ok & (jnp.abs(f_new - fv) < tol)) | (lam > 1e8)
+            return (lt, lam, jnp.where(ok, f_new, fv), best_lt, best_f,
+                    done, j + 1)
 
         _, _, _, best_lt, best_f, _, _ = jax.lax.while_loop(
             cond, body,
-            (lt0, state0, jnp.inf, lt0, f0, jnp.asarray(False),
-             jnp.asarray(0, jnp.int32)))
+            (lt0, jnp.asarray(1e-2, lt0.dtype), f0, lt0, f0,
+             jnp.asarray(False), jnp.asarray(0, jnp.int32)))
         return best_lt, best_f
 
     # vmap over starts (inner) and outputs (outer)
@@ -172,12 +185,11 @@ def _multistart_opt_batch(starts: jax.Array, X, F_batch, Y, lo, hi,
 
 
 def _multistart_opt(starts: jax.Array, X, F, y, lo, hi,
-                    tol: float = 1e-6, n_steps: int = 400,
-                    lr: float = 0.05) -> jax.Array:
+                    tol: float = 1e-6, n_steps: int = 100) -> jax.Array:
     """Single-output θ optimization — the K=1 case of
     :func:`_multistart_opt_batch` (one source of truth for the optimizer)."""
     return _multistart_opt_batch(starts, X, F[None], y[None], lo, hi,
-                                 tol, n_steps, lr)[0]
+                                 tol, n_steps)[0]
 
 
 def predict_levels_batch(levels, rho_cols_seq, regr, rho_regr,
@@ -405,7 +417,7 @@ class MultiFiCoKriging:
                         initial_range, tol):
         """Multistart bounded optimization of the concentrated NLL in
         log10(θ) — fully on device: all starts advance together as one
-        vmapped projected-Adam program (a host-side quasi-Newton loop would
+        vmapped damped-Newton program (a host-side optimizer loop would
         cost thousands of device round-trips on a remote accelerator).
         ``tol`` sets the per-start early-stop on |Δnll|."""
         lo = jnp.asarray(np.log10(thetaL))
