@@ -462,7 +462,10 @@ def main():
         def body(i, acc):
             cells, counts = trace_rays(P1 + acc * 1e-30, P2, org, spc,
                                        (32, 32, 32))
-            return jnp.sum(counts).astype(jnp.float32) * 1e-9
+            # both outputs must feed acc, else XLA dead-code-eliminates the
+            # per-step cell writes and the loop times a gutted kernel
+            live = jnp.sum(counts) + jnp.sum(jnp.maximum(cells, 0))
+            return live.astype(jnp.float32) * 1e-9
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
     t_ctc = slope_per_iter(lambda k: float(bench_loop_ctc(P1, k)), 20,
@@ -491,7 +494,7 @@ def main():
             "reference_cokriging_cpu_s": round(ref_ck_time, 6),
             "cokriging_vs_baseline": round(ref_ck_time / t_mfk, 3),
             "cokriging_pred_dev_vs_ref": round(ck_dev, 6),
-            "ctc_trace_4096rays_32cube_s": round(t_ctc, 6),
+            "ctc_trace_4096rays_32cube_s": round(t_ctc, 8),
             "ctc_project_wall_s": round(t_proj, 6),
             "device": str(jax.devices()[0]),
         },

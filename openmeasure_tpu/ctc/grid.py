@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .raytrace import trace_rays
@@ -73,8 +74,11 @@ class VoxelGrid:
                     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched traversal: returns (cells (n_rays, max_steps) padded with
         -1, counts (n_rays,)) — all device-side."""
-        cells, counts = trace_rays(
+        out = trace_rays(
             jnp.asarray(p1s, dtype=jnp.float32),
             jnp.asarray(p2s, dtype=jnp.float32),
             self.origin, self.spacing, self.dims)
-        return np.asarray(cells), np.asarray(counts)
+        # one fused host readback: separate np.asarray calls cost one
+        # tunnel round-trip each (~27-55 ms on this device)
+        cells, counts = jax.device_get(out)
+        return cells, counts

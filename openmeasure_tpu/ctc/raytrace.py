@@ -14,9 +14,12 @@ as per-axis SCALARS (structure-of-arrays under vmap — (n_rays,) lanes per
 component), not (3,) vectors.  Vector carries batch to (n_rays, 3) with
 the 3 in the 128-lane minor dimension, running every step op at 3/128
 lane utilization; on the bench workload (4096 rays, 32³ grid, v5e,
-chained-slope timing) the vector-carry form measured 20.5 ms vs 0.04 ms
-for this form — bitwise-identical outputs (loop unrolling was measured
-neutral at 2/4/8: the loop was layout-bound, not launch-bound).
+chained-slope timing with BOTH outputs kept live in the timed loop so
+XLA cannot elide the per-step cell writes) the vector-carry form
+measured 20.5 ms vs 0.13 ms for this form — ~160×, bitwise-identical
+outputs.  Loop unrolling was measured neutral at 2/4/8 (the loop was
+layout-bound, not launch-bound), and a counts-only timing loop
+understates the SoA form 3× (0.04 ms) by letting XLA drop the writes.
 """
 
 from __future__ import annotations
@@ -80,7 +83,7 @@ def trace_rays(p1s: jax.Array, p2s: jax.Array,
                           (next_bound - p1) / safe_d)
 
         # Split the loop-carried 3-vectors into per-axis scalars (see the
-        # module-docstring layout note: 20.5 ms -> 0.04 ms on the bench
+        # module-docstring layout note: 20.5 ms -> 0.13 ms on the bench
         # workload, bitwise-identical results).
         vx, vy, vz = vox[0], vox[1], vox[2]
         tmx, tmy, tmz = t_max[0], t_max[1], t_max[2]
