@@ -21,6 +21,7 @@ import optax
 
 from .kernels import (GaussianLikelihood, FixedNoiseGaussianLikelihood,
                       MultitaskGaussianLikelihood)
+from ..linalg.chol_pallas import chol_inv_logdet
 
 
 def _jitter(dtype) -> float:
@@ -356,15 +357,27 @@ class _ClosedFormCore:
         else:
             Km = g
         Kn = Km + eye * noise                           # scalar or diag vec
-        L = _chol_with_jitter(Kn)
         mu = self.mean_spec(params["mean"], X)
         resid = y - mu
-        alpha = jax.scipy.linalg.cho_solve((L, True), resid)
-        lp = (-0.5 * resid @ alpha
-              - jnp.sum(jnp.log(jnp.diagonal(L)))
-              - 0.5 * p * jnp.log(2.0 * jnp.pi))
-
-        Kinv = jax.scipy.linalg.cho_solve((L, True), eye)
+        if jax.default_backend() == "tpu" and Kn.dtype == jnp.float32:
+            # Pallas batched inverse (one kernel for the whole mode batch
+            # via the custom_vmap rule): 9.7 µs vs 107 µs for the XLA
+            # cholesky+cho_solve at the (14, 41, 41) bench shape — see
+            # linalg/chol_pallas.py for the measured variant log.  CPU/f64
+            # callers keep the cho_solve path below bit-identical.
+            Kinv, logdet = chol_inv_logdet(
+                Kn + _jitter(Kn.dtype) * eye)
+            alpha = jnp.matmul(Kinv, resid,
+                               precision=jax.lax.Precision.HIGHEST)
+            lp = (-0.5 * resid @ alpha - 0.5 * logdet
+                  - 0.5 * p * jnp.log(2.0 * jnp.pi))
+        else:
+            L = _chol_with_jitter(Kn)
+            alpha = jax.scipy.linalg.cho_solve((L, True), resid)
+            lp = (-0.5 * resid @ alpha
+                  - jnp.sum(jnp.log(jnp.diagonal(L)))
+                  - 0.5 * p * jnp.log(2.0 * jnp.pi))
+            Kinv = jax.scipy.linalg.cho_solve((L, True), eye)
         M = jnp.outer(alpha, alpha) - Kinv              # ∂lp/∂K = ½M
 
         sgp = (s * gp) if self.scaled else gp

@@ -459,3 +459,41 @@ class TestSVDWidthRefine:
         assert S.shape == (12,)
         np.testing.assert_allclose(S, Sn, rtol=1e-5)
         assert np.all(np.diff(S) <= 1e-10)
+
+
+class TestCholInvLogdet:
+    """CPU surface of linalg/chol_pallas: the jnp fallback must equal the
+    scipy formulation, and the custom_vmap wrapper must route a vmapped
+    batch through the batched implementation unchanged (on CPU the Pallas
+    kernel never dispatches — backend-gated)."""
+
+    def _spd(self, B, p, seed=0):
+        rng = np.random.default_rng(seed)
+        Q = rng.standard_normal((B, p, p))
+        return np.einsum("bij,bkj->bik", Q, Q) / p + 0.5 * np.eye(p)[None]
+
+    def test_jnp_matches_scipy(self):
+        from openmeasure_tpu.linalg import chol_pallas as CP
+        Kn = self._spd(6, 13)
+        kinv, ld = CP.chol_inv_logdet_jnp(jnp.asarray(Kn))
+        for b in range(6):
+            np.testing.assert_allclose(np.asarray(kinv[b]),
+                                       np.linalg.inv(Kn[b]), rtol=1e-9,
+                                       atol=1e-11)
+            np.testing.assert_allclose(float(ld[b]),
+                                       np.linalg.slogdet(Kn[b])[1],
+                                       rtol=1e-12)
+
+    def test_custom_vmap_routes_batch(self):
+        import jax
+        from openmeasure_tpu.linalg import chol_pallas as CP
+        Kn = jnp.asarray(self._spd(5, 9, seed=1))
+        kinv_v, ld_v = jax.vmap(CP.chol_inv_logdet)(Kn)
+        kinv_b, ld_b = CP.chol_inv_logdet_auto(Kn)
+        np.testing.assert_array_equal(np.asarray(kinv_v),
+                                      np.asarray(kinv_b))
+        np.testing.assert_array_equal(np.asarray(ld_v), np.asarray(ld_b))
+        # unbatched call agrees with the batched slice
+        kinv_1, ld_1 = CP.chol_inv_logdet(Kn[2])
+        np.testing.assert_allclose(np.asarray(kinv_1),
+                                   np.asarray(kinv_b[2]), rtol=1e-12)

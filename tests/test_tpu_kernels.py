@@ -12,6 +12,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 
 pytestmark = pytest.mark.skipif(
@@ -81,3 +82,48 @@ def test_weighted_solve_accuracy_on_tpu():
     sensor = SoftSensor.from_spr(spr).warmup()
     _, a_srv, _ = sensor.predict_full(y[:, 0], y[:, 1])
     assert np.max(np.abs(np.asarray(a_srv, np.float64) - a64)) / scale < 1e-5
+
+
+@pytest.mark.parametrize("B,p", [(14, 41), (3, 17), (30, 64)])
+def test_chol_inv_logdet_kernel_matches_jnp(B, p):
+    """Pallas batched small-SPD inverse+logdet vs the cholesky+cho_solve
+    formulation: K⁻¹ to f32 round-off, logdet to the log-accumulation
+    round-off (p sequential adds vs 2·Σ log diag)."""
+    from openmeasure_tpu.linalg import chol_pallas as CP
+    rng = np.random.default_rng(0)
+    Q = rng.standard_normal((B, p, p))
+    Kn = jnp.asarray(np.einsum("bij,bkj->bik", Q, Q) / p
+                     + 0.5 * np.eye(p)[None], jnp.float32)
+    ki_p, ld_p = jax.jit(CP.chol_inv_logdet_pallas)(Kn)
+    ki_j, ld_j = jax.jit(CP.chol_inv_logdet_jnp)(Kn)
+    scale = float(jnp.max(jnp.abs(ki_j)))
+    assert float(jnp.max(jnp.abs(ki_p - ki_j))) / scale < 5e-6
+    assert float(jnp.max(jnp.abs(ld_p - ld_j))) < 5e-3
+
+
+def test_gp_oracle_kernel_path_matches_autodiff_on_tpu():
+    """On TPU the closed-form GP oracle routes its factorization through the
+    Pallas kernel (exact_gp.lp_and_grads TPU branch); its (loss, grad) must
+    still match reverse-mode autodiff of the plain cholesky loss at f32
+    tolerance — the same bar the CPU suite pins for the cho_solve path."""
+    from openmeasure_tpu.gp import exact_gp as E, kernels as K
+    rng = np.random.default_rng(2)
+    p, d, r = 23, 3, 5
+    X = jnp.asarray(rng.standard_normal((p, d)), jnp.float32)
+    Y = jnp.asarray(rng.standard_normal((r, p)), jnp.float32)
+    mean, kern, lik = K.ConstantMean(), K.MaternKernel(2.5), \
+        K.GaussianLikelihood()
+    task0 = {"mean": mean.init_params(d), "kernel": kern.init_params(d),
+             "likelihood": lik.init_params()}
+    params = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (r,) + x.shape), task0)
+    vag = E.make_single_task_value_and_grad(mean, kern, lik, X, Y)
+    loss_fn = E.make_single_task_loss(mean, kern, lik, X, Y)
+    losses, grads = jax.jit(vag)(params)
+    l_ad, g_ad = jax.jit(jax.value_and_grad(
+        lambda q: jnp.sum(loss_fn(q))))(params)
+    assert float(jnp.max(jnp.abs(jnp.sum(losses) - l_ad))) < 5e-4
+    flat, _ = jax.flatten_util.ravel_pytree(grads)
+    flat_ad, _ = jax.flatten_util.ravel_pytree(g_ad)
+    scale = float(jnp.max(jnp.abs(flat_ad))) + 1e-12
+    assert float(jnp.max(jnp.abs(flat - flat_ad))) / scale < 5e-4
