@@ -468,7 +468,10 @@ def main():
             return live.astype(jnp.float32) * 1e-9
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
-    t_ctc = slope_per_iter(lambda k: float(bench_loop_ctc(P1, k)), 20,
+    # K=200: the SoA tracer is ~0.13 ms/iter — at K=20 the 27-55 ms tunnel
+    # round-trip drift swamps the slope (median went negative, clamping to
+    # the 1e-9 floor and printing 0.0)
+    t_ctc = slope_per_iter(lambda k: float(bench_loop_ctc(P1, k)), 200,
                            reps=3)
     t_proj = min(_timed(lambda: cam.project(grid32, "parallel"))
                  for _ in range(3))

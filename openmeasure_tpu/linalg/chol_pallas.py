@@ -148,15 +148,37 @@ def chol_inv_logdet_auto(Kn: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 @jax.custom_batching.custom_vmap
-def chol_inv_logdet(K: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Single (p, p) SPD → (K⁻¹, logdet).  Under ``vmap`` the whole batch
-    is dispatched as ONE kernel call (the per-iteration win above comes
-    from this — a vmapped ``pallas_call`` would serialize grid steps)."""
+def _chol_inv_logdet_nodiff(K: jax.Array) -> Tuple[jax.Array, jax.Array]:
     kinv, ld = chol_inv_logdet_auto(K[None])
     return kinv[0], ld[0]
 
 
-@chol_inv_logdet.def_vmap
+@_chol_inv_logdet_nodiff.def_vmap
 def _chol_inv_logdet_vmap(axis_size, in_batched, K):
     del axis_size, in_batched
     return chol_inv_logdet_auto(K), (True, True)
+
+
+@jax.custom_jvp
+def chol_inv_logdet(K: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Single (p, p) SPD → (K⁻¹, logdet).  Under ``vmap`` the whole batch
+    is dispatched as ONE kernel call (the per-iteration win above comes
+    from this — a vmapped ``pallas_call`` would serialize grid steps).
+
+    Differentiable to arbitrary order through the analytic rules
+    d K⁻¹ = −K⁻¹ dK K⁻¹ and d logdet = Σ K⁻¹ ∘ dK (tangents are plain
+    matmuls, so reverse mode comes from JVP transposition and Hessians
+    re-enter the rule) — this is what lets the MFK concentrated-NLL
+    Newton search run its value/gradient/Hessian passes through the
+    kernel instead of autodiff through XLA's cholesky."""
+    return _chol_inv_logdet_nodiff(K)
+
+
+@chol_inv_logdet.defjvp
+def _chol_inv_logdet_jvp(primals, tangents):
+    (K,), (dK,) = primals, tangents
+    kinv, ld = chol_inv_logdet(K)
+    with jax.default_matmul_precision("highest"):
+        dkinv = -kinv @ dK @ kinv
+    dld = jnp.sum(kinv * dK)          # tr(K⁻¹ dK); K⁻¹ symmetric
+    return (kinv, ld), (dkinv, dld)

@@ -38,6 +38,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..linalg.chol_pallas import chol_inv_logdet
+
 
 def _regr(kind: str, X: jax.Array) -> jax.Array:
     if kind == "constant":
@@ -67,15 +69,30 @@ def _level_nll(log10_theta: jax.Array, X: jax.Array, F: jax.Array,
         n = X.shape[0]
         R = _corr(theta, X, X) + _nugget_for(X.dtype) * jnp.eye(
             n, dtype=X.dtype)
-        L = jnp.linalg.cholesky(R)
-        Fi = jax.scipy.linalg.cho_solve((L, True), F)
-        yi = jax.scipy.linalg.cho_solve((L, True), y)
-        G = F.T @ Fi
-        beta = jnp.linalg.solve(G, F.T @ yi)
-        resid = y - F @ beta
-        ri = jax.scipy.linalg.cho_solve((L, True), resid)
-        sigma2 = (resid @ ri) / n
-        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+        if jax.default_backend() == "tpu" and R.dtype == jnp.float32:
+            # Pallas batched inverse (linalg/chol_pallas.py): the Newton
+            # θ search evaluates this NLL plus its gradient and Hessian
+            # every step over all (output, start) lanes — the custom_jvp
+            # rules keep every derivative order inside the kernel instead
+            # of autodiff through XLA's sequential cholesky.  CPU/f64
+            # keeps the cho_solve path below bit-identical.
+            Ri, logdet = chol_inv_logdet(R)
+            Fi = Ri @ F
+            yi = Ri @ y
+            G = F.T @ Fi
+            beta = jnp.linalg.solve(G, F.T @ yi)
+            resid = y - F @ beta
+            sigma2 = (resid @ (Ri @ resid)) / n
+        else:
+            L = jnp.linalg.cholesky(R)
+            Fi = jax.scipy.linalg.cho_solve((L, True), F)
+            yi = jax.scipy.linalg.cho_solve((L, True), y)
+            G = F.T @ Fi
+            beta = jnp.linalg.solve(G, F.T @ yi)
+            resid = y - F @ beta
+            ri = jax.scipy.linalg.cho_solve((L, True), resid)
+            sigma2 = (resid @ ri) / n
+            logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
         tiny = jnp.finfo(X.dtype).tiny
         return n * jnp.log(jnp.maximum(sigma2, tiny)) + logdet
 
