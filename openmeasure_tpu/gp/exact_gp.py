@@ -21,7 +21,7 @@ import optax
 
 from .kernels import (GaussianLikelihood, FixedNoiseGaussianLikelihood,
                       MultitaskGaussianLikelihood)
-from ..linalg.chol_pallas import chol_inv_logdet
+from ..linalg.chol_pallas import chol_inv_logdet, kernel_path_wanted
 
 
 def _jitter(dtype) -> float:
@@ -44,8 +44,23 @@ def gp_log_prob(mean_spec, kernel_spec, params: Dict, noise: jax.Array,
         K = kernel_spec(params["kernel"], X, X)
         K = K + jnp.eye(n, dtype=K.dtype) * noise
         mu = mean_spec(params["mean"], X)
-        L = _chol_with_jitter(K)
         resid = y - mu
+        if kernel_path_wanted(K.dtype):
+            # Pallas batched inverse (chol_pallas.py): PIGPR's added-loss
+            # iteration autodiffs through this log-prob every step — the
+            # kernel's analytic JVP (dK⁻¹ = −K⁻¹ dK K⁻¹) replaces autodiff
+            # through XLA's While-loop cholesky.  Measured on the PIGPR
+            # loss+grad step (14 modes, p=41, 9 constraint pts, v5e,
+            # slope-timed): 111.2 → 27.4 µs (4.1×), loss agreement 2e-6
+            # (A/B via OMTPU_NO_CHOL_KERNEL=1).  CPU/f64 bit-identical
+            # via the fallback below.
+            Kinv, logdet = chol_inv_logdet(
+                K + _jitter(K.dtype) * jnp.eye(n, dtype=K.dtype))
+            alpha = jnp.matmul(Kinv, resid,
+                               precision=jax.lax.Precision.HIGHEST)
+            return (-0.5 * resid @ alpha - 0.5 * logdet
+                    - 0.5 * n * jnp.log(2.0 * jnp.pi))
+        L = _chol_with_jitter(K)
         alpha = jax.scipy.linalg.cho_solve((L, True), resid)
         return (-0.5 * resid @ alpha
                 - jnp.sum(jnp.log(jnp.diagonal(L)))
@@ -70,11 +85,23 @@ def gp_posterior(mean_spec, kernel_spec, params: Dict, noise: jax.Array,
         kss = jnp.diagonal(kernel_spec(params["kernel"], Xs, Xs))
         mu = mean_spec(params["mean"], X)
         mus = mean_spec(params["mean"], Xs)
-        L = _chol_with_jitter(K)
-        alpha = jax.scipy.linalg.cho_solve((L, True), y - mu)
-        mean_s = mus + Ks @ alpha
-        v = jax.scipy.linalg.solve_triangular(L, Ks.T, lower=True)
-        var_s = jnp.maximum(kss - jnp.sum(v * v, axis=0), 0.0)
+        if kernel_path_wanted(K.dtype):
+            # Same Pallas inverse as gp_log_prob; var via Ks K⁻¹ Ksᵀ diag
+            # (vs L⁻¹Ksᵀ columns) — f32 round-off only, guarded at 0.
+            Kinv, _ = chol_inv_logdet(
+                K + _jitter(K.dtype) * jnp.eye(n, dtype=K.dtype))
+            alpha = jnp.matmul(Kinv, y - mu,
+                               precision=jax.lax.Precision.HIGHEST)
+            mean_s = mus + Ks @ alpha
+            W = jnp.matmul(Ks, Kinv,
+                           precision=jax.lax.Precision.HIGHEST)
+            var_s = jnp.maximum(kss - jnp.sum(W * Ks, axis=1), 0.0)
+        else:
+            L = _chol_with_jitter(K)
+            alpha = jax.scipy.linalg.cho_solve((L, True), y - mu)
+            mean_s = mus + Ks @ alpha
+            v = jax.scipy.linalg.solve_triangular(L, Ks.T, lower=True)
+            var_s = jnp.maximum(kss - jnp.sum(v * v, axis=0), 0.0)
         if include_noise:
             var_s = var_s + (noise if pred_noise is None else pred_noise)
         return mean_s, var_s
@@ -359,7 +386,7 @@ class _ClosedFormCore:
         Kn = Km + eye * noise                           # scalar or diag vec
         mu = self.mean_spec(params["mean"], X)
         resid = y - mu
-        if jax.default_backend() == "tpu" and Kn.dtype == jnp.float32:
+        if kernel_path_wanted(Kn.dtype):
             # Pallas batched inverse (one kernel for the whole mode batch
             # via the custom_vmap rule): 9.7 µs vs 107 µs for the XLA
             # cholesky+cho_solve at the (14, 41, 41) bench shape — see

@@ -37,11 +37,21 @@ always take the jnp fallback, so host paths are bit-identical to before.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+
+def kernel_path_wanted(dtype) -> bool:
+    """Trace-time gate used by the GP/MFK hot paths: TPU backend, f32, and
+    not disabled via ``OMTPU_NO_CHOL_KERNEL`` (the env knob exists for
+    honest A/B timing of the kernel vs the XLA cholesky formulation)."""
+    return (dtype == jnp.float32
+            and jax.default_backend() == "tpu"
+            and not os.environ.get("OMTPU_NO_CHOL_KERNEL"))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -139,8 +149,7 @@ def chol_inv_logdet_auto(Kn: jax.Array) -> Tuple[jax.Array, jax.Array]:
     p = Kn.shape[-1]
     K3 = Kn.reshape((-1,) + Kn.shape[-2:])
     B = K3.shape[0]
-    if (Kn.dtype == jnp.float32 and jax.default_backend() == "tpu"
-            and chol_fits_vmem(B, p)):
+    if kernel_path_wanted(Kn.dtype) and chol_fits_vmem(B, p):
         kinv, ld = chol_inv_logdet_pallas(K3)
     else:
         kinv, ld = chol_inv_logdet_jnp(K3)
