@@ -101,6 +101,50 @@ def test_chol_inv_logdet_kernel_matches_jnp(B, p):
     assert float(jnp.max(jnp.abs(ld_p - ld_j))) < 5e-3
 
 
+def test_gp_log_prob_posterior_kernel_path_matches_fallback():
+    """gp_log_prob / gp_posterior take the Pallas chol-inverse path on TPU
+    f32 (the PIGPR added-loss hot path); value, posterior mean/var, and
+    gradients (through the kernel's analytic JVP) must match the cholesky
+    fallback (forced via OMTPU_NO_CHOL_KERNEL) at f32 round-off."""
+    import os
+    from openmeasure_tpu.gp import exact_gp as E, kernels as K
+    rng = np.random.default_rng(3)
+    p, d, s = 29, 3, 7
+    X = jnp.asarray(rng.standard_normal((p, d)), jnp.float32)
+    Xs = jnp.asarray(rng.standard_normal((s, d)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal(p), jnp.float32)
+    mean, kern = K.ConstantMean(), K.MaternKernel(2.5)
+    params = {"mean": mean.init_params(d), "kernel": kern.init_params(d)}
+    noise = jnp.float32(0.04)
+
+    def lp(q):
+        return E.gp_log_prob(mean, kern, q, noise, X, y)
+
+    def post(q):
+        m, v = E.gp_posterior(mean, kern, q, noise, X, y, Xs)
+        return m, v
+
+    lp_k, g_k = jax.value_and_grad(lp)(params)
+    m_k, v_k = post(params)
+    assert "OMTPU_NO_CHOL_KERNEL" not in os.environ
+    os.environ["OMTPU_NO_CHOL_KERNEL"] = "1"
+    try:
+        lp_f, g_f = jax.value_and_grad(lp)(params)
+        m_f, v_f = post(params)
+    finally:
+        del os.environ["OMTPU_NO_CHOL_KERNEL"]
+
+    assert abs(float(lp_k - lp_f)) / abs(float(lp_f)) < 1e-4
+    flat_k, _ = jax.flatten_util.ravel_pytree(g_k)
+    flat_f, _ = jax.flatten_util.ravel_pytree(g_f)
+    gscale = float(jnp.max(jnp.abs(flat_f))) + 1e-12
+    assert float(jnp.max(jnp.abs(flat_k - flat_f))) / gscale < 5e-4
+    mscale = float(jnp.max(jnp.abs(m_f))) + 1e-12
+    assert float(jnp.max(jnp.abs(m_k - m_f))) / mscale < 5e-5
+    vscale = float(jnp.max(jnp.abs(v_f))) + 1e-12
+    assert float(jnp.max(jnp.abs(v_k - v_f))) / vscale < 5e-4
+
+
 def test_gp_oracle_kernel_path_matches_autodiff_on_tpu():
     """On TPU the closed-form GP oracle routes its factorization through the
     Pallas kernel (exact_gp.lp_and_grads TPU branch); its (loss, grad) must
