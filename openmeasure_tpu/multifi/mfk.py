@@ -38,7 +38,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..linalg.chol_pallas import chol_inv_logdet
+from ..linalg.chol_pallas import chol_inv_logdet, kernel_path_wanted
 
 
 def _regr(kind: str, X: jax.Array) -> jax.Array:
@@ -69,7 +69,7 @@ def _level_nll(log10_theta: jax.Array, X: jax.Array, F: jax.Array,
         n = X.shape[0]
         R = _corr(theta, X, X) + _nugget_for(X.dtype) * jnp.eye(
             n, dtype=X.dtype)
-        if jax.default_backend() == "tpu" and R.dtype == jnp.float32:
+        if kernel_path_wanted(R.dtype):
             # Pallas batched inverse (linalg/chol_pallas.py): the Newton
             # θ search evaluates this NLL plus its gradient and Hessian
             # every step over all (output, start) lanes — the custom_jvp
@@ -177,9 +177,15 @@ def _multistart_opt_batch(starts: jax.Array, X, F_batch, Y, lo, hi,
             step = jnp.linalg.solve(H + lam * eye, -g)
             cand = jnp.clip(lt + step, lo, hi)
             f_new = nll(cand)
-            ok = f_new < fv                      # NaN f_new -> False
+            # NaN f_new -> False; done lanes reject every candidate, so a
+            # converged lane's carry (incl. best_lt/best_f) is literally
+            # frozen while other vmap lanes keep the loop alive — results
+            # are independent of lane grouping (solo == batched == sharded)
+            ok = (f_new < fv) & jnp.logical_not(done)
             lt = jnp.where(ok, cand, lt)
-            lam = jnp.where(ok, jnp.maximum(lam * 0.5, 1e-8), lam * 4.0)
+            lam = jnp.where(
+                done, lam,
+                jnp.where(ok, jnp.maximum(lam * 0.5, 1e-8), lam * 4.0))
             improved = ok & (f_new < best_f)
             best_lt = jnp.where(improved, cand, best_lt)
             best_f = jnp.where(improved, f_new, best_f)
