@@ -38,6 +38,16 @@ mode-mixing error, exactly as the full-width refine exists to do), and
 no speed change at flagship scale (dispatch-bound).  8% speed is not
 worth 2× accuracy; the shipped ``rank`` path narrows only the FINAL
 rotation's output, which is top-r-exact.
+
+Also evaluated and rejected (precision downgrades of the width-refine
+passes, 3D 1.7M×45 r=14 w=28, v5e, slope-timed; control 9.14 ms /
+NRMSE 2.4e-6): ``B = X0 V[:, :w]`` at HIGH instead of HIGHEST — 8.61 ms
+but NRMSE 2.1e-4 (the 3-pass product's elementwise error lands directly
+in U's columns; nothing downstream can remove out-of-span noise); the
+refine Gram ``G2 = BᵀB`` at HIGH — 9.86 ms (SLOWER: the mixed-precision
+pair broke XLA's fusion around the refine region) and NRMSE 5.3e-6
+(the guard-column gap does not absorb a 3-pass Gram error either).  Both
+stay HIGHEST.
 """
 
 from __future__ import annotations
