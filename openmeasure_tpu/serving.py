@@ -505,10 +505,12 @@ class GPRSensor:
 
     @classmethod
     def load(cls, path: str, limits=None, bc=None, constraints=None,
-             admm_iters: int = 300) -> "GPRSensor":
+             admm_iters: int = 300,
+             admm_over_relax: float = 1.6) -> "GPRSensor":
         from .utils.checkpoint import load_model
         return cls.from_gpr(load_model(path), limits=limits, bc=bc,
-                            constraints=constraints, admm_iters=admm_iters)
+                            constraints=constraints, admm_iters=admm_iters,
+                            admm_over_relax=admm_over_relax)
 
     def __call__(self, P_star):
         P_star = jnp.asarray(P_star, self._state["Ur"].dtype)
