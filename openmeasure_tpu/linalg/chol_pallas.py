@@ -20,6 +20,13 @@ all outputs live:
   An interleaved single-loop variant (chol+FS fused per step, O(1) column
   storage) measured 12.1 µs — the separate loops pipeline better; kept the
   two-loop form and gated its per-column VMEM on the batch shape instead.
+* sweep-operator (symmetric Gauss-Jordan) IN-PALLAS: p steps of one
+  full-width rank-1 + a fused two-level row/col/diag select — half the
+  sequential steps and no stored columns, but measured **20.3 µs vs 7.7**
+  (2.6× SLOWER, parity at f32 round-off): the per-step nested full-width
+  selects cost more on the VPU than the chol loop's narrow masked scale
+  vectors, and Mosaic pipelines the two light loops better than one heavy
+  one.  Same conclusion as the jnp sweep (402 µs), different mechanism.
 
 Layout notes: the batch stays a leading dim — every step op is a (B, 1, pp)
 row / (B, pp, 1) column fetch (symmetric trailing matrix, so the pivot
