@@ -158,9 +158,13 @@ def svd_tall(
         B = jnp.matmul(B, V2, precision=hp)
 
     eps = jnp.finfo(X0.dtype).eps
+    # tiny absolute floor: an ALL-ZERO panel (e.g. a single-snapshot fit,
+    # where per-row centering zeroes X0 exactly) must yield U = 0, finite —
+    # LAPACK returns finite vectors there; a purely relative floor is 0/0
+    tiny = jnp.finfo(X0.dtype).tiny
     if rank is None:
         S = jnp.linalg.norm(B, axis=0)
-        safe = jnp.maximum(S, eps * jnp.max(S) * n)
+        safe = jnp.maximum(jnp.maximum(S, eps * jnp.max(S) * n), tiny)
         U = B / safe[None, :]
     else:
         # Normalize with the TRUE column norms of the truncated panel, not
@@ -171,7 +175,8 @@ def svd_tall(
         # cheap narrow-panel reduction that XLA fuses with the divide.
         colnorm = jnp.linalg.norm(B, axis=0)            # (rank,), exact
         S = jnp.sqrt(jnp.maximum(S2, 0.0)).at[:rank].set(colnorm)
-        safe = jnp.maximum(colnorm, eps * jnp.max(colnorm) * n)
+        safe = jnp.maximum(
+            jnp.maximum(colnorm, eps * jnp.max(colnorm) * n), tiny)
         U = B / safe[None, :]
     Vt = V.T
     if canonicalize:

@@ -94,9 +94,24 @@ class ROM:
         return X0
 
     def scale_limits(self, limits: Sequence):
+        """``limits = [mins, maxs]`` with per-feature ``(n_features,)``
+        arrays (``sparse_sensing.py:173-210``).  Convenience beyond the
+        reference: a scalar min/max broadcasts to every feature; any other
+        size mismatch raises instead of the reference's opaque
+        ``limits[0][i]`` indexing error."""
+        def as_feature_vec(b, name):
+            arr = jnp.atleast_1d(jnp.asarray(b, dtype=self.X_cnt.dtype))
+            if arr.size == 1:
+                return jnp.broadcast_to(arr.reshape(()), (self.n_features,))
+            if arr.shape != (self.n_features,):
+                raise ValueError(
+                    f"limits {name} must be a scalar or an "
+                    f"(n_features,) = ({self.n_features},) array; got "
+                    f"shape {tuple(arr.shape)}.")
+            return arr
         lo, hi = _scaling.scale_limits(
-            jnp.asarray(limits[0], dtype=self.X_cnt.dtype),
-            jnp.asarray(limits[1], dtype=self.X_cnt.dtype),
+            as_feature_vec(limits[0], "min"),
+            as_feature_vec(limits[1], "max"),
             self.X_cnt, self.X_scl, self.n_features)
         return [lo, hi]
 

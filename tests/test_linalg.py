@@ -35,6 +35,18 @@ class TestSVD:
         np.testing.assert_allclose(np.asarray(U * S[None, :] @ Vt), X,
                                    atol=1e-9)
 
+    def test_all_zero_panel_is_finite(self):
+        """A single-snapshot fit centers X0 to EXACTLY zero; LAPACK returns
+        finite vectors for the zero matrix, so the Gram route must too (the
+        tiny absolute floor in the U normalization — a purely relative
+        floor is 0/0 there)."""
+        Z = np.zeros((50, 4))
+        for rank in (None, 2):
+            U, S, Vt = _svd.svd_tall(Z, canonicalize=rank is None,
+                                     rank=rank)
+            assert np.isfinite(np.asarray(U)).all()
+            np.testing.assert_allclose(np.asarray(S), 0.0, atol=1e-12)
+
     def test_ill_conditioned(self):
         # condition number ~1e6: the fp64 Gram route must still match.
         n, m = 500, 10

@@ -129,6 +129,29 @@ class TestROM:
         np.testing.assert_allclose(np.asarray(self.rom.Ar), Ar_before,
                                    atol=1e-6)
 
+    def test_single_snapshot_fit_is_finite(self):
+        """m=1: per-row centering makes X0 exactly zero; the fit must stay
+        finite like the reference's LAPACK SVD does (svd_tall's tiny
+        absolute normalization floor)."""
+        rng = np.random.default_rng(3)
+        X1 = rng.standard_normal((self.rom.X.shape[0], 1))
+        rom = ROM(X1, self.rom.n_features, self.rom.xyz)
+        rom.fit(scale_type="std", select_modes="number", n_modes=1)
+        assert np.isfinite(np.asarray(rom.Ur)).all()
+        assert np.isfinite(np.asarray(rom.Ar)).all()
+
+    def test_scale_limits_scalar_broadcast_and_validation(self):
+        """Scalar min/max broadcast to every feature (documented convenience
+        beyond the reference); a wrong-sized vector raises a clear error."""
+        self.rom.fit(select_modes="number", n_modes=3)
+        lo_s, hi_s = self.rom.scale_limits([0.2, 0.8])
+        lo_v, hi_v = self.rom.scale_limits(
+            [np.array([0.2, 0.2]), np.array([0.8, 0.8])])
+        np.testing.assert_allclose(np.asarray(lo_s), np.asarray(lo_v))
+        np.testing.assert_allclose(np.asarray(hi_s), np.asarray(hi_v))
+        with pytest.raises(ValueError, match="n_features"):
+            self.rom.scale_limits([np.zeros(3), np.ones(3)])
+
     def test_cpod_respects_limits(self):
         self.rom.fit(select_modes="number", n_modes=3)
         limits = [np.array([0.2, 0.2]), np.array([0.8, 0.8])]
