@@ -269,6 +269,33 @@ class TestMFK:
         np.testing.assert_allclose(mean.ravel(), forrester_hf(X_hf[:, 0]),
                                    atol=1e-3)
 
+    def test_three_level_recursion(self):
+        """OpenMDAO's MultiFiCoKriging accepts any number of fidelity
+        levels (nlevel = len(X)); the recursive formulation must chain
+        beyond the reference's two-level use: a nested LF→mid→HF Forrester
+        chain must recover the HF function and interpolate the HF sites."""
+        def f_hf(x):
+            return (6 * x - 2) ** 2 * np.sin(12 * x - 4)
+
+        def f_mid(x):
+            return 0.7 * f_hf(x) + 5 * (x - 0.5)
+
+        def f_lf(x):
+            return 0.5 * f_hf(x) + 10 * (x - 0.5) - 5
+
+        X0 = np.linspace(0, 1, 21)[:, None]
+        X1, X2 = X0[::2], X0[::4]
+        mf = MultiFiCoKriging().fit(
+            [X0, X1, X2],
+            [f_lf(X0[:, 0]), f_mid(X1[:, 0]), f_hf(X2[:, 0])])
+        X_t = np.linspace(0, 1, 31)[:, None]
+        mean, mse = mf.predict(X_t)
+        assert np.max(np.abs(mean.ravel() - f_hf(X_t[:, 0]))) < 0.05
+        mean_hf, _ = mf.predict(X2)
+        np.testing.assert_allclose(mean_hf.ravel(), f_hf(X2[:, 0]),
+                                   atol=1e-3)
+        assert np.all(np.asarray(mse) > -1e-12)
+
     def test_linear_regr_and_rho(self):
         X_lf = np.linspace(0, 1, 12)[:, None]
         X_hf = np.linspace(0, 1, 5)[:, None]
