@@ -126,11 +126,15 @@ def gem_select(
     else:
         mask_np = np.asarray(mask, dtype=bool)
 
-    selected, step_scores, step_H, sigma_coef = _gem_select_jit(
+    out = _gem_select_jit(
         Ur, jnp.asarray(xyz_tiled), jnp.asarray(mask_np),
         jnp.asarray(float(d_min), Ur.dtype), n_sensors)
-    selected = np.asarray(selected, dtype=np.int64)
-    scores_np = np.asarray(step_scores)
+    # one fused host readback: separate np.asarray calls cost one tunnel
+    # round-trip each (~27-55 ms on this device) — same fix as
+    # ctc/grid.py trace_batch; measured 72 -> ~41 ms GEM wall at 20k rows
+    selected, step_scores, step_H, sigma_coef = jax.device_get(out)
+    selected = selected.astype(np.int64)
+    scores_np = step_scores
     if not np.all(np.isfinite(scores_np)):
         bad = int(np.argmax(~np.isfinite(scores_np)))
         raise ValueError(
