@@ -518,3 +518,58 @@ class TestAdaptiveSamplingDiff:
         # deviation is substantive, not a formatting nicety)
         assert np.abs(lit_rel - int_rel).max() > 0.05
         assert not np.array_equal(s_ref, s_ours)
+
+
+class TestRandomizedSweep:
+    """Seeded randomized differential sweep: random (n_features, n_points,
+    m, r, s) shapes x 11 shape-safe scale types x weighted/unweighted
+    predicts, compared at RECONSTRUCTION level (coefficient signs follow
+    each side's SVD sign convention — reconstruction is sign-invariant).
+    Complements the fixed-shape conformance tests above with broad
+    configuration coverage; seed-pinned so failures reproduce."""
+
+    def test_spr_flow_matches_reference_on_random_configs(self, ref):
+        from openmeasure_tpu import SPR
+        rng = np.random.default_rng(42)
+        scales = ["std", "none", "pareto", "vast", "range", "level",
+                  "max", "variance", "median", "poisson", "l2-norm"]
+        for trial in range(6):
+            nf = int(rng.integers(1, 4))
+            npts = int(rng.integers(20, 60))
+            m = int(rng.integers(6, 16))
+            r = int(rng.integers(2, min(m, 7)))
+            s = int(rng.integers(r, r + 3))
+            st = scales[int(rng.integers(len(scales)))]
+            # positive data: poisson/vast scaling are sqrt/ratio of means
+            X = np.asarray(rng.uniform(1.0, 100.0, (nf * npts, m))
+                           * rng.uniform(0.5, 5))
+            xyz = rng.standard_normal((npts, 3))
+
+            R = ref.SPR(X, nf, xyz)
+            X0r = R.scale_data(scale_type=st)
+            Ur_, Ar_, ev_ = R.decomposition(X0r, select_modes="number",
+                                            n_modes=r)
+            Urr, _ = R.reduction(Ur_, Ar_, ev_, "number", r)
+            R.Ur = Urr
+            Cr = np.zeros((s, nf * npts))
+            rows = rng.choice(nf * npts, s, replace=False)
+            Cr[np.arange(s), rows] = 1
+            R.train(Cr)
+            y = np.zeros((s, 3))
+            y[:, 0] = X[rows, int(rng.integers(m))]
+            if trial % 2:
+                y[:, 1] = rng.uniform(0.01, 0.5, s)
+            y[:, 2] = rows // npts
+            ar_ref, _ = R.predict(y)
+            xr_ref = np.asarray(R.reconstruct(
+                np.asarray(ar_ref).reshape(1, -1))).ravel()
+
+            O = SPR(X, nf, xyz)
+            O.fit(scale_type=st, select_modes="number", n_modes=r)
+            O.train(Cr)
+            ar_our, _ = O.predict(y)
+            xr_our = np.asarray(O.reconstruct(np.asarray(ar_our))).ravel()
+
+            scale = max(np.max(np.abs(xr_ref)), 1e-12)
+            d = float(np.max(np.abs(xr_our - xr_ref)) / scale)
+            assert d < 1e-8, (trial, st, nf, m, r, s, d)
