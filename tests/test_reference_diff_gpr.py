@@ -301,6 +301,45 @@ class TestCoKrigingDiff:
         assert grab(lambda: CoKriging(*bad2)) == \
             grab(lambda: refck.CoKriging(*bad2))
 
+    def test_manifold_alignment_random_configs(self, refck):
+        """Seeded randomized sweep over shapes/mode selections — same
+        per-mode-sign-aligned bars as the fixed-shape test above."""
+        from openmeasure_tpu import CoKriging
+        rng = np.random.default_rng(7)
+        for trial in range(4):
+            nf = int(rng.integers(1, 4))
+            nc_hf = int(rng.integers(15, 50))
+            nc_lf = int(rng.integers(10, 40))
+            n_l = int(rng.integers(4, 9))
+            n_u = int(rng.integers(3, 10))
+            d = int(rng.integers(1, 4))
+            args = (rng.random((n_l, d)), rng.random((n_u, d)),
+                    rng.random((nf * nc_lf, n_l)) + 0.5,
+                    rng.random((nf * nc_lf, n_u)) + 0.5,
+                    rng.random((nf * nc_hf, n_l)) + 0.5,
+                    rng.random((nc_lf, 3)), rng.random((nc_hf, 3)), nf)
+            kw = (dict(select_modes="number",
+                       n_modes_hf=int(rng.integers(2, min(n_l, 5))),
+                       n_modes_lf=int(rng.integers(2, min(n_l + n_u, 6))))
+                  if trial % 2 else
+                  dict(select_modes="variance", n_modes_hf=99,
+                       n_modes_lf=99))
+            ref = refck.CoKriging(*args)
+            ours = CoKriging(*args)
+            ref.manifold_alignment(**kw)
+            ours.manifold_alignment(**kw)
+            assert ours.n_latent == ref.n_latent, (trial, kw)
+            assert (ours.r_hf, ours.r_lf) == (ref.r_hf, ref.r_lf)
+            Zh_o, Zh_r = np.asarray(ours.Zr_hf), np.asarray(ref.Zr_hf)
+            Za_o = np.asarray(ours.Zr_aligned)
+            Za_r = np.asarray(ref.Zr_aligned)
+            for k in range(ref.n_latent):
+                sgn = np.sign(np.dot(Zh_o[k], Zh_r[k]))
+                np.testing.assert_allclose(sgn * Zh_o[k], Zh_r[k],
+                                           rtol=1e-7, atol=1e-9)
+                np.testing.assert_allclose(sgn * Za_o[k], Za_r[k],
+                                           rtol=1e-7, atol=1e-9)
+
     def test_manifold_alignment_matches(self, refck, ckdata):
         from openmeasure_tpu import CoKriging
         ref = refck.CoKriging(*ckdata)
