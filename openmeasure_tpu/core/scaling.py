@@ -27,7 +27,7 @@ None)``) and the only shape-safe interpretation.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ or a plain ``(n_cells, 3)`` coordinate array as the source mesh.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple, Union
+from typing import Sequence, Tuple
 
 import numpy as np
 

@@ -15,7 +15,6 @@ and benchmarks run hermetically).
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import numpy as np
 

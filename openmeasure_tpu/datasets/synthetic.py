@@ -16,7 +16,6 @@ the per-feature scaling paths are exercised.
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import numpy as np
 

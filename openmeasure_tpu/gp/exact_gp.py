@@ -11,7 +11,6 @@ freezing, instead of a serial Python loop (``gpr.py:497-509``).
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Callable, Dict, NamedTuple, Optional, Tuple
 

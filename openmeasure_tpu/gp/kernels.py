@@ -16,7 +16,7 @@ with raw parameters initialized to 0 (so lengthscale ≈ 0.6931, noise ≈
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

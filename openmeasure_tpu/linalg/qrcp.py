@@ -48,7 +48,6 @@ panel fits on-chip; the manually-streamed double-buffered kernel
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,6 @@ masked where; all full-width VPU ops.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import numpy as np
 import jax

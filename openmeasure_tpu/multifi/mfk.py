@@ -32,7 +32,7 @@ Everything device-side except the tiny hyperparameter search loop.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 import jax

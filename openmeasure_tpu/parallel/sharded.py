@@ -21,7 +21,6 @@ Layout note: X is kept as ``(n_features, n_points, m)`` blocks sharded on
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import numpy as np
 import jax

@@ -19,7 +19,7 @@ Sigma_r, r``.  Attributes are JAX arrays; they interoperate with numpy
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 import jax

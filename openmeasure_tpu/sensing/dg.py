@@ -18,7 +18,6 @@ ANY sensor budget:
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import numpy as np
 import jax

@@ -29,7 +29,6 @@ reference's global-vs-masked indexing bug.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import numpy as np
 import jax

@@ -28,7 +28,6 @@ measurements therefore dominate the weighted solve rather than breaking it.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Union
 
 import numpy as np
 import jax

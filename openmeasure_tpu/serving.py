@@ -21,7 +21,7 @@ at batch 1 / 10 / 50.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax
