@@ -161,7 +161,6 @@ def _multistart_opt_batch(starts: jax.Array, X, F_batch, Y, lo, hi,
     def run_one(lt0, F, y):
         nll = lambda lt: _level_nll(lt, X, F, y)
         vg = jax.value_and_grad(nll)
-        hess = jax.hessian(nll)
         d = lt0.shape[0]
         eye = jnp.eye(d, dtype=lt0.dtype)
         f0 = nll(lt0)
@@ -170,10 +169,17 @@ def _multistart_opt_batch(starts: jax.Array, X, F_batch, Y, lo, hi,
             _, _, _, _, _, done, j = carry
             return jnp.logical_and(j < n_steps, jnp.logical_not(done))
 
+        def g_with_aux(lt_):
+            fv_, g_ = vg(lt_)
+            return g_, (fv_, g_)
+
         def body(carry):
             lt, lam, f, best_lt, best_f, done, j = carry
-            fv, g = vg(lt)
-            H = hess(lt)
+            # one forward-over-reverse pass yields (f, g, H) together —
+            # jacfwd over the gradient costs the same d forward passes as
+            # jax.hessian but the aux returns value+gradient for free,
+            # saving the separate value_and_grad evaluation per step
+            H, (fv, g) = jax.jacfwd(g_with_aux, has_aux=True)(lt)
             step = jnp.linalg.solve(H + lam * eye, -g)
             cand = jnp.clip(lt + step, lo, hi)
             f_new = nll(cand)
