@@ -577,4 +577,25 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:
+        # The tunneled TPU backend occasionally reports a transient
+        # UNAVAILABLE during init (and jax caches the failed backend for the
+        # life of the process) — re-exec a fresh process a couple of times
+        # before giving up so a flaky window doesn't record a bogus failure.
+        import os
+        import sys
+
+        msg = repr(e)
+        transient = ("UNAVAILABLE" in msg
+                     or "Unable to initialize backend" in msg
+                     or "DEADLINE_EXCEEDED" in msg)
+        attempt = int(os.environ.get("OMTPU_BENCH_ATTEMPT", "0"))
+        if transient and attempt < 2:
+            os.environ["OMTPU_BENCH_ATTEMPT"] = str(attempt + 1)
+            print(f"bench: transient backend failure, retrying "
+                  f"(attempt {attempt + 2}/3): {msg[:200]}", file=sys.stderr)
+            time.sleep(60)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise
