@@ -545,6 +545,30 @@ def main():
                                           d_min=0.05))
                 for _ in range(3))
 
+    # Device-time row (CLAUDE.md slope convention): the wall row above
+    # includes the ~27-55 ms tunnel round-trip of the fused host readback,
+    # which is real user latency here but not the selection's device cost.
+    from openmeasure_tpu.sensing.gem import _gem_select_jit
+    mask_g = jnp.ones((ng,), bool)
+    dmin_g = jnp.asarray(0.05, jnp.float32)
+
+    @jax.jit
+    def bench_loop_gem(Ur0, k):
+        def body(i, acc):
+            # acc-dependent perturbation (underflows to +0 in fp32, so the
+            # selection is bit-identical) serializes iterations / defeats CSE
+            sel, step_scores, _, _ = _gem_select_jit(
+                Ur0 * (1.0 + acc * 1e-30), xyz_g32, mask_g, dmin_g, 10)
+            return (jnp.sum(step_scores)
+                    + jnp.sum(sel).astype(jnp.float32)) * 1e-12
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    # K=200 like the CTC row: the selection is ~0.1-1 ms/iter on device, so
+    # K=8 left the K-vs-2K difference inside the 27-55 ms round-trip drift
+    # (median went negative → clamped → printed 0.0)
+    t_gem_dev = slope_per_iter(
+        lambda k: float(bench_loop_gem(Ur_g32, k)), 200, reps=3)
+
     print(json.dumps({
         "metric": "SPR end-to-end (POD fit + QRCP placement + gappy-POD "
                   "reconstruction, 165258x41 flame, r=14)",
@@ -569,6 +593,7 @@ def main():
             "ctc_trace_4096rays_32cube_s": round(t_ctc, 8),
             "ctc_project_wall_s": round(t_proj, 6),
             "gem_placement_20k_10sensors_s": round(t_gem, 6),
+            "gem_device_20k_10sensors_s": round(t_gem_dev, 8),
             "reference_gem_cpu_s": round(ref_gem_time, 6),
             "gem_vs_baseline": round(ref_gem_time / t_gem, 3),
             "device": str(jax.devices()[0]),
