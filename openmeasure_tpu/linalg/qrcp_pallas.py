@@ -241,7 +241,7 @@ def qrcp_pivots_streamed(A: jax.Array, k: int,
     pivots = pl.pallas_call(
         functools.partial(_qrcp_streamed_kernel, k=k, n=n, bn=bn, nb=nb),
         out_shape=jax.ShapeDtypeStruct((k,), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         scratch_shapes=[
             pltpu.VMEM((2, r_pad, bn), A.dtype),    # block double-buffer
