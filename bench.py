@@ -522,7 +522,8 @@ def main():
     # builds); ours is ONE jitted fixed-shape program.  Both sides select
     # from the SAME f64 basis (selection-algorithm timing only; ~244 s at
     # full 165k-row flame scale for the reference op set — measured at 20k
-    # to keep bench bounded; our full-scale warm time is 1.15 s wall) ---
+    # to keep bench bounded; our full-scale warm time is 66 ms wall /
+    # 1.45 ms device slope with a device-resident basis) ---
     from openmeasure_tpu.sensing.gem import gem_select
     data_gem = make_flame_dataset(n_cells=2223)        # 20,007 rows
     Xg = np.asarray(data_gem["X_train"], np.float64)
@@ -569,6 +570,45 @@ def main():
     t_gem_dev = slope_per_iter(
         lambda k: float(bench_loop_gem(Ur_g32, k)), 200, reps=3)
 
+    # --- Serving (production path): the packaged CONSTRAINED soft sensor
+    # on the flagship flame model — COLS with physical per-feature limits,
+    # fixed 300-iteration ADMM budget, batch-50 frame stream (the
+    # README/serving.md headline workflow).  Chained-slope per-frame device
+    # time; the eager fit/placement/train here is the user packaging path.
+    from openmeasure_tpu import SPR as _SPR
+    from openmeasure_tpu.serving import SoftSensor, _predict_many
+    spr_srv = _SPR(np.asarray(X_train64, np.float32), n_features,
+                   data["xyz"])
+    spr_srv.fit(select_modes="number", n_modes=R)
+    C_srv = np.asarray(spr_srv.optimal_placement())
+    npts_srv = X_train64.shape[0] // n_features
+    Xb = X_train64.reshape(n_features, npts_srv, -1)
+    f_lo, f_hi = Xb.min(axis=(1, 2)), Xb.max(axis=(1, 2))
+    pad_f = 0.05 * (f_hi - f_lo)
+    spr_srv.train(C_srv, method="COLS",
+                  limits=[f_lo - pad_f, f_hi + pad_f])
+    sensor = SoftSensor.from_spr(spr_srv)
+    rows_srv = np.argmax(C_srv, axis=1)
+    frames = np.asarray(X_test64, np.float32)[rows_srv]      # (s, 4)
+    Yb = jnp.asarray(np.tile(frames.T, (13, 1))[:50], jnp.float32)
+    Sb = jnp.zeros_like(Yb)
+    state_srv = sensor._state
+
+    @jax.jit
+    def bench_loop_srv(Y, k):
+        def body(i, acc):
+            x, a, a_sig = _predict_many(
+                state_srv, Y + acc * 1e-30, Sb, method="COLS",
+                admm_iters=sensor.admm_iters,
+                over_relax=sensor.admm_over_relax)
+            # all three outputs live (full predict_full contract)
+            return (jnp.sum(x[:, :: 4096]) + jnp.sum(a)
+                    + jnp.sum(a_sig)) * jnp.float32(1e-12)
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    t_srv_frame = slope_per_iter(
+        lambda k: float(bench_loop_srv(Yb, k)), 20, reps=3) / 50.0
+
     print(json.dumps({
         "metric": "SPR end-to-end (POD fit + QRCP placement + gappy-POD "
                   "reconstruction, 165258x41 flame, r=14)",
@@ -594,6 +634,7 @@ def main():
             "ctc_project_wall_s": round(t_proj, 6),
             "gem_placement_20k_10sensors_s": round(t_gem, 6),
             "gem_device_20k_10sensors_s": round(t_gem_dev, 8),
+            "serving_cols_batch50_per_frame_s": round(t_srv_frame, 8),
             "reference_gem_cpu_s": round(ref_gem_time, 6),
             "gem_vs_baseline": round(ref_gem_time / t_gem, 3),
             "device": str(jax.devices()[0]),
