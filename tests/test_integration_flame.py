@@ -108,6 +108,60 @@ class TestGPRFlame:
         assert T.min() >= 200.0 - 1e-2 and T.max() <= 3000.0 + 1e-2
 
 
+class TestPipelineEagerParity:
+    """The benchmarked fast paths (`pipelines.*_end_to_end`, one XLA program
+    each) must agree with the conformance-tested eager class API on the same
+    data — reconstruction-level comparison (sign-invariant: the pipeline
+    skips per-mode SVD sign canonicalization, which flips Vr and A
+    consistently but leaves every reconstruction identical)."""
+
+    def test_spr_pipeline_matches_eager(self, flame):
+        import jax.numpy as jnp
+        from openmeasure_tpu.pipelines import spr_end_to_end
+
+        spr = SPR(flame["X_train"], flame["n_features"], flame["xyz"])
+        spr.fit(select_modes="number", n_modes=14)
+        C = np.asarray(spr.optimal_placement())
+        spr.train(C)
+        n_cells = flame["xyz"].shape[0]
+        ys = []
+        for j in range(4):
+            y = np.zeros((14, 3))
+            y[:, 0] = C @ flame["X_test"][:, j]
+            y[:, 2] = np.argmax(C, axis=1) // n_cells
+            ys.append(y)
+        a, _ = spr.predict(ys)
+        X_eager = np.asarray(spr.reconstruct(a))
+
+        res = spr_end_to_end(jnp.asarray(flame["X_train"]),
+                             jnp.asarray(flame["X_test"]),
+                             n_features=9, r=14)
+        assert np.array_equal(np.sort(np.asarray(res.pivots)),
+                              np.sort(np.argmax(C, axis=1)))
+        scale = float(np.max(np.abs(X_eager)))
+        assert np.allclose(np.asarray(res.X_rec), X_eager,
+                           atol=1e-8 * scale)
+
+    def test_gpr_pipeline_matches_eager(self, flame):
+        import jax.numpy as jnp
+        from openmeasure_tpu.pipelines import gpr_end_to_end
+
+        gpr = GPR(flame["X_train"], flame["n_features"], flame["xyz"],
+                  flame["P_train"])                     # SingleTask default
+        gpr.fit(select_modes="number", n_modes=8)
+        gpr.train(max_iter=300)
+        A, _ = gpr.predict(flame["P_test"])
+        X_eager = np.asarray(gpr.reconstruct(A))
+
+        res = gpr_end_to_end(
+            jnp.asarray(flame["X_train"]), jnp.asarray(flame["P_train"]),
+            jnp.asarray(flame["P_test"]), jnp.asarray(flame["X_test"]),
+            n_features=9, r=8, max_iter=300)
+        scale = float(np.max(np.abs(X_eager)))
+        assert np.allclose(np.asarray(res.X_rec), X_eager,
+                           atol=1e-6 * scale)
+
+
 class TestJittedGPRPipeline:
     def test_gpr_end_to_end_single_program(self, flame):
         import jax.numpy as jnp
