@@ -17,9 +17,20 @@ Model (levels l = 0 … L−1, lowest fidelity first):
 with Z_l ~ GP(0, σ_l² r_θl), r_θ(d) = exp(−Σ_k θ_k d_k²) (squared
 exponential, per-dimension θ — the openmdao correlation).  Per level the
 regression coefficients solve by GLS, σ² in closed form, and θ maximizes the
-concentrated log-likelihood  −(n·log σ̂² + log det R)  via multistart L-BFGS-B
-in log10(θ) with JAX gradients (openmdao uses gradient-free COBYLA; the
-objective is identical, the optimizer is better).
+concentrated log-likelihood  −(n·log σ̂² + log det R)  via a vmapped
+multistart damped-Newton loop in log10(θ) (openmdao uses gradient-free
+COBYLA; the objective is identical, the optimizer is better — see
+``_multistart_opt_batch``).
+
+Measured dead end (damping-schedule tuning, bench CK workload, 40 lanes):
+the λ schedule (×0.5 accept / ×4 reject, λ0=1e-2) was compared against
+×0.25/×4, ×0.2/×5, a gain-ratio LM rule (shrink only at ρ>0.75), and
+λ0=1e-3 variants — worst-lane step counts moved 35↔47 with no robust
+winner (the vmapped loop is gated by the worst lane) and identical
+best-NLL quality (Δ ≤ 0.03 on −400).  The θ search is the CK row's cost
+(~90 sequential Newton steps ≈ 0.2 ms each); cutting it further needs
+fewer sequential steps, not cheaper ones, and no damping schedule
+delivers that.
 
 Prediction is the standard recursive form:
     m_l(x) = ρ(x) m_{l-1}(x) + f̃_l(x)ᵀ β_l + r_l(x)ᵀ γ_l
