@@ -28,6 +28,46 @@ import jax
 import jax.numpy as jnp
 
 
+def shard_state_rows(state, mesh, axis_name: str = "state",
+                     row_keys=("Ur", "X_cnt", "X_scl", "A_c", "lo", "hi")):
+    """Row-shard a serving-state pytree over one mesh axis (multi-chip
+    serving).
+
+    Every array named in ``row_keys`` whose leading dimension is divisible
+    by the mesh axis size is sharded along that dimension (the state
+    dimension n — the tall axis of ``Ur`` and the constraint set); every
+    other leaf is committed replicated to the same mesh.  Because the
+    serving kernels take state as a pytree ARGUMENT, jitting them with a
+    sharded state compiles an SPMD program: the (n, r) reconstruct and the
+    per-iteration COLS/MAP constraint products run shard-local with only
+    (r,)-sized cross-chip reductions — the same layout as
+    ``parallel.sharded`` uses for training (SURVEY §5).
+
+    The constraint rows ("A_c"/"lo"/"hi") fall back to replicated when not
+    divisible (e.g. boundary-condition pins appended to the n physical
+    rows); correctness is unaffected either way — sharding is a layout
+    choice, and the parity tests assert sharded == single-device.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    size = mesh.shape[axis_name]
+
+    def put_rep(x):
+        if hasattr(x, "ndim"):
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        return x
+
+    out = {}
+    for k, v in state.items():
+        if (k in row_keys and hasattr(v, "ndim") and v.ndim >= 1
+                and v.shape[0] % size == 0):
+            spec = P(axis_name, *([None] * (v.ndim - 1)))
+            out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+        else:
+            out[k] = jax.tree_util.tree_map(put_rep, v)
+    return out
+
+
 def _predict_math(state, y_values, y_sigma, method, admm_iters, over_relax):
     """The full single-request math: scaling → weighted QR(+refinement)
     solve → optional COLS ADMM → reconstruct+unscale.
@@ -335,6 +375,29 @@ class SoftSensor:
                           jnp.zeros((self.s,), self.Ur.dtype)))
         return self
 
+    def shard(self, mesh, axis_name: str = "state") -> "SoftSensor":
+        """Multi-chip serving: return a copy whose n-row state (Ur, the
+        unscaling vectors, and the COLS constraint set) is row-sharded over
+        ``mesh``'s ``axis_name`` axis (see :func:`shard_state_rows`).
+        Predictions are identical to the single-device sensor (parity
+        tested); the reconstruct and ADMM constraint products run
+        shard-local."""
+        import copy
+        new = copy.copy(self)
+        new._state = shard_state_rows(self._state, mesh, axis_name)
+        new.Ur = new._state["Ur"]
+        new.X_cnt, new.X_scl = new._state["X_cnt"], new._state["X_scl"]
+        if self.method == "COLS":
+            new._A_c, new._lo, new._hi = (new._state["A_c"],
+                                          new._state["lo"],
+                                          new._state["hi"])
+        kw = dict(method=self.method, admm_iters=self.admm_iters,
+                  over_relax=self.admm_over_relax)
+        new._predict = functools.partial(_predict_one, new._state, **kw)
+        new._predict_batch = functools.partial(_predict_many, new._state,
+                                               **kw)
+        return new
+
 
 # ---------------------------------------------------------------------- #
 # GPR serving: parameter -> field
@@ -532,6 +595,15 @@ class GPRSensor:
             self(jnp.zeros((batch, self.d), self._state["Ur"].dtype)))
         return self
 
+    def shard(self, mesh, axis_name: str = "state") -> "GPRSensor":
+        """Multi-chip serving: copy with the n-row state (Ur, unscaling
+        vectors, constrained-MAP constraint set) row-sharded over ``mesh``
+        (see :func:`shard_state_rows`); parity-tested vs single-device."""
+        import copy
+        new = copy.copy(self)
+        new._state = shard_state_rows(self._state, mesh, axis_name)
+        return new
+
 
 # ---------------------------------------------------------------------- #
 # CoKriging serving: multifidelity parameters -> HF field
@@ -624,3 +696,13 @@ class CoKrigingSensor:
             lambda x: x.block_until_ready(),
             self(np.zeros((batch, self.d))))
         return self
+
+    def shard(self, mesh, axis_name: str = "state") -> "CoKrigingSensor":
+        """Multi-chip serving: copy with the n-row HF state (Ur_hf and the
+        unscaling vectors) row-sharded over ``mesh`` (see
+        :func:`shard_state_rows`) — the (n, q) HF projection runs
+        shard-local; the latent-space posterior (tiny) is replicated."""
+        import copy
+        new = copy.copy(self)
+        new._state = shard_state_rows(self._state, mesh, axis_name)
+        return new

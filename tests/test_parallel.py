@@ -217,3 +217,123 @@ def test_sharded_mfk_matches_single_device(mesh):
     np.testing.assert_allclose(np.asarray(res_s.mse),
                                np.asarray(res_1.mse), rtol=1e-2,
                                atol=1e-5 * np.abs(res_1.mse).max())
+
+
+class TestShardedServing:
+    """Multi-chip serving: `sensor.shard(mesh)` row-shards the n-row state
+    (serving.shard_state_rows) and must reproduce the single-device sensor
+    exactly up to per-device reduction reassociation."""
+
+    def _flame_spr(self, method="OLS"):
+        from openmeasure_tpu import SPR
+        from openmeasure_tpu.datasets.synthetic import make_flame_dataset
+        data = make_flame_dataset(n_cells=40)          # n = 360, 360 % 4 == 0
+        spr = SPR(data["X_train"].astype(np.float32), data["n_features"],
+                  data["xyz"])
+        spr.fit(select_modes="number", n_modes=6)
+        C = np.asarray(spr.optimal_placement())
+        if method == "COLS":
+            npts = data["xyz"].shape[0]
+            Xb = data["X_train"].reshape(data["n_features"], npts, -1)
+            lo = Xb.min(axis=(1, 2)) - 0.1
+            hi = Xb.max(axis=(1, 2)) + 0.1
+            spr.train(C, method="COLS", limits=[lo, hi])
+        else:
+            spr.train(C)
+        return spr, C, data
+
+    def test_softsensor_ols_and_weighted(self, mesh):
+        from jax.sharding import PartitionSpec as P
+        from openmeasure_tpu.serving import SoftSensor
+        spr, C, data = self._flame_spr("OLS")
+        sensor = SoftSensor.from_spr(spr)
+        ssens = sensor.shard(mesh)
+        assert ssens._state["Ur"].sharding.spec == P("state", None)
+
+        rows = np.argmax(C, axis=1)
+        Y = np.asarray(data["X_test"], np.float32)[rows].T       # (4, s)
+        S = 0.05 * np.abs(Y) + 0.01
+        for sig in (None, S):
+            f1, a1, s1 = sensor.predict_batch(Y, sig)
+            f2, a2, s2 = ssens.predict_batch(Y, sig)
+            scale = float(np.abs(np.asarray(f1)).max())
+            np.testing.assert_allclose(np.asarray(f2), np.asarray(f1),
+                                       atol=1e-5 * scale)
+            np.testing.assert_allclose(np.asarray(a2), np.asarray(a1),
+                                       rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(s2), np.asarray(s1),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_softsensor_cols(self, mesh):
+        from jax.sharding import PartitionSpec as P
+        from openmeasure_tpu.serving import SoftSensor
+        spr, C, data = self._flame_spr("COLS")
+        sensor = SoftSensor.from_spr(spr)
+        ssens = sensor.shard(mesh)
+        assert ssens._state["A_c"].sharding.spec == P("state", None)
+
+        rows = np.argmax(C, axis=1)
+        Y = np.asarray(data["X_test"], np.float32)[rows].T
+        f1, _, _ = sensor.predict_batch(Y)
+        f2, _, _ = ssens.predict_batch(Y)
+        scale = float(np.abs(np.asarray(f1)).max())
+        np.testing.assert_allclose(np.asarray(f2), np.asarray(f1),
+                                   atol=1e-5 * scale)
+
+    def test_gprsensor_constrained(self, mesh):
+        from openmeasure_tpu import GPR
+        from openmeasure_tpu.datasets.synthetic import make_flame_dataset
+        from openmeasure_tpu.serving import GPRSensor
+        data = make_flame_dataset(n_cells=40)
+        gpr = GPR(data["X_train"], data["n_features"], data["xyz"],
+                  data["P_train"], gpr_type="MultiTask")
+        gpr.fit(select_modes="number", n_modes=4)
+        gpr.train(max_iter=100)
+        npts = data["xyz"].shape[0]
+        Xb = data["X_train"].reshape(data["n_features"], npts, -1)
+        lo = Xb.min(axis=(1, 2)) - 0.5
+        hi = Xb.max(axis=(1, 2)) + 0.5
+        sensor = GPRSensor.from_gpr(gpr, limits=[lo, hi])
+        ssens = sensor.shard(mesh)
+
+        P_test = np.asarray(data["P_test"], float)
+        f1, _, s1 = sensor(P_test)
+        f2, _, s2 = ssens(P_test)
+        scale = float(np.abs(np.asarray(f1)).max())
+        np.testing.assert_allclose(np.asarray(f2), np.asarray(f1),
+                                   atol=1e-5 * scale)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s1),
+                                   rtol=1e-4, atol=1e-6 * scale)
+
+    def test_cokriging_sensor(self, mesh):
+        from openmeasure_tpu import CoKriging
+        from openmeasure_tpu.serving import CoKrigingSensor
+        rng = np.random.default_rng(3)
+        nf, nc_hf, nc_lf = 2, 32, 24                   # n_hf = 64, 64 % 4 == 0
+        X_l, X_u = rng.random((6, 2)), rng.random((8, 2))
+        xyz_hf, xyz_lf = rng.random((nc_hf, 3)), rng.random((nc_lf, 3))
+
+        def field(xyz, Pm):
+            return np.stack([np.sin(3 * xyz[:, 0] * (1 + p[0]))
+                             + p[1] * xyz[:, 1] for p in Pm], axis=1)
+
+        Y_hf_l = np.concatenate([field(xyz_hf, X_l),
+                                 0.5 * field(xyz_hf, X_l)], axis=0)
+        Y_lf_l = np.concatenate([field(xyz_lf, X_l) + 0.1,
+                                 0.5 * field(xyz_lf, X_l)], axis=0)
+        Y_lf_u = np.concatenate([field(xyz_lf, X_u) + 0.1,
+                                 0.5 * field(xyz_lf, X_u)], axis=0)
+        ck = CoKriging(X_l, X_u, Y_lf_l, Y_lf_u, Y_hf_l, xyz_lf, xyz_hf, nf)
+        ck.manifold_alignment(select_modes="number", n_modes_hf=3,
+                              n_modes_lf=3)
+        ck.fit()
+        sensor = CoKrigingSensor.from_cokriging(ck)
+        ssens = sensor.shard(mesh)
+        X_test = rng.random((4, 2))
+        Yp1, Ym1 = sensor(X_test)
+        Yp2, Ym2 = ssens(X_test)
+        scale = float(np.abs(np.asarray(Yp1)).max())
+        np.testing.assert_allclose(np.asarray(Yp2), np.asarray(Yp1),
+                                   atol=1e-6 * scale)
+        np.testing.assert_allclose(np.asarray(Ym2), np.asarray(Ym1),
+                                   rtol=1e-5, atol=1e-6 * scale)
