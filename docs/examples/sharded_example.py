@@ -68,4 +68,23 @@ rng = np.random.default_rng(0)
 Vr = jnp.asarray(rng.standard_normal((41, R)).astype(np.float32))
 res = sharded.sharded_gpr_train(mesh, P0, Vr, max_iter=60)
 print("per-mode GP iterations:", np.asarray(res.iterations).tolist())
+
+# ---- multi-chip SERVING: shard a packaged soft sensor over the mesh -----
+from openmeasure_tpu import SPR
+from openmeasure_tpu.serving import SoftSensor
+
+spr = SPR(X, 9, data["xyz"])
+spr.fit(select_modes="number", n_modes=R)
+C = np.asarray(spr.optimal_placement())
+spr.train(C)
+sensor = SoftSensor.from_spr(spr)
+sharded_sensor = sensor.shard(mesh)            # row-sharded state, SPMD
+rows = np.argmax(C, axis=1)
+Y = np.asarray(Xt, np.float32)[rows].T         # (4 frames, s)
+fields, A, sig = sharded_sensor.predict_batch(Y)
+f_single, _, _ = sensor.predict_batch(Y)
+dev = float(np.max(np.abs(np.asarray(fields) - np.asarray(f_single))))
+print(f"sharded serving field sharding: {fields.sharding.spec}; "
+      f"max |sharded - single| = {dev:.2e}")
+assert dev <= 1e-4 * float(np.max(np.abs(np.asarray(f_single))))
 print("OK")
