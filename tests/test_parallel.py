@@ -337,3 +337,34 @@ class TestShardedServing:
                                    atol=1e-6 * scale)
         np.testing.assert_allclose(np.asarray(Ym2), np.asarray(Ym1),
                                    rtol=1e-5, atol=1e-6 * scale)
+
+    def test_gprsensor_bc_pins_nondivisible_constraints_replicate(self, mesh):
+        """Appended bc pins make the constraint row count non-divisible by
+        the state axis: shard() must fall back to a REPLICATED constraint
+        set (layout only) and still match the single-device sensor."""
+        from jax.sharding import PartitionSpec as P
+        from openmeasure_tpu import GPR
+        from openmeasure_tpu.datasets.synthetic import make_flame_dataset
+        from openmeasure_tpu.serving import GPRSensor
+        data = make_flame_dataset(n_cells=40)
+        gpr = GPR(data["X_train"], data["n_features"], data["xyz"],
+                  data["P_train"], gpr_type="MultiTask")
+        gpr.fit(select_modes="number", n_modes=4)
+        gpr.train(max_iter=100)
+        npts = data["xyz"].shape[0]
+        Xb = data["X_train"].reshape(data["n_features"], npts, -1)
+        lo = Xb.min(axis=(1, 2)) - 0.5
+        hi = Xb.max(axis=(1, 2)) + 0.5
+        rows = np.array([0, 1, 2])                 # 360 + 3 = 363, 363 % 4 != 0
+        vals = data["X_train"][rows, 0]
+        sensor = GPRSensor.from_gpr(gpr, limits=[lo, hi], bc=(rows, vals))
+        ssens = sensor.shard(mesh)
+        assert ssens._state["Ur"].sharding.spec == P("state", None)
+        assert ssens._state["A_c"].sharding.spec == P()        # replicated
+
+        P_test = np.asarray(data["P_test"], float)
+        f1, _, _ = sensor(P_test)
+        f2, _, _ = ssens(P_test)
+        scale = float(np.abs(np.asarray(f1)).max())
+        np.testing.assert_allclose(np.asarray(f2), np.asarray(f1),
+                                   atol=1e-5 * scale)
