@@ -742,6 +742,39 @@ class TestGPRSensor:
         np.testing.assert_allclose(np.asarray(fields), X_ref.T,
                                    rtol=1e-8, atol=1e-10)
 
+    def test_pigpr_serves_through_gprsensor(self):
+        """The physics-informed family packages through the same sensor:
+        a trained PIGPR IS a MultiTask GPR at serving time (the added loss
+        only shapes training), so from_gpr must reproduce its eager
+        predict+reconstruct."""
+        import numpy as np
+        import jax.numpy as jnp
+        from openmeasure_tpu import PIGPR
+        from openmeasure_tpu.serving import GPRSensor
+        rng = np.random.default_rng(11)
+        X = rng.random((30, 8))
+        P = np.linspace(0, 1, 8)[:, None] + 0.01 * rng.random((8, 1))
+        P_cstr = np.array([[0.5]])
+        n_train = P.shape[0]
+
+        def added_loss(ctx):
+            V = ctx["output"].mean[n_train:]
+            return -0.1 * jnp.mean(V ** 2)
+
+        pig = PIGPR(X, 2, rng.random((15, 3)), P, P_cstr, added_loss)
+        pig.fit(select_modes="number", n_modes=3)
+        pig.train(max_iter=60)
+
+        P_star = np.array([[0.25], [0.8]])
+        A_ref, _ = pig.predict(P_star)
+        X_ref = np.asarray(pig.reconstruct(A_ref))
+        sensor = GPRSensor.from_gpr(pig)
+        fields, A, _ = sensor(P_star)
+        np.testing.assert_allclose(np.asarray(A), np.asarray(A_ref),
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(fields), X_ref.T,
+                                   rtol=1e-8, atol=1e-10)
+
     def test_same_shape_models_share_compilation(self):
         import numpy as np
         from openmeasure_tpu import serving as S
