@@ -50,7 +50,7 @@ Documented deviations (SURVEY §4 convention):
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Optional
 
 import numpy as np
 import jax

@@ -31,7 +31,6 @@ import jax.numpy as jnp
 
 from .core import scaling as _scaling
 from .linalg import svd as _svd
-from .linalg import qrcp as _qrcp
 from .linalg import qrcp_pallas as _qrcp_pl
 
 

@@ -14,7 +14,6 @@ class name + field dict (nested specs like ScaleKernel recurse).
 from __future__ import annotations
 
 import dataclasses
-import io
 import json
 from typing import Any, Dict, Optional
 
