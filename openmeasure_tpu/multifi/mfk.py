@@ -250,6 +250,13 @@ def _multistart_opt_batch(starts: jax.Array, X, F_batch, Y, lo, hi,
     nll_grid = jax.vmap(lambda F, y: jax.vmap(
         lambda lt: _level_nll(lt, X, F, y))(cand))(F_batch, Y)   # (K, C)
     nll_grid = jnp.where(jnp.isnan(nll_grid), jnp.inf, nll_grid)
+    # the caller's FIRST start (the θ0 the user may have supplied, openmdao
+    # contract) is always retained — screening only chooses the other S−1
+    # launch slots, so a warm-started fit still descends from its θ0 and
+    # the pre-screening result is reachable from slot 0.  Initial-NLL rank
+    # does not perfectly predict converged rank on a multimodal NLL, so
+    # dropping θ0 could silently change warm-start behavior.
+    nll_grid = nll_grid.at[:, 0].set(-jnp.inf)
     top = jnp.argsort(nll_grid, axis=1)[:, :S]                   # (K, S)
     starts_k = cand[top]                                         # (K, S, d)
 

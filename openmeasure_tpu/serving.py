@@ -33,24 +33,29 @@ def shard_state_rows(state, mesh, axis_name: str = "state",
     """Row-shard a serving-state pytree over one mesh axis (multi-chip
     serving).
 
-    Every array named in ``row_keys`` whose leading dimension is divisible
-    by the mesh axis size is sharded along that dimension (the state
-    dimension n — the tall axis of ``Ur`` and the constraint set); every
-    other leaf is committed replicated to the same mesh.  Because the
-    serving kernels take state as a pytree ARGUMENT, jitting them with a
-    sharded state compiles an SPMD program: the (n, r) reconstruct and the
-    per-iteration COLS/MAP constraint products run shard-local with only
-    (r,)-sized cross-chip reductions — the same layout as
-    ``parallel.sharded`` uses for training (SURVEY §5).
+    Every array named in ``row_keys`` is sharded along its leading
+    dimension (the state dimension n — the tall axis of ``Ur`` and the
+    constraint set); every other leaf is committed replicated to the same
+    mesh.  Because the serving kernels take state as a pytree ARGUMENT,
+    jitting them with a sharded state compiles an SPMD program: the (n, r)
+    reconstruct and the per-iteration COLS/MAP constraint products run
+    shard-local with only (r,)-sized cross-chip reductions — the same
+    layout as ``parallel.sharded`` uses for training (SURVEY §5).
 
-    The constraint rows ("A_c"/"lo"/"hi") fall back to replicated when not
-    divisible (e.g. boundary-condition pins appended to the n physical
-    rows); correctness is unaffected either way — sharding is a layout
-    choice, and the parity tests assert sharded == single-device.
+    Leading dims that are not divisible by the axis size (e.g. the
+    flagship n = 165,258 on a 4-chip axis, or constraint sets with
+    appended boundary-condition pins) are padded to the next multiple with
+    INERT rows — zero basis/constraint rows, unit scale, [0, 0] bounds —
+    before sharding (``jax.device_put`` requires divisibility).  The
+    padded rows produce extra (zero·scale + zero-center) field entries and
+    trivially-satisfied constraint rows; the sensors' ``shard()`` methods
+    slice every field output back to the original n, so results are
+    identical to the single-device sensor (parity-tested).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     size = mesh.shape[axis_name]
+    pad_value = {"X_scl": 1.0}
 
     def put_rep(x):
         if hasattr(x, "ndim"):
@@ -59,8 +64,13 @@ def shard_state_rows(state, mesh, axis_name: str = "state",
 
     out = {}
     for k, v in state.items():
-        if (k in row_keys and hasattr(v, "ndim") and v.ndim >= 1
-                and v.shape[0] % size == 0):
+        if k in row_keys and hasattr(v, "ndim") and v.ndim >= 1:
+            n0 = v.shape[0]
+            n_pad = -(-n0 // size) * size
+            if n_pad != n0:
+                widths = [(0, n_pad - n0)] + [(0, 0)] * (v.ndim - 1)
+                v = jnp.pad(v, widths,
+                            constant_values=pad_value.get(k, 0.0))
             spec = P(axis_name, *([None] * (v.ndim - 1)))
             out[k] = jax.device_put(v, NamedSharding(mesh, spec))
         else:
@@ -222,11 +232,26 @@ class SoftSensor:
         if method == "COLS":
             self._state.update(A_c=self._A_c, lo=self._lo, hi=self._hi,
                                AtA=self._AtA)
+        self._rebind_predicts()
+
+    def _rebind_predicts(self, n_serve=None) -> None:
+        """(Re)bind the compiled predict entry points to ``self._state`` —
+        the single wiring site shared by ``__init__`` and :meth:`shard`.
+        ``n_serve``: when the state was row-padded for sharding, slice the
+        reconstructed field back to this many rows."""
         kw = dict(method=self.method, admm_iters=self.admm_iters,
                   over_relax=self.admm_over_relax)
-        self._predict = functools.partial(_predict_one, self._state, **kw)
-        self._predict_batch = functools.partial(_predict_many, self._state,
-                                                **kw)
+        p1 = functools.partial(_predict_one, self._state, **kw)
+        pb = functools.partial(_predict_many, self._state, **kw)
+        if n_serve is not None and \
+                int(self._state["Ur"].shape[0]) != int(n_serve):
+            def _sliced(fn, n):
+                def wrapped(yv, ys):
+                    x, a, s = fn(yv, ys)
+                    return x[..., :n], a, s
+                return wrapped
+            p1, pb = _sliced(p1, int(n_serve)), _sliced(pb, int(n_serve))
+        self._predict, self._predict_batch = p1, pb
 
     # ------------------------------------------------------------------ #
 
@@ -378,10 +403,11 @@ class SoftSensor:
     def shard(self, mesh, axis_name: str = "state") -> "SoftSensor":
         """Multi-chip serving: return a copy whose n-row state (Ur, the
         unscaling vectors, and the COLS constraint set) is row-sharded over
-        ``mesh``'s ``axis_name`` axis (see :func:`shard_state_rows`).
-        Predictions are identical to the single-device sensor (parity
-        tested); the reconstruct and ADMM constraint products run
-        shard-local."""
+        ``mesh``'s ``axis_name`` axis — non-divisible row counts are padded
+        with inert rows and the field output sliced back (see
+        :func:`shard_state_rows`).  Predictions are identical to the
+        single-device sensor (parity tested); the reconstruct and ADMM
+        constraint products run shard-local."""
         import copy
         new = copy.copy(self)
         new._state = shard_state_rows(self._state, mesh, axis_name)
@@ -391,11 +417,7 @@ class SoftSensor:
             new._A_c, new._lo, new._hi = (new._state["A_c"],
                                           new._state["lo"],
                                           new._state["hi"])
-        kw = dict(method=self.method, admm_iters=self.admm_iters,
-                  over_relax=self.admm_over_relax)
-        new._predict = functools.partial(_predict_one, new._state, **kw)
-        new._predict_batch = functools.partial(_predict_many, new._state,
-                                               **kw)
+        new._rebind_predicts(n_serve=self.Ur.shape[0])
         return new
 
 
@@ -582,12 +604,15 @@ class GPRSensor:
         if P_star.shape[1] != self.d:
             raise ValueError(
                 f"P_star must be (batch, d={self.d}); got {P_star.shape}.")
-        return _gpr_predict_kernel(
+        fields, A, A_sigma = _gpr_predict_kernel(
             self._state, P_star, mean_spec=self.mean_spec,
             kernel_spec=self.kernel_spec,
             likelihood_spec=self.likelihood_spec, gpr_type=self.gpr_type,
             constrained=self.constrained, admm_iters=self.admm_iters,
             over_relax=self.admm_over_relax)
+        if fields.shape[1] != self.n:      # row-padded sharded state
+            fields = fields[:, :self.n]
+        return fields, A, A_sigma
 
     def warmup(self, batch: int = 1) -> "GPRSensor":
         _ = jax.tree_util.tree_map(
@@ -598,7 +623,9 @@ class GPRSensor:
     def shard(self, mesh, axis_name: str = "state") -> "GPRSensor":
         """Multi-chip serving: copy with the n-row state (Ur, unscaling
         vectors, constrained-MAP constraint set) row-sharded over ``mesh``
-        (see :func:`shard_state_rows`); parity-tested vs single-device."""
+        — non-divisible row counts are padded with inert rows and field
+        outputs sliced back (see :func:`shard_state_rows`); parity-tested
+        vs single-device."""
         import copy
         new = copy.copy(self)
         new._state = shard_state_rows(self._state, mesh, axis_name)
@@ -651,6 +678,7 @@ class CoKrigingSensor:
         self.n_levels = n_levels
         self._state = state
         self.d = int(state["X_mean"].shape[0])
+        self.n = int(state["Ur"].shape[0])
 
     @classmethod
     def from_cokriging(cls, ck) -> "CoKrigingSensor":
@@ -687,9 +715,12 @@ class CoKrigingSensor:
             raise ValueError(
                 f"X_test must be (q, d={self.d}); got {X_test.shape}.")
         X_test = jnp.asarray(X_test, self._state["X_mean"].dtype)
-        return _ck_predict_kernel(
+        Yp, Ym = _ck_predict_kernel(
             self._state, X_test, regr=self.regr, rho_regr=self.rho_regr,
             rho_cols_seq=self.rho_cols_seq, n_levels=self.n_levels)
+        if Yp.shape[0] != self.n:          # row-padded sharded state
+            Yp, Ym = Yp[:self.n], Ym[:self.n]
+        return Yp, Ym
 
     def warmup(self, batch: int = 1) -> "CoKrigingSensor":
         _ = jax.tree_util.tree_map(

@@ -338,10 +338,10 @@ class TestShardedServing:
         np.testing.assert_allclose(np.asarray(Ym2), np.asarray(Ym1),
                                    rtol=1e-5, atol=1e-6 * scale)
 
-    def test_gprsensor_bc_pins_nondivisible_constraints_replicate(self, mesh):
+    def test_gprsensor_bc_pins_nondivisible_constraints_pad(self, mesh):
         """Appended bc pins make the constraint row count non-divisible by
-        the state axis: shard() must fall back to a REPLICATED constraint
-        set (layout only) and still match the single-device sensor."""
+        the state axis: shard() must pad the constraint set with inert
+        rows, shard it, and still match the single-device sensor."""
         from jax.sharding import PartitionSpec as P
         from openmeasure_tpu import GPR
         from openmeasure_tpu.datasets.synthetic import make_flame_dataset
@@ -360,11 +360,57 @@ class TestShardedServing:
         sensor = GPRSensor.from_gpr(gpr, limits=[lo, hi], bc=(rows, vals))
         ssens = sensor.shard(mesh)
         assert ssens._state["Ur"].sharding.spec == P("state", None)
-        assert ssens._state["A_c"].sharding.spec == P()        # replicated
+        assert ssens._state["A_c"].sharding.spec == P("state", None)
+        n_c = sensor._state["A_c"].shape[0]                    # 363
+        assert ssens._state["A_c"].shape[0] == -(-n_c // 4) * 4  # padded
 
         P_test = np.asarray(data["P_test"], float)
         f1, _, _ = sensor(P_test)
         f2, _, _ = ssens(P_test)
         scale = float(np.abs(np.asarray(f1)).max())
+        # tolerance note: the inert padded row enters admm_box_qp's primal-
+        # residual normalization (‖·‖/√n_rows), shifting the ρ-adaptation
+        # trajectory — both runs are valid fixed-budget ADMM solves of the
+        # same QP, agreeing to ~2e-5 relative (measured), not bit-exactly.
+        np.testing.assert_allclose(np.asarray(f2), np.asarray(f1),
+                                   atol=1e-4 * scale)
+
+    def test_softsensor_nondivisible_n_pads_and_matches(self, mesh):
+        """The flagship case the padding exists for: n not divisible by the
+        state axis (n = 9·41 = 369, 369 % 4 = 1).  The state must pad+shard
+        and the (sliced) predictions must match the single-device sensor."""
+        from jax.sharding import PartitionSpec as P
+        from openmeasure_tpu import SPR
+        from openmeasure_tpu.datasets.synthetic import make_flame_dataset
+        from openmeasure_tpu.serving import SoftSensor
+        data = make_flame_dataset(n_cells=41)
+        spr = SPR(data["X_train"].astype(np.float32), data["n_features"],
+                  data["xyz"])
+        spr.fit(select_modes="number", n_modes=6)
+        C = np.asarray(spr.optimal_placement())
+        npts = data["xyz"].shape[0]
+        Xb = data["X_train"].reshape(data["n_features"], npts, -1)
+        lo = Xb.min(axis=(1, 2)) - 0.1
+        hi = Xb.max(axis=(1, 2)) + 0.1
+        spr.train(C, method="COLS", limits=[lo, hi])
+        sensor = SoftSensor.from_spr(spr)
+        ssens = sensor.shard(mesh)
+        n = 9 * 41
+        assert ssens._state["Ur"].shape[0] == -(-n // 4) * 4   # padded
+        assert ssens._state["Ur"].sharding.spec == P("state", None)
+
+        rows = np.argmax(C, axis=1)
+        Y = np.asarray(data["X_test"], np.float32)[rows].T
+        f1, a1, s1 = sensor.predict_batch(Y)
+        f2, a2, s2 = ssens.predict_batch(Y)
+        assert np.asarray(f2).shape == np.asarray(f1).shape    # sliced back
+        scale = float(np.abs(np.asarray(f1)).max())
         np.testing.assert_allclose(np.asarray(f2), np.asarray(f1),
                                    atol=1e-5 * scale)
+        np.testing.assert_allclose(np.asarray(a2), np.asarray(a1),
+                                   rtol=1e-4, atol=1e-5)
+        # single-request path slices too
+        x1 = np.asarray(sensor(Y[0]))
+        x2 = np.asarray(ssens(Y[0]))
+        assert x1.shape == x2.shape
+        np.testing.assert_allclose(x2, x1, atol=1e-5 * scale)
