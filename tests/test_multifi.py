@@ -469,3 +469,35 @@ class TestMFKPipeline:
                                    atol=1e-4 * np.abs(m_b).max())
         np.testing.assert_allclose(np.asarray(res.mse), s_b, rtol=1e-2,
                                    atol=1e-4 * np.abs(s_b).max())
+
+
+def test_start_screening_never_beats_theta0_descent():
+    """The θ-start screening (mfk._multistart_opt_batch) must RETAIN the
+    caller's first start (θ0, the openmdao warm-start contract): the
+    converged NLL of the returned θ can only be ≤ the converged NLL of a
+    pure θ0-only descent, because slot 0 always launches from θ0 and the
+    final argmin runs over all launched starts."""
+    import jax.numpy as jnp
+    from openmeasure_tpu.multifi import mfk as M
+
+    rng = np.random.default_rng(21)
+    n, d = 18, 2
+    X = jnp.asarray(rng.random((n, d)), jnp.float64)
+    F = jnp.ones((n, 1), jnp.float64)
+    y = jnp.asarray(np.sin(4 * np.asarray(X[:, 0]))
+                    + 0.3 * np.asarray(X[:, 1]), jnp.float64)
+    lo = jnp.asarray(np.log10(np.full(d, 1e-6)))
+    hi = jnp.asarray(np.log10(np.full(d, 100.0)))
+    theta0 = jnp.asarray(np.log10(np.full(d, 0.5)))
+
+    # multi-start (screened) vs the θ0-only run
+    starts = M._make_starts(np.full(d, 0.5), np.full(d, 1e-6),
+                            np.full(d, 100.0), 0.3)
+    lt_multi = M._multistart_opt(jnp.asarray(starts, jnp.float64),
+                                 X, F, y, lo, hi)
+    lt_solo = M._multistart_opt(theta0[None, :], X, F, y, lo, hi)
+
+    # _multistart_opt returns log10(θ) directly
+    f_multi = float(M._level_nll(jnp.asarray(lt_multi), X, F, y))
+    f_solo = float(M._level_nll(jnp.asarray(lt_solo), X, F, y))
+    assert f_multi <= f_solo + 1e-6, (f_multi, f_solo)
