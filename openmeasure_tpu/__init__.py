@@ -54,4 +54,8 @@ def __getattr__(name):
     if name == "CoKrigingSensor":
         from .serving import CoKrigingSensor
         return CoKrigingSensor
+    if name in ("StreamingROM", "StreamingSPR"):
+        from .streaming import StreamingROM, StreamingSPR
+        return {"StreamingROM": StreamingROM,
+                "StreamingSPR": StreamingSPR}[name]
     raise AttributeError(f"module 'openmeasure_tpu' has no attribute {name!r}")

@@ -8,6 +8,14 @@ system toolchain and loaded via ctypes (no pybind11 dependency):
 * ``raycast.cpp`` — uniform-grid-accelerated segment/cell-AABB intersection
   for unstructured meshes, OpenMP-parallel over rays (the VTK
   ``find_cells_intersecting_line`` replacement for non-voxel meshes).
+* ``npyloader.cpp`` — row-chunk .npy reader (single C-order matrix file, or
+  the reference's per-snapshot column-file layout gathered with an
+  OpenMP-parallel scatter transpose) feeding the out-of-core POD fit
+  (``openmeasure_tpu.streaming``); ctypes releases the GIL for the whole
+  read so a prefetch thread overlaps disk with device compute.
+
+Every entry point has a pure-numpy fallback in its caller, so a failed
+``g++`` build degrades performance, never functionality.
 """
 
 from __future__ import annotations
@@ -25,17 +33,20 @@ _LIB: Optional[ctypes.CDLL] = None
 _BUILD_FAILED = False
 
 
+_SOURCES = ("raycast.cpp", "npyloader.cpp")
+
+
 def _build() -> bool:
-    src = os.path.join(_HERE, "raycast.cpp")
+    srcs = [os.path.join(_HERE, s) for s in _SOURCES]
     cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-fopenmp",
-           "-o", _SO_PATH, src]
+           "-o", _SO_PATH] + srcs
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=240)
         return True
     except Exception:
         try:  # retry without -march=native / openmp for maximal portability
             subprocess.run(["g++", "-O3", "-fPIC", "-shared",
-                            "-o", _SO_PATH, src],
+                            "-o", _SO_PATH] + srcs,
                            check=True, capture_output=True, timeout=240)
             return True
         except Exception:
@@ -48,13 +59,36 @@ def _load() -> Optional[ctypes.CDLL]:
         return _LIB
     if _BUILD_FAILED:
         return None
+    src_mtime = max(os.path.getmtime(os.path.join(_HERE, s))
+                    for s in _SOURCES)
     if not os.path.exists(_SO_PATH) or (
-            os.path.getmtime(_SO_PATH)
-            < os.path.getmtime(os.path.join(_HERE, "raycast.cpp"))):
+            os.path.getmtime(_SO_PATH) < src_mtime):
         if not _build():
             _BUILD_FAILED = True
             return None
     lib = ctypes.CDLL(_SO_PATH)
+    if not hasattr(lib, "omtpu_npy_probe"):  # stale pre-loader .so
+        if not _build():
+            _BUILD_FAILED = True
+            return None
+        lib = ctypes.CDLL(_SO_PATH)
+    try:
+        lib.omtpu_npy_probe.restype = ctypes.c_long
+        lib.omtpu_npy_probe.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_long)]
+        lib.omtpu_read_rows_matrix.restype = ctypes.c_long
+        lib.omtpu_read_rows_matrix.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_void_p]
+        lib.omtpu_read_rows_files.restype = ctypes.c_long
+        lib.omtpu_read_rows_files.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long, ctypes.c_void_p]
+    except AttributeError:
+        _BUILD_FAILED = True
+        return None
     lib.trace_segments_aabb.restype = ctypes.c_long
     lib.trace_segments_aabb.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_long,
@@ -104,3 +138,72 @@ def trace_segments_aabb(boxes: np.ndarray, p1s: np.ndarray, p2s: np.ndarray
             return out_r[:got], out_c[:got]
         max_hits = -got
     raise RuntimeError("trace_segments_aabb: buffer negotiation failed")
+
+
+# --------------------------------------------------------------------- #
+# npy row-chunk loader (npyloader.cpp)
+# --------------------------------------------------------------------- #
+
+_NPY_ERRORS = {
+    -1: "open failed", -2: "bad magic", -3: "bad header",
+    -4: "unsupported dtype (need <f4/<f8)", -5: "fortran order unsupported",
+    -6: "unsupported shape", -7: "row range out of bounds",
+    -8: "read failed", -9: "bad argument",
+}
+
+
+def _npy_check(rc: int, what: str):
+    if rc != 0:
+        raise RuntimeError(
+            f"native npy loader: {what}: "
+            f"{_NPY_ERRORS.get(rc, f'error {rc}')}")
+
+
+def npy_probe(path: str) -> Tuple[int, Tuple[int, int], int]:
+    """Parse a .npy header natively.  Returns (itemsize, (n, m), offset);
+    1-D files report m=1.  Raises RuntimeError on unsupported files."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    item = ctypes.c_long()
+    ndim = ctypes.c_long()
+    shape = (ctypes.c_long * 2)()
+    off = ctypes.c_long()
+    rc = lib.omtpu_npy_probe(path.encode(), ctypes.byref(item),
+                             ctypes.byref(ndim), shape, ctypes.byref(off))
+    _npy_check(rc, path)
+    return int(item.value), (int(shape[0]), int(shape[1])), int(off.value)
+
+
+def read_rows_matrix(path: str, row0: int, nrows: int, m: int,
+                     dtype=np.float32) -> np.ndarray:
+    """Rows [row0, row0+nrows) of a C-order (n, m) .npy matrix file, with
+    native dtype conversion.  One contiguous pread."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    dtype = np.dtype(dtype)
+    out = np.empty((nrows, m), dtype=dtype)
+    rc = lib.omtpu_read_rows_matrix(path.encode(), row0, nrows,
+                                    dtype.itemsize,
+                                    out.ctypes.data_as(ctypes.c_void_p))
+    _npy_check(rc, path)
+    return out
+
+
+def read_rows_files(paths, row0: int, nrows: int,
+                    dtype=np.float32) -> np.ndarray:
+    """Rows [row0, row0+nrows) gathered across per-snapshot column .npy
+    files into an (nrows, len(paths)) array — file j becomes column j.
+    Files are read in parallel (OpenMP) and scatter-transposed natively."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    dtype = np.dtype(dtype)
+    m = len(paths)
+    out = np.empty((nrows, m), dtype=dtype)
+    arr = (ctypes.c_char_p * m)(*[p.encode() for p in paths])
+    rc = lib.omtpu_read_rows_files(arr, m, row0, nrows, dtype.itemsize,
+                                   out.ctypes.data_as(ctypes.c_void_p))
+    _npy_check(rc, "column files")
+    return out

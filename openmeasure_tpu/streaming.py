@@ -1,0 +1,653 @@
+"""Out-of-core snapshot ingestion and streaming POD fit.
+
+The reference assembles its snapshot matrices dense in RAM — the 3D workflow
+reads one ``.npy`` field file per simulation and column-stacks them
+(``docs/pyvista_doc.ipynb`` cell 4); every algorithm then assumes an in-core
+``(n, m)`` array.  Nothing in the reference runs out-of-core.  This module is
+the TPU-native answer for snapshot sets larger than host RAM / device HBM:
+the Gram-route SVD (``linalg/svd.py``) only ever needs *streamed row-chunk
+passes* over the tall panel, so the full POD/ROM fit runs with a fixed-size
+host buffer and the tiny ``(m, m)`` spectral problem on host float64.
+
+Components
+----------
+* :class:`NpyMatrixStore` / :class:`NpyColumnStore` — row-chunk readers over
+  the two on-disk layouts (one C-order ``(n, m)`` matrix file, or the
+  reference's m per-snapshot column files).  Reads go through the native
+  loader (``native/npyloader.cpp`` — OpenMP scatter-transpose, GIL released)
+  with a numpy-memmap fallback.
+* :func:`iter_chunks` — double-buffered prefetch: a background thread reads
+  chunk k+1 from disk while chunk k is on the device.  Because the native
+  loader releases the GIL for the whole ``pread`` + transpose, disk IO
+  genuinely overlaps device compute.
+* :class:`StreamingROM` / :class:`StreamingSPR` — drop-in ``ROM``/``SPR``
+  whose :meth:`StreamingROM.fit` runs the streaming decomposition; every
+  post-fit method that only touches the reduced quantities (``Ur`` ``(n, r)``,
+  ``Ar``, ``Vr``, ``Sigma_r``, ``X_cnt``, ``X_scl`` — all memory-resident)
+  works unchanged: placement, train, predict, reconstruct, CPOD (via the
+  ``UrᵀX0 == Arᵀ`` identity), serving export.
+
+Streaming fit algorithm (disk passes)
+-------------------------------------
+1. **Stats** (host float64): per-row means (``axis_cnt=1`` centering) and
+   per-feature-block power sums / extrema → ``X_cnt``, ``X_scl``.  All scale
+   types of ``core/scaling.py`` except ``median`` (not a streaming statistic
+   — use the in-core ``ROM`` for that one; documented deviation).
+2. **Gram** (device): ``G += x0_chunkᵀ x0_chunk`` at HIGHEST per chunk,
+   accumulated in host float64; ``eigh`` on host float64 → full-width ``V``,
+   eigenvalues → explained variance → rank ``r`` (same
+   :func:`linalg.svd.select_rank` as in-core).
+3. **Refine** (device, ``refine≥1``): one orthogonal-iteration pass on the
+   leading-``width`` subspace — ``G2 += (x0 W)ᵀ (x0 W)`` — exactly the
+   width-limited refine of :func:`linalg.svd.svd_tall` (its guard-column
+   analysis applies unchanged; default ``width = min(m, 2r)``).
+4. **U** (device): ``U[rows] = x0_chunk @ (V V2)[:, :r]`` scattered into an
+   ``(n, r)`` device buffer; final column norms give ``Sigma_r`` (the
+   true-column-norm normalization of the in-core ``rank`` path), then sign
+   canonicalization matching :func:`linalg.svd._sign_canonicalize`.
+
+With ``refine=0`` the fit is 3 disk passes; each pass moves ``n·m`` elements
+through a ``chunk_rows × m`` host buffer.  The spectral problems are ``(m, m)``
+host float64 — *more* accurate than the in-core float32 device path, so
+streaming-vs-in-core parity holds to float32 round-off (tested).
+
+Rank-deficiency note: like :func:`linalg.svd.svd_tall` (and unlike the eager
+``svd_tall_safe`` wrapper), the streamed route does not orthonormalize the
+null-space columns a LAPACK SVD would return for a rank-deficient panel —
+requesting ``r == m`` of a row-centered matrix (rank ≤ m−1) leaves the last
+mode meaningless.  Variance-based selection never does this.
+
+Reference behaviors re-implemented here: ``ROM.fit`` semantics
+(``sparse_sensing.py:83-340``) on the streamed substrate; the per-snapshot
+file layout of the 3D dataset ingest (``docs/pyvista_doc.ipynb``).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import queue
+import threading
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import native as _native
+from .core import scaling as _scaling
+from .linalg import svd as _svd
+from .linalg import boxls as _boxls
+from .rom.rom import ROM
+from .sensing.spr import SPR
+
+__all__ = [
+    "SnapshotStore", "NpyMatrixStore", "NpyColumnStore", "ArrayStore",
+    "open_store", "iter_chunks", "StreamingROM", "StreamingSPR",
+]
+
+
+# --------------------------------------------------------------------- #
+# Stores
+# --------------------------------------------------------------------- #
+
+class SnapshotStore:
+    """Row-chunk access to an on-disk ``(n, m)`` snapshot matrix.
+
+    Subclasses provide ``shape`` and :meth:`read_rows`.  ``ndim`` makes the
+    store duck-type as an array for shape validation in ``SPR.train``."""
+
+    shape: Tuple[int, int]
+    ndim = 2
+
+    def read_rows(self, row0: int, nrows: int,
+                  dtype=np.float32) -> np.ndarray:
+        raise NotImplementedError
+
+
+def _probe_npy(path: str) -> Tuple[int, Tuple[int, int]]:
+    """(itemsize, (n, m)) of a .npy file — native probe with numpy fallback."""
+    if _native.available():
+        try:
+            item, shape, _ = _native.npy_probe(path)
+            return item, shape
+        except RuntimeError:
+            pass  # unsupported subset (dtype/order) → numpy fallback below
+    arr = np.load(path, mmap_mode="r")
+    if arr.ndim == 1:
+        return arr.dtype.itemsize, (arr.shape[0], 1)
+    if arr.ndim != 2:
+        raise ValueError(f"{path}: expected a 1-D or 2-D .npy, got "
+                         f"{arr.ndim}-D")
+    return arr.dtype.itemsize, arr.shape
+
+
+class NpyMatrixStore(SnapshotStore):
+    """One C-order ``(n, m)`` .npy matrix file; a row chunk is a single
+    contiguous ``pread``."""
+
+    def __init__(self, path: str):
+        self.path = path
+        _, self.shape = _probe_npy(path)
+
+    def read_rows(self, row0, nrows, dtype=np.float32):
+        if _native.available():
+            try:
+                return _native.read_rows_matrix(
+                    self.path, row0, nrows, self.shape[1], dtype)
+            except RuntimeError:
+                pass
+        arr = np.load(self.path, mmap_mode="r")
+        return np.asarray(arr[row0:row0 + nrows], dtype=dtype)
+
+
+class NpyColumnStore(SnapshotStore):
+    """m per-snapshot column files (each ``(n,)`` or ``(n, 1)``) — the
+    reference 3D dataset's on-disk layout.  A row chunk gathers one strided
+    slice from every file (native: OpenMP-parallel scatter transpose)."""
+
+    def __init__(self, paths: Sequence[str]):
+        self.paths = [os.fspath(p) for p in paths]
+        if not self.paths:
+            raise ValueError("NpyColumnStore needs at least one file")
+        n = None
+        for p in self.paths:
+            _, (ni, mi) = _probe_npy(p)
+            if mi != 1:
+                raise ValueError(f"{p}: column files must be (n,) or (n, 1); "
+                                 f"got {ni}x{mi}")
+            if n is None:
+                n = ni
+            elif ni != n:
+                raise ValueError(f"{p}: inconsistent length {ni} != {n}")
+        self.shape = (n, len(self.paths))
+
+    def read_rows(self, row0, nrows, dtype=np.float32):
+        if _native.available():
+            try:
+                return _native.read_rows_files(self.paths, row0, nrows, dtype)
+            except RuntimeError:
+                pass
+        out = np.empty((nrows, len(self.paths)), dtype=dtype)
+        for j, p in enumerate(self.paths):
+            col = np.load(p, mmap_mode="r")
+            out[:, j] = np.asarray(col[row0:row0 + nrows],
+                                   dtype=dtype).reshape(-1)
+        return out
+
+
+class ArrayStore(SnapshotStore):
+    """In-RAM adapter: lets the streaming fit (and its tests) run over an
+    existing array through the identical chunked code path."""
+
+    def __init__(self, X: np.ndarray):
+        self.X = np.asarray(X)
+        if self.X.ndim != 2:
+            raise ValueError("ArrayStore needs a 2-D array")
+        self.shape = self.X.shape
+
+    def read_rows(self, row0, nrows, dtype=np.float32):
+        return np.asarray(self.X[row0:row0 + nrows], dtype=dtype)
+
+
+def open_store(source) -> SnapshotStore:
+    """Sniff a snapshot source: path → :class:`NpyMatrixStore`, list of
+    paths → :class:`NpyColumnStore`, array → :class:`ArrayStore`, store →
+    itself."""
+    if isinstance(source, SnapshotStore):
+        return source
+    if isinstance(source, (str, os.PathLike)):
+        return NpyMatrixStore(os.fspath(source))
+    if isinstance(source, (list, tuple)) and source and \
+            isinstance(source[0], (str, os.PathLike)):
+        return NpyColumnStore(source)
+    return ArrayStore(source)
+
+
+# --------------------------------------------------------------------- #
+# Prefetching chunk iterator
+# --------------------------------------------------------------------- #
+
+def default_chunk_rows(m: int, dtype=np.float32,
+                       budget_bytes: int = 64 << 20) -> int:
+    """Rows per chunk for a ~64 MiB host buffer."""
+    return max(1, budget_bytes // (max(m, 1) * np.dtype(dtype).itemsize))
+
+
+def iter_chunks(store: SnapshotStore, chunk_rows: Optional[int] = None,
+                dtype=np.float32, prefetch: int = 2):
+    """Yield ``(row0, chunk)`` covering all rows, with a background reader
+    thread keeping up to ``prefetch`` chunks ahead.  The native loader
+    releases the GIL, so the next chunk's disk read overlaps the caller's
+    device compute on the current one.  Closing the generator early stops
+    the reader promptly."""
+    n, m = store.shape
+    if chunk_rows is None:
+        chunk_rows = default_chunk_rows(m, dtype)
+    chunk_rows = min(chunk_rows, n)
+    if prefetch < 1:                      # synchronous fallback
+        for row0 in range(0, n, chunk_rows):
+            yield row0, store.read_rows(row0, min(chunk_rows, n - row0),
+                                        dtype)
+        return
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+    _DONE = object()
+
+    def reader():
+        try:
+            for row0 in range(0, n, chunk_rows):
+                if stop.is_set():
+                    return
+                chunk = store.read_rows(row0, min(chunk_rows, n - row0),
+                                        dtype)
+                while not stop.is_set():
+                    try:
+                        q.put((row0, chunk), timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+            q.put(_DONE)
+        except BaseException as e:  # surfaced in the consumer
+            q.put(e)
+
+    t = threading.Thread(target=reader, daemon=True,
+                         name="omtpu-chunk-prefetch")
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+
+
+# --------------------------------------------------------------------- #
+# Streaming statistics (pass 1, host float64)
+# --------------------------------------------------------------------- #
+
+_MOMENT_TYPES = frozenset(_scaling.SCALE_TYPES) - {"median"}
+
+
+def _block_stats_pass(store, n_features, dtype, chunk_rows, need_row_means,
+                      prefetch):
+    """One disk pass: per-row means (host n-vector) + per-block power sums /
+    extrema in float64.  Blocks are the contiguous ``n_points``-row feature
+    slabs; chunks may straddle block boundaries."""
+    n, m = store.shape
+    n_points = n // n_features
+    row_means = np.empty(n, dtype=np.float64) if need_row_means else None
+    s1 = np.zeros(n_features)
+    s2 = np.zeros(n_features)
+    s3 = np.zeros(n_features)
+    s4 = np.zeros(n_features)
+    bmin = np.full(n_features, np.inf)
+    bmax = np.full(n_features, -np.inf)
+
+    for row0, chunk in iter_chunks(store, chunk_rows, dtype, prefetch):
+        c = chunk.astype(np.float64, copy=False)
+        if need_row_means:
+            row_means[row0:row0 + chunk.shape[0]] = c.mean(axis=1)
+        r = row0
+        end = row0 + chunk.shape[0]
+        while r < end:
+            f = r // n_points
+            r_stop = min(end, (f + 1) * n_points)
+            seg = c[r - row0:r_stop - row0]
+            s1[f] += seg.sum()
+            sq = seg * seg
+            s2[f] += sq.sum()
+            s3[f] += (sq * seg).sum()
+            s4[f] += (sq * sq).sum()
+            bmin[f] = min(bmin[f], seg.min())
+            bmax[f] = max(bmax[f], seg.max())
+            r = r_stop
+    cnt = float(n_points * m)
+    return {"row_means": row_means, "s1": s1, "s2": s2, "s3": s3, "s4": s4,
+            "min": bmin, "max": bmax, "count": cnt}
+
+
+def _scale_from_stats(stats, scale_type: str) -> np.ndarray:
+    """Per-block scale factors from streamed power sums — the moment-form
+    equivalents of :func:`core.scaling._block_scale_factor` (biased moments,
+    like ``jnp.std``/``scipy.stats.kurtosis``)."""
+    N = stats["count"]
+    mean = stats["s1"] / N
+    var = np.maximum(stats["s2"] / N - mean * mean, 0.0)
+    std = np.sqrt(var)
+    if scale_type == "std":
+        return std
+    if scale_type == "none":
+        return np.ones_like(std)
+    if scale_type == "pareto":
+        return np.sqrt(std)
+    if scale_type == "vast":
+        return var / mean
+    if scale_type == "range":
+        return stats["max"] - stats["min"]
+    if scale_type == "level":
+        return mean
+    if scale_type == "max":
+        return stats["max"]
+    if scale_type == "variance":
+        return var
+    if scale_type == "poisson":
+        return np.sqrt(mean)
+    if scale_type == "l2-norm":
+        return np.sqrt(stats["s2"])
+    if scale_type in ("vast_2", "vast_3", "vast_4"):
+        # central moments from raw power sums
+        m2 = var
+        m4 = (stats["s4"] / N - 4.0 * mean * stats["s3"] / N
+              + 6.0 * mean ** 2 * stats["s2"] / N - 3.0 * mean ** 4)
+        kurt = m4 / (m2 * m2) - 3.0
+        base = var * kurt ** 2
+        if scale_type == "vast_2":
+            return base / mean
+        if scale_type == "vast_3":
+            return base / stats["max"]
+        return base / (stats["max"] - stats["min"])
+    raise NotImplementedError(
+        "The scaling method selected has not been implemented yet")
+
+
+# --------------------------------------------------------------------- #
+# Device-side chunk kernels (passes 2-4)
+# --------------------------------------------------------------------- #
+
+@jax.jit
+def _chunk_gram(chunk, cnt, scl, W=None):
+    """Scaled-chunk Gram: ``x0 = (chunk − cnt)/scl`` rowwise; returns
+    ``(x0 W)ᵀ (x0 W)`` (or full-width if W is None) at HIGHEST."""
+    x0 = (chunk - cnt[:, None]) / scl[:, None]
+    hp = jax.lax.Precision.HIGHEST
+    if W is not None:
+        x0 = jnp.matmul(x0, W, precision=hp)
+    return jnp.matmul(x0.T, x0, precision=hp)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_u(buf, chunk, cnt, scl, VU, row0):
+    """``buf[row0:row0+c] = ((chunk − cnt)/scl) @ VU`` — U-pass scatter into
+    the donated ``(n, r)`` device buffer."""
+    x0 = (chunk - cnt[:, None]) / scl[:, None]
+    u = jnp.matmul(x0, VU, precision=jax.lax.Precision.HIGHEST)
+    return jax.lax.dynamic_update_slice(buf, u, (row0, 0))
+
+
+# --------------------------------------------------------------------- #
+# StreamingROM
+# --------------------------------------------------------------------- #
+
+class StreamingROM(ROM):
+    """Out-of-core :class:`ROM`: identical post-fit API over a
+    :class:`SnapshotStore` instead of an in-RAM matrix.
+
+    ``X0`` is never materialized; methods that require the full scaled
+    panel (``scale_data``, ``decomposition``, a ``solver_fn`` CPOD) raise
+    with a pointer to the in-core class.  ``CPOD`` works: its per-snapshot
+    QP only consumes ``UrᵀX0 = Arᵀ`` (exact for an orthonormal ``Ur``).
+    ``adaptive_sampling`` reuses the fitted spectrum (full-width ``S``/``V``
+    are kept — they are ``(m,)``/``(m, m)``)."""
+
+    def __init__(self, source, n_features, xyz=None, chunk_rows=None,
+                 dtype=np.float32, prefetch: int = 2):
+        if not isinstance(n_features, int):
+            raise TypeError("The parameter n_features is not an integer.")
+        self.store = open_store(source)
+        self.X = self.store          # duck-typed: .shape/.ndim only
+        self.n_features = n_features
+        self.xyz = xyz
+        n = self.store.shape[0]
+        self.n_points = n // n_features
+        if n % n_features != 0:
+            raise Exception(
+                "The number of rows of X is not a multiple of n_features")
+        self.chunk_rows = chunk_rows
+        self.dtype = np.dtype(dtype)
+        self.prefetch = prefetch
+
+    # -------------------------------------------------------------- #
+
+    def scale_data(self, scale_type="std", axis_cnt=1):
+        raise NotImplementedError(
+            "StreamingROM never materializes X0; call fit() — it computes "
+            "X_cnt/X_scl in its streaming stats pass. Use the in-core ROM "
+            "if you need the scaled snapshot matrix itself.")
+
+    def decomposition(self, X0, select_modes="variance", n_modes=99):
+        raise NotImplementedError(
+            "StreamingROM decomposes inside fit() (streamed Gram route); "
+            "there is no in-core X0 to decompose.")
+
+    def _stream_scaling(self, scale_type, axis_cnt):
+        if scale_type not in _scaling.SCALE_TYPES:
+            raise NotImplementedError(
+                "The scaling method selected has not been implemented yet")
+        if scale_type == "median":
+            raise NotImplementedError(
+                "scale_type='median' is not a streaming statistic; use the "
+                "in-core ROM for median scaling.")
+        if axis_cnt not in (1, None):
+            raise ValueError("axis_cnt must be 1 or None")
+        stats = _block_stats_pass(
+            self.store, self.n_features, self.dtype, self.chunk_rows,
+            need_row_means=(axis_cnt == 1), prefetch=self.prefetch)
+        scl_blocks = _scale_from_stats(stats, scale_type)
+        if axis_cnt == 1:
+            cnt = stats["row_means"]
+        else:
+            cnt = np.repeat(stats["s1"] / stats["count"], self.n_points)
+        scl = np.repeat(scl_blocks, self.n_points)
+        return cnt.astype(self.dtype), scl.astype(self.dtype)
+
+    def fit(self, scale_type: str = "std", axis_cnt: Optional[int] = 1,
+            select_modes: str = "variance", n_modes=99, basis=None,
+            refine: Optional[int] = None, width: Optional[int] = None,
+            config=None):
+        """Streaming ``ROM.fit`` — see the module docstring for the pass
+        structure.  ``refine``/``width`` follow
+        :func:`linalg.svd.svd_tall` (default: backend-aware refine, width
+        ``min(m, 2r)``)."""
+        if config is not None:
+            scale_type = config.scale_type
+            axis_cnt = config.axis_cnt
+            select_modes = config.select_modes
+            n_modes = config.n_modes
+        if refine is None:
+            refine = _svd.default_refine()
+        self.scale_type = scale_type
+        n, m = self.store.shape
+
+        # pass 1 — stats
+        cnt_h, scl_h = self._stream_scaling(scale_type, axis_cnt)
+        self.X_cnt = jnp.asarray(cnt_h[:, None])
+        self.X_scl = jnp.asarray(scl_h[:, None])
+        self._cnt_vector_cache = None
+
+        if basis is not None:
+            Ur, Ar = jnp.asarray(basis[0]), jnp.asarray(basis[1])
+            self.Ur, self.Ar, self.r = Ur, Ar, Ar.shape[1]
+            Sigma_r = jnp.linalg.norm(Ar, axis=0)
+            self.Vr = Ar / Sigma_r[None, :]
+            self.Sigma_r = Sigma_r
+            return
+
+        # pass 2 — Gram → V, eigenvalues, rank
+        G = np.zeros((m, m), dtype=np.float64)
+        for row0, chunk in self._chunks():
+            G += np.asarray(_chunk_gram(
+                jnp.asarray(chunk), *self._cnt_scl_slices(cnt_h, scl_h,
+                                                          row0, chunk)))
+        evals, V = np.linalg.eigh(G)          # host float64, ascending
+        V = V[:, ::-1]
+        S2 = np.maximum(evals[::-1], 0.0)
+        exp_var = 100.0 * np.cumsum(S2) / max(S2.sum(), np.finfo(float).tiny)
+        r = _svd.select_rank(exp_var, select_modes, n_modes, m)
+        self.r = r
+
+        # pass 3 — width-limited orthogonal-iteration refine
+        if width is None:
+            width = min(m, max(2 * r, r + 4))
+        if not r <= width <= m:
+            raise ValueError("need rank <= width <= m")
+        if refine > 0 and width < m:
+            Vw = V[:, :width]
+        else:
+            Vw = V
+        for _ in range(refine):
+            W_dev = jnp.asarray(Vw.astype(self.dtype))
+            G2 = np.zeros((Vw.shape[1], Vw.shape[1]), dtype=np.float64)
+            for row0, chunk in self._chunks():
+                G2 += np.asarray(_chunk_gram(
+                    jnp.asarray(chunk),
+                    *self._cnt_scl_slices(cnt_h, scl_h, row0, chunk),
+                    W=W_dev))
+            e2, V2 = np.linalg.eigh(G2)
+            V2 = V2[:, ::-1]
+            S2[:Vw.shape[1]] = np.maximum(e2[::-1], 0.0)
+            Vw = Vw @ V2
+
+        V[:, :Vw.shape[1]] = Vw
+
+        # pass 4 — assemble U (n, r) on device
+        VU = jnp.asarray(V[:, :r].astype(self.dtype))
+        buf = jnp.zeros((n, r), dtype=self.dtype)
+        for row0, chunk in self._chunks():
+            buf = _scatter_u(buf, jnp.asarray(chunk),
+                             *self._cnt_scl_slices(cnt_h, scl_h, row0,
+                                                   chunk),
+                             VU, row0)
+        colnorm = jnp.linalg.norm(buf, axis=0)
+        eps = jnp.finfo(self.dtype).eps
+        tiny = jnp.finfo(self.dtype).tiny
+        safe = jnp.maximum(jnp.maximum(colnorm, eps * jnp.max(colnorm) * n),
+                           tiny)
+        U = buf / safe[None, :]
+        # sign canonicalization (largest-|.| entry positive), flipping V too
+        idx = jnp.argmax(jnp.abs(U), axis=0)
+        signs = jnp.sign(U[idx, jnp.arange(r)])
+        signs = jnp.where(signs == 0, 1.0, signs).astype(U.dtype)
+        U = U * signs[None, :]
+        sr = np.asarray(colnorm, dtype=np.float64)
+        S = np.sqrt(S2)
+        S[:r] = sr
+        V[:, :r] *= np.asarray(signs, dtype=np.float64)[None, :]
+
+        self.Ur = U
+        self.Sigma_r = jnp.asarray(sr.astype(self.dtype))
+        self.Ar = jnp.asarray((V[:, :r] * S[:r][None, :]).astype(self.dtype))
+        self.Vr = jnp.asarray(V[:, :r].astype(self.dtype))
+        self._S_full = S                       # (m,) host float64
+        self._V_full = V                       # (m, m) host float64
+        self._fit_axis_cnt = axis_cnt
+
+    # -------------------------------------------------------------- #
+
+    def _chunks(self):
+        return iter_chunks(self.store, self.chunk_rows, self.dtype,
+                           self.prefetch)
+
+    @staticmethod
+    def _cnt_scl_slices(cnt_h, scl_h, row0, chunk):
+        c = chunk.shape[0]
+        return (jnp.asarray(cnt_h[row0:row0 + c]),
+                jnp.asarray(scl_h[row0:row0 + c]))
+
+    # -------------------------------------------------------------- #
+
+    def CPOD(self, limits=None, solver_fn=None, max_iter: int = 4000,
+             tol: float = 1e-9, over_relax: float = 1.6, solver_config=None,
+             constraints=None, **kwargs):
+        """Constrained POD without ``X0``: the box-QP's linear term is
+        ``UrᵀX0[:, i]``, which equals ``Ar[i]`` exactly for the orthonormal
+        streamed basis (``UrᵀU Σ V̂ᵀ = Σ_r V̂ᵀ``), so the identical vmapped
+        ADMM program runs from the reduced coordinates alone."""
+        if solver_fn is not None:
+            raise NotImplementedError(
+                "solver_fn CPOD needs the in-core X0; use ROM.CPOD.")
+        if solver_config is not None:
+            max_iter = solver_config.max_iter
+            tol = solver_config.tol
+            over_relax = solver_config.over_relax
+        Ur = self.Ur
+        hp = jax.lax.Precision.HIGHEST
+        H = jnp.matmul(Ur.T, Ur, precision=hp)
+        box = None
+        if limits is not None:
+            lo_b, hi_b = self.scale_limits(limits)
+            box = (Ur, lo_b, hi_b)
+        cs, box_only = _boxls.build_constraint_set(constraints, box)
+        if cs is None:
+            raise ValueError(
+                "CPOD requires `limits`, `constraints`, or a solver_fn.")
+        if box_only:
+            A_c, lo, hi = Ur, cs.lo, cs.hi
+            AtA = H
+        else:
+            A_c = jnp.asarray(cs.A)
+            lo, hi = jnp.asarray(cs.lo), jnp.asarray(cs.hi)
+            AtA = jnp.matmul(A_c.T, A_c, precision=hp)
+
+        def solve_one(q_row, lo_i, hi_i):
+            return _boxls.admm_box_qp(
+                H, q_row, A_c, lo_i, hi_i, AtA=AtA, max_iter=max_iter,
+                tol=tol, over_relax=over_relax)
+
+        in_axes = (0, 0 if jnp.ndim(lo) == 2 else None,
+                   0 if jnp.ndim(hi) == 2 else None)
+        Gr, info = jax.vmap(solve_one, in_axes=in_axes)(self.Ar, lo, hi)
+        self.admm_info = info
+        self.Ar = Gr
+        self.Vr = Gr / self.Sigma_r[None, :]
+
+    def adaptive_sampling(self, P, scale_type: str = "std", seed=None):
+        """Streaming variant reuses the fitted full-width spectrum (the
+        influence functional needs only ``S`` and ``V`` — ``(m,)``/``(m, m)``
+        — not the panel).  Requires ``scale_type`` to match the fit's."""
+        if not hasattr(self, "_S_full"):
+            raise RuntimeError("call fit() before adaptive_sampling")
+        if scale_type != self.scale_type:
+            raise NotImplementedError(
+                "StreamingROM.adaptive_sampling reuses the fitted spectrum; "
+                f"re-fit with scale_type={scale_type!r} first.")
+        from scipy.stats import qmc
+
+        S = jnp.asarray(self._S_full.astype(self.dtype))
+        V = jnp.asarray(self._V_full.astype(self.dtype))
+        p = V.shape[0]
+
+        def influence(k):
+            proj = jnp.eye(p, dtype=S.dtype) - jnp.outer(V[:, k], V[:, k])
+            M = S[:, None] * proj
+            Un, _, _ = jnp.linalg.svd(M, full_matrices=False)
+            inf_ui = 1.0 / jnp.abs(jnp.diagonal(Un)) - 1.0
+            return jnp.sum(S * inf_ui)
+
+        Inf_basis = jax.vmap(influence)(jnp.arange(p))
+        Inf_rel = np.asarray(Inf_basis / jnp.sum(Inf_basis))
+
+        P = np.asarray(P)
+        n_dim = P.shape[1]
+        sampler = qmc.LatinHypercube(d=n_dim, seed=seed)
+        nq = 100 * n_dim
+        sample0 = sampler.random(n=nq)
+        span = P.max(axis=0) - P.min(axis=0)
+        sample = span[None, :] * sample0 + P.min(axis=0)[None, :]
+        dist = np.linalg.norm(sample[:, None, :] - P[None, :, :], axis=2)
+        j = np.argmin(dist, axis=1)
+        pot = dist[np.arange(nq), j] * Inf_rel[j]
+        return sample[np.argmax(pot), :]
+
+
+class StreamingSPR(StreamingROM, SPR):
+    """Out-of-core :class:`SPR`: streaming fit + the standard placement /
+    train / predict stack (all of which consume only the memory-resident
+    reduced quantities).  MRO: fit/CPOD from :class:`StreamingROM`;
+    placement, train, predict, scale_vector from :class:`SPR`."""
+    pass
