@@ -158,13 +158,22 @@ def svd_tall(
         B = jnp.matmul(B, V2, precision=hp)
 
     eps = jnp.finfo(X0.dtype).eps
+    # Rank-deficiency floor: junk null-space columns must not be divided by
+    # their junk tiny norms.  The scale is eps·max·SQRT(n) — the rounding
+    # error of an n-entry column norm grows like √n, NOT n: with an n-
+    # proportional floor, fp32 at n=1.7M rows gives eps·n ≈ 0.2, flooring
+    # every REAL mode with σ_k < 0.2·σ_1 and silently de-normalizing U
+    # (measured on the 3D set: modes 5-9 shrunk up to 4×, max|U| error
+    # 3.1e-3 vs 2e-10 after the √n fix; reconstruction NRMSE hid it because
+    # the gappy solve's pinv(C Ur) cancels column scaling).
+    floor_scale = eps * float(n) ** 0.5
     # tiny absolute floor: an ALL-ZERO panel (e.g. a single-snapshot fit,
     # where per-row centering zeroes X0 exactly) must yield U = 0, finite —
     # LAPACK returns finite vectors there; a purely relative floor is 0/0
     tiny = jnp.finfo(X0.dtype).tiny
     if rank is None:
         S = jnp.linalg.norm(B, axis=0)
-        safe = jnp.maximum(jnp.maximum(S, eps * jnp.max(S) * n), tiny)
+        safe = jnp.maximum(jnp.maximum(S, floor_scale * jnp.max(S)), tiny)
         U = B / safe[None, :]
     else:
         # Normalize with the TRUE column norms of the truncated panel, not
@@ -176,7 +185,7 @@ def svd_tall(
         colnorm = jnp.linalg.norm(B, axis=0)            # (rank,), exact
         S = jnp.sqrt(jnp.maximum(S2, 0.0)).at[:rank].set(colnorm)
         safe = jnp.maximum(
-            jnp.maximum(colnorm, eps * jnp.max(colnorm) * n), tiny)
+            jnp.maximum(colnorm, floor_scale * jnp.max(colnorm)), tiny)
         U = B / safe[None, :]
     Vt = V.T
     if canonicalize:
@@ -200,7 +209,10 @@ def svd_tall_safe(
     U, S, Vt = svd_tall(X0, refine=refine, canonicalize=canonicalize)
     n, m = X0.shape
     eps = jnp.finfo(X0.dtype).eps
-    if bool(jnp.min(S) <= eps * jnp.max(S) * n):
+    # √n threshold, matching svd_tall's normalization floor (junk null-space
+    # column norms are O(eps·‖X0‖_F) — far below eps·max(S)·√n, so genuine
+    # deficiency still triggers with a wide margin)
+    if bool(jnp.min(S) <= eps * jnp.max(S) * float(n) ** 0.5):
         Q, R = jnp.linalg.qr(U)
         d = jnp.diagonal(R)
         sgn = jnp.where(d < 0, -1.0, 1.0).astype(U.dtype)

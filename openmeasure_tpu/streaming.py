@@ -526,8 +526,13 @@ class StreamingROM(ROM):
         colnorm = jnp.linalg.norm(buf, axis=0)
         eps = jnp.finfo(self.dtype).eps
         tiny = jnp.finfo(self.dtype).tiny
-        safe = jnp.maximum(jnp.maximum(colnorm, eps * jnp.max(colnorm) * n),
-                           tiny)
+        # eps·max·√n rank-deficiency floor — √n is the growth rate of an
+        # n-entry norm's rounding error; an n-proportional floor reaches
+        # 0.2·σ_1 at fp32/1.7M rows and de-normalizes real tail modes
+        # (see linalg/svd.py — measured 3.1e-3 max|U| error before the fix)
+        safe = jnp.maximum(
+            jnp.maximum(colnorm, eps * jnp.max(colnorm) * float(n) ** 0.5),
+            tiny)
         U = buf / safe[None, :]
         # sign canonicalization (largest-|.| entry positive), flipping V too
         idx = jnp.argmax(jnp.abs(U), axis=0)

@@ -47,6 +47,35 @@ class TestSVD:
             assert np.isfinite(np.asarray(U)).all()
             np.testing.assert_allclose(np.asarray(S), 0.0, atol=1e-12)
 
+    def test_tail_mode_normalization_large_n_fp32(self):
+        """Regression: the rank-deficiency floor must scale as eps·max·√n,
+        not eps·max·n.  In fp32 at n ≈ 1e5+ rows, an n-proportional floor
+        exceeds the norms of REAL tail modes (eps·n = 0.014 at n=120k) and
+        silently divides them by the floor instead of their true column
+        norms — measured as a 3.1e-3 max|U| error on the 1.7M-row 3D set
+        (modes with σ_k < 0.2·σ_1 shrunk up to 4×) while reconstruction
+        NRMSE hid it (pinv(C Ur) cancels column scaling)."""
+        n, m = 120_000, 6
+        rng = np.random.default_rng(3)
+        U0, _ = np.linalg.qr(rng.standard_normal((n, m)))
+        V0, _ = np.linalg.qr(rng.standard_normal((m, m)))
+        s = np.array([1.0, 0.5, 0.1, 0.03, 0.01, 0.003])
+        X = ((U0 * s[None, :]) @ V0.T).astype(np.float32)
+        Un, Sn, _ = np.linalg.svd(X.astype(np.float64), full_matrices=False)
+        eps32 = np.finfo(np.float32).eps
+        # precondition: the tail sits in the old-bug region
+        assert Sn[-1] < eps32 * n * Sn[0]
+        assert Sn[-1] > 10 * eps32 * np.sqrt(n) * Sn[0]
+        for rank in (None, m):
+            U = np.asarray(_svd.svd_tall(X, canonicalize=rank is None,
+                                         rank=rank)[0], dtype=np.float64)
+            np.testing.assert_allclose(np.linalg.norm(U, axis=0),
+                                       np.ones(m), rtol=1e-5)
+            for k in range(m):
+                sgn = np.sign(np.dot(U[:, k], Un[:, k]))
+                np.testing.assert_allclose(U[:, k] * sgn, Un[:, k],
+                                           atol=2e-5)
+
     def test_ill_conditioned(self):
         # condition number ~1e6: the fp64 Gram route must still match.
         n, m = 500, 10

@@ -215,6 +215,33 @@ class TestStreamingFitParity:
         np.testing.assert_allclose(np.asarray(srom.Ur), np.asarray(rom.Ur),
                                    atol=5e-6)
 
+    def test_tail_mode_normalization_large_n_fp32(self):
+        """Regression twin of test_linalg's √n-floor test for the streamed
+        U pass: real fp32 tail modes at n ≈ 1e5 rows must be normalized by
+        their true column norms, not the rank-deficiency floor (the old
+        eps·max·n floor reached 0.014·σ_1 here and shrank them)."""
+        n, m = 120_000, 6
+        rng = np.random.default_rng(3)
+        U0, _ = np.linalg.qr(rng.standard_normal((n, m)))
+        V0, _ = np.linalg.qr(rng.standard_normal((m, m)))
+        s = np.array([1.0, 0.5, 0.1, 0.03, 0.01, 0.003])
+        X = ((U0 * s[None, :]) @ V0.T).astype(np.float32)
+        srom = StreamingROM(ArrayStore(X), 1, chunk_rows=50_000,
+                            dtype=np.float32)
+        srom.fit(scale_type="none", select_modes="number", n_modes=5)
+        # float64 truth of the row-centered panel
+        X0 = X.astype(np.float64)
+        X0 -= X0.mean(axis=1, keepdims=True)
+        Un, Sn, _ = np.linalg.svd(X0, full_matrices=False)
+        eps32 = np.finfo(np.float32).eps
+        assert Sn[4] < eps32 * n * Sn[0]          # old-bug region
+        Ur = np.asarray(srom.Ur, dtype=np.float64)
+        np.testing.assert_allclose(np.linalg.norm(Ur, axis=0), np.ones(5),
+                                   rtol=1e-5)
+        for k in range(5):
+            sgn = np.sign(np.dot(Ur[:, k], Un[:, k]))
+            np.testing.assert_allclose(Ur[:, k] * sgn, Un[:, k], atol=2e-5)
+
     def test_basis_injection_skips_decomposition(self):
         X = make_X()
         rom = ROM(X, 3, None)
