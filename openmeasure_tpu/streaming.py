@@ -30,9 +30,10 @@ Components
 Streaming fit algorithm (disk passes)
 -------------------------------------
 1. **Stats** (host float64): per-row means (``axis_cnt=1`` centering) and
-   per-feature-block power sums / extrema → ``X_cnt``, ``X_scl``.  All scale
-   types of ``core/scaling.py`` except ``median`` (not a streaming statistic
-   — use the in-core ``ROM`` for that one; documented deviation).
+   per-feature-block power sums / extrema → ``X_cnt``, ``X_scl``.  All 14
+   scale types of ``core/scaling.py``; ``median`` is not a moment statistic
+   and adds its own exact histogram-refinement selection passes (usually 2
+   — see :func:`_block_medians`).
 2. **Gram** (device): ``G += x0_chunkᵀ x0_chunk`` at HIGHEST per chunk,
    accumulated in host float64; ``eigh`` on host float64 → full-width ``V``,
    eigenvalues → explained variance → rank ``r`` (same
@@ -272,6 +273,9 @@ def iter_chunks(store: SnapshotStore, chunk_rows: Optional[int] = None,
 # --------------------------------------------------------------------- #
 
 _MOMENT_TYPES = frozenset(_scaling.SCALE_TYPES) - {"median"}
+_MEDIAN_BINS = 4096
+_MEDIAN_COLLECT_LIMIT = 1 << 22      # gather-and-partition threshold
+_MEDIAN_EXACT_CAP = 64               # distinct-value counting threshold
 
 
 def _block_stats_pass(store, n_features, dtype, chunk_rows, need_row_means,
@@ -310,6 +314,177 @@ def _block_stats_pass(store, n_features, dtype, chunk_rows, need_row_means,
     cnt = float(n_points * m)
     return {"row_means": row_means, "s1": s1, "s2": s2, "s3": s3, "s4": s4,
             "min": bmin, "max": bmax, "count": cnt}
+
+
+def _distinct_vals(lo: float, hi_excl: float, dt: np.dtype,
+                   cap: int) -> Optional[np.ndarray]:
+    """The representable values of ``dt`` in ``[lo, hi_excl)`` if there are
+    at most ``cap`` of them, else None.  Used to finish the median selection
+    exactly when interval bisection stalls (two adjacent representable
+    values each holding huge mass cannot be separated by any finite
+    histogram refinement)."""
+    if not np.issubdtype(dt, np.floating):
+        dt = np.dtype(np.float64)
+    v = dt.type(lo)
+    # dt.type(lo) rounds-to-nearest and may land below lo: step up first
+    while np.float64(v) < lo:
+        v = np.nextafter(v, np.inf, dtype=dt)
+    out = []
+    while np.float64(v) < hi_excl:
+        out.append(v)
+        if len(out) > cap:
+            return None
+        nxt = np.nextafter(v, np.inf, dtype=dt)
+        if nxt == v:                       # inf saturation guard
+            break
+        v = nxt
+    return np.asarray(out, dtype=np.float64)
+
+
+def _block_medians(store, n_features: int, dtype, chunk_rows, prefetch,
+                   bmin: np.ndarray, bmax: np.ndarray) -> np.ndarray:
+    """Exact per-feature-block medians (``np.median`` semantics: mean of the
+    two middle order statistics for even counts) with O(1) memory —
+    histogram-refinement selection over disk passes.
+
+    Each pass histograms every unfinished block's in-interval entries into
+    ``_MEDIAN_BINS`` equal float64 bins (``searchsorted`` against explicit
+    edges, so bin membership and the interval comparisons share one
+    total order) and narrows the interval to the bins containing the two
+    middle order statistics k1=(N−1)//2 and k2=N//2.  A block finishes
+    when (a) its surviving candidate count drops below
+    ``_MEDIAN_COLLECT_LIMIT`` — the next pass gathers the survivors and
+    partitions them exactly; (b) all survivors are one value; or (c) the
+    interval holds ≤ ``_MEDIAN_EXACT_CAP`` representable values of the
+    store dtype — the next pass counts those exact values (terminates the
+    adjacent-two-value mass case that defeats pure bisection).  Realistic
+    data needs 2 extra passes (one histogram, one gather)."""
+    n, m = store.shape
+    n_points = n // n_features
+    N = n_points * m
+    k1, k2 = (N - 1) // 2, N // 2
+    dt = np.dtype(dtype)
+
+    lo = bmin.astype(np.float64).copy()
+    hi_excl = np.nextafter(bmax.astype(np.float64), np.inf)
+    below = np.zeros(n_features, dtype=np.int64)
+    count = np.full(n_features, N, dtype=np.int64)
+    med = np.full(n_features, np.nan)
+    done = bmin >= bmax                   # constant blocks
+    med[done] = bmin[done]
+    # pending straddle resolutions: f → (aLo, aHi, bLo, bHi); when the two
+    # middle order statistics of an even-N block land in DIFFERENT bins,
+    # every bin between them is empty (the ranks are adjacent), so
+    # v_k1 = max of bin A's contents and v_k2 = min of bin B's — one
+    # min/max pass finishes exactly (pure bisection would never separate
+    # two huge equal masses at adjacent bin centers)
+    straddle: List[Optional[tuple]] = [None] * n_features
+
+    for _ in range(200):                  # hard cap; realistic data: 1-2
+        if done.all():
+            break
+        # per-block plan for this pass
+        modes: List[Optional[list]] = [None] * n_features
+        for f in range(n_features):
+            if done[f]:
+                continue
+            if straddle[f] is not None:
+                modes[f] = ["straddle", straddle[f],
+                            np.array([-np.inf]), np.array([np.inf])]
+            elif count[f] <= _MEDIAN_COLLECT_LIMIT:
+                modes[f] = ["collect", []]
+            else:
+                vals = _distinct_vals(lo[f], hi_excl[f], dt,
+                                      _MEDIAN_EXACT_CAP)
+                if vals is not None:
+                    modes[f] = ["exact", vals,
+                                np.zeros(len(vals), dtype=np.int64)]
+                else:
+                    edges = np.linspace(lo[f], hi_excl[f],
+                                        _MEDIAN_BINS + 1)
+                    modes[f] = ["hist", edges,
+                                np.zeros(_MEDIAN_BINS, dtype=np.int64),
+                                np.array([np.inf]), np.array([-np.inf])]
+
+        for row0, chunk in iter_chunks(store, chunk_rows, dtype, prefetch):
+            c = chunk.astype(np.float64, copy=False)
+            r, end = row0, row0 + chunk.shape[0]
+            while r < end:
+                f = r // n_points
+                r_stop = min(end, (f + 1) * n_points)
+                mode = modes[f]
+                if mode is not None:
+                    seg = c[r - row0:r_stop - row0].ravel()
+                    if mode[0] == "straddle":
+                        a_lo, a_hi, b_lo, b_hi = mode[1]
+                        in_a = seg[(seg >= a_lo) & (seg < a_hi)]
+                        in_b = seg[(seg >= b_lo) & (seg < b_hi)]
+                        if in_a.size:
+                            mode[2][0] = max(mode[2][0], in_a.max())
+                        if in_b.size:
+                            mode[3][0] = min(mode[3][0], in_b.min())
+                    else:
+                        cand = seg[(seg >= lo[f]) & (seg < hi_excl[f])]
+                        if mode[0] == "collect":
+                            mode[1].append(cand)
+                        elif mode[0] == "exact":
+                            # exact counts: cand values ∈ the vals set
+                            idx = np.searchsorted(mode[1], cand)
+                            mode[2] += np.bincount(
+                                idx, minlength=len(mode[2])
+                            ).astype(np.int64)
+                        else:
+                            idx = np.searchsorted(mode[1], cand,
+                                                  side="right") - 1
+                            mode[2] += np.bincount(
+                                idx, minlength=_MEDIAN_BINS
+                            ).astype(np.int64)
+                            if cand.size:
+                                mode[3][0] = min(mode[3][0], cand.min())
+                                mode[4][0] = max(mode[4][0], cand.max())
+                r = r_stop
+
+        for f in range(n_features):
+            mode = modes[f]
+            if mode is None:
+                continue
+            if mode[0] == "straddle":
+                med[f] = 0.5 * (mode[2][0] + mode[3][0])
+                done[f] = True
+            elif mode[0] == "collect":
+                vals = (np.concatenate(mode[1]) if mode[1]
+                        else np.empty(0))
+                vals.sort()
+                med[f] = 0.5 * (vals[k1 - below[f]] + vals[k2 - below[f]])
+                done[f] = True
+            elif mode[0] == "exact":
+                cum = below[f] + np.cumsum(mode[2])
+                v1 = mode[1][np.searchsorted(cum, k1, side="right")]
+                v2 = mode[1][np.searchsorted(cum, k2, side="right")]
+                med[f] = 0.5 * (v1 + v2)
+                done[f] = True
+            else:
+                _, edges, cnts, cmin, cmax = mode
+                if cmin[0] == cmax[0]:    # all survivors identical
+                    med[f] = cmin[0]
+                    done[f] = True
+                    continue
+                cum = below[f] + np.cumsum(cnts)
+                b1 = int(np.searchsorted(cum, k1, side="right"))
+                b2 = int(np.searchsorted(cum, k2, side="right"))
+                if b1 != b2:              # adjacent ranks, distinct bins
+                    straddle[f] = (edges[b1], edges[b1 + 1],
+                                   edges[b2], edges[b2 + 1])
+                    continue
+                new_lo = max(edges[b1], cmin[0])
+                new_hi = min(edges[b2 + 1], np.nextafter(cmax[0], np.inf))
+                below[f] = below[f] + int(cnts[:b1].sum())
+                count[f] = int(cnts[b1:b2 + 1].sum())
+                lo[f], hi_excl[f] = new_lo, new_hi
+    if not done.all():
+        raise RuntimeError("streaming median failed to converge "
+                           f"(blocks {np.flatnonzero(~done)})")
+    return med
 
 
 def _scale_from_stats(stats, scale_type: str) -> np.ndarray:
@@ -429,16 +604,20 @@ class StreamingROM(ROM):
         if scale_type not in _scaling.SCALE_TYPES:
             raise NotImplementedError(
                 "The scaling method selected has not been implemented yet")
-        if scale_type == "median":
-            raise NotImplementedError(
-                "scale_type='median' is not a streaming statistic; use the "
-                "in-core ROM for median scaling.")
         if axis_cnt not in (1, None):
             raise ValueError("axis_cnt must be 1 or None")
         stats = _block_stats_pass(
             self.store, self.n_features, self.dtype, self.chunk_rows,
             need_row_means=(axis_cnt == 1), prefetch=self.prefetch)
-        scl_blocks = _scale_from_stats(stats, scale_type)
+        if scale_type == "median":
+            # not a moment statistic: exact selection via histogram-
+            # refinement disk passes (np.median semantics, usually 2 more
+            # passes) — see _block_medians
+            scl_blocks = _block_medians(
+                self.store, self.n_features, self.dtype, self.chunk_rows,
+                self.prefetch, stats["min"], stats["max"])
+        else:
+            scl_blocks = _scale_from_stats(stats, scale_type)
         if axis_cnt == 1:
             cnt = stats["row_means"]
         else:

@@ -158,7 +158,7 @@ class TestStores:
 
 STREAMABLE_TYPES = ["std", "none", "pareto", "vast", "range", "level",
                     "max", "variance", "poisson", "vast_2", "vast_3",
-                    "vast_4", "l2-norm"]
+                    "vast_4", "l2-norm", "median"]
 
 
 def fit_pair(X, n_features, chunk_rows=17, refine=1, **kw):
@@ -269,10 +269,8 @@ class TestStreamingFitParity:
             np.testing.assert_allclose(np.asarray(srom.Ur),
                                        np.asarray(rom.Ur), atol=1e-6)
 
-    def test_median_and_incore_only_methods_raise(self):
+    def test_incore_only_methods_raise(self):
         srom = StreamingROM(ArrayStore(make_X()), 3, dtype=np.float64)
-        with pytest.raises(NotImplementedError, match="median"):
-            srom.fit(scale_type="median")
         with pytest.raises(NotImplementedError, match="never materializes"):
             srom.scale_data()
         with pytest.raises(NotImplementedError, match="inside fit"):
@@ -286,6 +284,84 @@ class TestStreamingFitParity:
             StreamingROM(ArrayStore(make_X()), 3.0)
         with pytest.raises(Exception, match="not a multiple"):
             StreamingROM(ArrayStore(make_X()), 7)
+
+
+# --------------------------------------------------------------------- #
+# _block_medians selection machinery (the hard cases)
+# --------------------------------------------------------------------- #
+
+def run_medians(X, n_features, chunk_rows=13):
+    import openmeasure_tpu.streaming as sm
+    n_points = X.shape[0] // n_features
+    bmin = np.array([X[f * n_points:(f + 1) * n_points].min()
+                     for f in range(n_features)], dtype=np.float64)
+    bmax = np.array([X[f * n_points:(f + 1) * n_points].max()
+                     for f in range(n_features)], dtype=np.float64)
+    return sm._block_medians(ArrayStore(np.ascontiguousarray(X)),
+                             n_features, X.dtype, chunk_rows, 0, bmin, bmax)
+
+
+def expected_medians(X, n_features):
+    n_points = X.shape[0] // n_features
+    return np.array([np.median(X[f * n_points:(f + 1) * n_points]
+                               .astype(np.float64))
+                     for f in range(n_features)])
+
+
+class TestBlockMedians:
+    @pytest.mark.parametrize("chunk_rows", [7, 40, 61, 500])
+    @pytest.mark.parametrize("m", [9, 10])          # odd and even N
+    def test_random_parity(self, chunk_rows, m):
+        rng = np.random.default_rng(11)
+        X = rng.standard_normal((120, m))
+        med = run_medians(X, 3, chunk_rows)
+        np.testing.assert_array_equal(med, expected_medians(X, 3))
+
+    def test_forced_histogram_paths(self, monkeypatch):
+        """collect limit 1 forces full histogram refinement (hist →
+        single-survivor-bin narrowing → collect/straddle finish)."""
+        import openmeasure_tpu.streaming as sm
+        monkeypatch.setattr(sm, "_MEDIAN_COLLECT_LIMIT", 1)
+        rng = np.random.default_rng(5)
+        for m in (9, 10):                          # odd and even N
+            X = rng.standard_normal((80, m))
+            med = run_medians(X, 2, 17)
+            np.testing.assert_array_equal(med, expected_medians(X, 2))
+
+    def test_even_n_straddle_two_masses(self, monkeypatch):
+        """Half the block at 0.0, half at 1.0 (even N): the two middle
+        ranks land in DIFFERENT bins — pure bisection never separates the
+        masses; the straddle min/max pass must finish with 0.5 exactly."""
+        import openmeasure_tpu.streaming as sm
+        monkeypatch.setattr(sm, "_MEDIAN_COLLECT_LIMIT", 1)
+        X = np.concatenate([np.zeros(20), np.ones(20)])[:, None] \
+            * np.ones((1, 4))
+        med = run_medians(X, 1, 13)
+        assert med[0] == 0.5
+
+    def test_adjacent_fp32_values_exact_mode(self, monkeypatch):
+        """Two ADJACENT representable float32 values each holding half the
+        mass: no float64 histogram can split them past one ulp; the
+        representable-value enumeration (exact mode) must terminate."""
+        import openmeasure_tpu.streaming as sm
+        monkeypatch.setattr(sm, "_MEDIAN_COLLECT_LIMIT", 1)
+        a = np.float32(1.0)
+        b = np.nextafter(a, np.float32(2.0), dtype=np.float32)
+        X = np.concatenate([np.full(20, a), np.full(20, b)])[:, None] \
+            * np.ones((1, 3), dtype=np.float32)
+        X = X.astype(np.float32)
+        med = run_medians(X, 1, 9)
+        assert med[0] == 0.5 * (np.float64(a) + np.float64(b))
+
+    def test_constant_and_duplicate_blocks(self, monkeypatch):
+        import openmeasure_tpu.streaming as sm
+        monkeypatch.setattr(sm, "_MEDIAN_COLLECT_LIMIT", 1)
+        rng = np.random.default_rng(7)
+        const = np.full((30, 5), 3.25)
+        dups = rng.choice([1.0, 2.0, 2.0, 7.5], size=(30, 5))
+        X = np.concatenate([const, dups], axis=0)
+        med = run_medians(X, 2, 11)
+        np.testing.assert_array_equal(med, expected_medians(X, 2))
 
     def test_cpod_parity(self):
         X = make_X()
