@@ -91,6 +91,9 @@ class SPR(ROM):
         destructively, as in the reference (``sparse_sensing.py:737-738``).
         ``calc_type='dg'`` (beyond-reference): determinant-based greedy,
         D-optimal for any n_sensors including more sensors than modes.
+        ``calc_type='vdg'`` (beyond-reference): vector-measurement greedy —
+        n_sensors physical probes each measuring all n_features at one
+        point; C gets n_sensors·n_features rows (sensor-major).
 
         ``config`` (:class:`openmeasure_tpu.core.config.PlacementConfig`)
         overrides calc_type/n_sensors/d_min/verbose when given.
@@ -126,6 +129,18 @@ class SPR(ROM):
             C = np.zeros((P.size, n), dtype=np.asarray(self.Ur).dtype)
             C[np.arange(P.size), P] = 1.0
             C = jnp.asarray(C)
+        elif calc_type == "vdg":
+            # vector-measurement greedy (beyond-reference): each sensor is a
+            # physical probe measuring ALL n_features at one point — one
+            # selection appends a whole p-row feature block to Theta (see
+            # sensing/vector.py; Saito et al. arXiv:1906.00778).  The mask
+            # restricts the candidate points WITHOUT zeroing the basis
+            # (documented deviation from the 'qr'/'dg' contract).
+            from .vector import vector_dg_select, vector_onehot
+            P = vector_dg_select(self.Ur, self.n_features, n_sensors, mask)
+            self.sensor_points = P
+            C = vector_onehot(P, self.n_features, self.n_points,
+                              dtype=np.asarray(self.Ur).dtype)
         else:
             raise NotImplementedError(
                 "The sensor selection method has not been implemented yet")

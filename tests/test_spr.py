@@ -322,6 +322,126 @@ class TestSPR:
 
 
 
+class TestVectorPlacement:
+    """Vector-measurement greedy selection (beyond-reference;
+    sensing/vector.py, Saito et al. arXiv:1906.00778)."""
+
+    def setup_method(self, method):
+        rng = np.random.default_rng(17)
+        self.n_points = 12
+        self.n_features = 2
+        self.m = 5
+        self.X = rng.random((self.n_points * self.n_features, self.m))
+        self.xyz = rng.random((self.n_points, 3))
+        self.spr = SPR(self.X, self.n_features, self.xyz)
+
+    def test_scalar_case_reduces_to_dg(self):
+        """With p=1 a vector sensor IS a scalar sensor: the regularized
+        greedy must reproduce the det-greedy (== QRCP pivot) selection."""
+        from openmeasure_tpu.sensing.vector import vector_dg_select
+        from openmeasure_tpu.sensing.dg import dg_select
+        rng = np.random.default_rng(4)
+        Ur = np.linalg.qr(rng.standard_normal((30, 6)))[0]
+        sel_v = vector_dg_select(Ur, 1, 6)
+        sel_dg = dg_select(Ur, 6)
+        np.testing.assert_array_equal(sel_v, sel_dg)
+
+    def test_greedy_is_stepwise_optimal(self):
+        """Every greedy pick maximizes the regularized D-optimality
+        increment logdet(I_p + U_j W U_jᵀ) over the alive candidates —
+        verified against a brute-force numpy recomputation."""
+        from openmeasure_tpu.sensing.vector import vector_dg_select
+        rng = np.random.default_rng(5)
+        p, n_pts, r = 3, 15, 7
+        Ur = rng.standard_normal((p * n_pts, r))
+        sel = vector_dg_select(Ur, p, 6)
+
+        blocks = Ur.reshape(p, n_pts, r).transpose(1, 0, 2)
+        energy = np.mean(np.sum(blocks ** 2, axis=(1, 2))) / p
+        delta = 1e-6 * energy
+        G = delta * np.eye(r)
+        alive = np.ones(n_pts, bool)
+        for s_idx in sel:
+            W = np.linalg.inv(G)
+            scores = np.array([
+                np.linalg.slogdet(np.eye(p) + blocks[j] @ W @ blocks[j].T)[1]
+                if alive[j] else -np.inf for j in range(n_pts)])
+            assert scores[s_idx] >= scores.max() - 1e-9 * abs(scores.max())
+            G = G + blocks[s_idx].T @ blocks[s_idx]
+            alive[s_idx] = False
+
+    def test_spr_vdg_end_to_end(self):
+        """vdg placement -> train -> OLS predict reconstructs a training
+        snapshot exactly once s·p >= r (full-rank X, r = m)."""
+        from openmeasure_tpu.sensing.vector import vector_feature_ids
+        self.spr.fit(n_modes=100)            # r = m = 5
+        n_s = 3                              # 3 probes x 2 features = 6 >= 5
+        C = np.asarray(self.spr.optimal_placement(calc_type="vdg",
+                                                  n_sensors=n_s))
+        assert C.shape == (n_s * self.n_features, self.X.shape[0])
+        np.testing.assert_array_equal(C.sum(axis=1), np.ones(C.shape[0]))
+        rows = np.argmax(C, axis=1)
+        # sensor-major row order: row s*p+f is feature f at sensor point s
+        pts = np.asarray(self.spr.sensor_points)
+        expect_rows = (np.repeat(pts, self.n_features)
+                       + np.tile(np.arange(self.n_features),
+                                 n_s) * self.n_points)
+        np.testing.assert_array_equal(rows, expect_rows)
+        self.spr.train(C)
+        y = np.zeros((len(rows), 3))
+        y[:, 0] = self.X[rows, 0]
+        y[:, 2] = vector_feature_ids(n_s, self.n_features)
+        a, _ = self.spr.predict(y)
+        x_pred = self.spr.reconstruct(a)
+        np.testing.assert_allclose(x_pred, self.X[:, [0]], rtol=1e-6,
+                                   atol=1e-8)
+
+    def test_vdg_mask_point_and_row_forms(self):
+        self.spr.fit(select_modes="number", n_modes=3)
+        mask_pts = np.zeros(self.n_points, dtype=bool)
+        mask_pts[:6] = True
+        C = np.asarray(self.spr.optimal_placement(calc_type="vdg",
+                                                  n_sensors=4,
+                                                  mask=mask_pts))
+        assert np.all(np.asarray(self.spr.sensor_points) < 6)
+        # row-length mask: a point is selectable only if all its rows are
+        mask_rows = np.ones(self.X.shape[0], dtype=bool)
+        mask_rows[self.n_points + 3] = False     # kill feature-1 row of pt 3
+        self.spr.optimal_placement(calc_type="vdg", n_sensors=4,
+                                   mask=mask_rows)
+        assert 3 not in np.asarray(self.spr.sensor_points).tolist()
+        # the basis is NOT zeroed by vdg masking (documented deviation)
+        assert not np.any(np.asarray(self.spr.Ur) == 0.0)
+
+    def test_vdg_exhaustion_raises(self):
+        self.spr.fit(select_modes="number", n_modes=3)
+        mask = np.zeros(self.n_points, dtype=bool)
+        mask[:2] = True
+        with pytest.raises(ValueError, match="ran out of candidates"):
+            self.spr.optimal_placement(calc_type="vdg", n_sensors=5,
+                                       mask=mask)
+
+    def test_vdg_beats_random_location_sets(self):
+        """D-optimality sanity: greedy det(ΘᵀΘ) is at least the mean of
+        random same-size location sets."""
+        from openmeasure_tpu.sensing.vector import vector_dg_select
+        rng = np.random.default_rng(6)
+        p, n_pts, r = 2, 20, 6
+        Ur = rng.standard_normal((p * n_pts, r))
+        blocks = Ur.reshape(p, n_pts, r).transpose(1, 0, 2)
+        n_s = 4
+
+        def logdet_of(points):
+            Th = np.concatenate([blocks[j] for j in points])
+            return np.linalg.slogdet(Th.T @ Th)[1]
+
+        sel = vector_dg_select(Ur, p, n_s)
+        ld_greedy = logdet_of(sel)
+        ld_rand = [logdet_of(rng.choice(n_pts, n_s, replace=False))
+                   for _ in range(50)]
+        assert ld_greedy >= np.mean(ld_rand)
+
+
 class TestADMMDiagnostics:
     def test_predict_exposes_solver_info(self):
         import numpy as np
