@@ -176,6 +176,58 @@ def _predict_many(state, Y_values, Y_sigma, *, method, admm_iters,
         state, yv, ys, method, admm_iters, over_relax))(Y_values, Y_sigma)
 
 
+def _measurement_scaling(C, X_cnt, X_scl, n_points, feature_ids=None):
+    """Per-measurement centering (always ``C @ X_cnt``, reference
+    ``sparse_sensing.py:573``) and scaling from a dense / scipy-sparse /
+    BCOO measurement operator.
+
+    For a one-hot C (QR/GEM/DG/VDG placements) the scaling is derived from
+    the selected rows; a general C (e.g. CTC projections) needs
+    ``feature_ids`` (s,) — the feature index of each measurement, the third
+    column of the reference's measurement vectors."""
+    import scipy.sparse as sp
+    from jax.experimental import sparse as jsparse
+
+    if isinstance(C, jsparse.BCOO):
+        # BCOO analog of the CSR branch: SPR.train accepts BCOO measurement
+        # operators (rom.py apply_sampling), so a BCOO-trained model must
+        # package too.  Row-nnz / one-hot detection runs on the COO
+        # triplets host-side.
+        cnt_sensors = np.asarray(C @ jnp.asarray(X_cnt))
+        idx = np.asarray(C.indices).reshape(-1, 2)
+        dat = np.asarray(C.data).ravel()
+        nz = dat != 0
+        rows_nz, cols_nz, dat_nz = idx[nz, 0], idx[nz, 1], dat[nz]
+        row_nnz = np.bincount(rows_nz, minlength=C.shape[0])
+        # duplicate (row, col) triplets would double-count: only a
+        # duplicate-free one-hot pattern takes the automatic path
+        one_hot = bool(np.all(row_nnz == 1) and np.all(dat_nz == 1.0))
+        argmax_rows = np.zeros(C.shape[0], dtype=int)
+        if one_hot:
+            argmax_rows[rows_nz] = cols_nz
+    elif sp.issparse(C):
+        cnt_sensors = np.asarray(C.dot(X_cnt)).ravel()
+        row_nnz = np.diff(C.tocsr().indptr)
+        one_hot = bool(np.all(row_nnz == 1) and np.all(C.data == 1.0))
+        argmax_rows = np.asarray(C.tocsr().argmax(axis=1)).ravel()
+    else:
+        Cd = np.asarray(C)
+        cnt_sensors = Cd @ X_cnt
+        one_hot = bool(np.all((Cd != 0).sum(axis=1) == 1)
+                       and np.all(Cd[Cd != 0] == 1.0))
+        argmax_rows = np.argmax(Cd, axis=1)
+
+    if feature_ids is not None:
+        scl_sensors = X_scl[np.asarray(feature_ids, int) * n_points]
+    elif one_hot:
+        scl_sensors = X_scl[argmax_rows]
+    else:
+        raise ValueError(
+            "C is not one-hot: pass feature_ids (the per-measurement "
+            "feature indices) so measurement scaling is well-defined.")
+    return cnt_sensors, scl_sensors
+
+
 class SoftSensor:
     """Immutable, compiled gappy-POD soft sensor.
 
@@ -270,53 +322,10 @@ class SoftSensor:
         A model trained with ``method='COLS'`` carries its constraint set
         (``limits`` box or a general ``constraints`` spec with unbatched
         bounds) into the compiled server."""
-        import scipy.sparse as sp
-        from jax.experimental import sparse as jsparse
-        C = spr.C
         X_cnt = np.asarray(spr.X_cnt)[:, 0]
         X_scl = np.asarray(spr.X_scl)[:, 0]
-
-        # measurement centering is always C @ X_cnt (reference
-        # sparse_sensing.py:573)
-        if isinstance(C, jsparse.BCOO):
-            # BCOO analog of the CSR branch: SPR.train accepts BCOO
-            # measurement operators (rom.py apply_sampling), so a
-            # BCOO-trained model must package too.  Row-nnz / one-hot
-            # detection runs on the COO triplets host-side.
-            cnt_sensors = np.asarray(C @ jnp.asarray(X_cnt))
-            idx = np.asarray(C.indices).reshape(-1, 2)
-            dat = np.asarray(C.data).ravel()
-            nz = dat != 0
-            rows_nz, cols_nz, dat_nz = idx[nz, 0], idx[nz, 1], dat[nz]
-            row_nnz = np.bincount(rows_nz, minlength=C.shape[0])
-            # duplicate (row, col) triplets would double-count: only a
-            # duplicate-free one-hot pattern takes the automatic path
-            one_hot = bool(np.all(row_nnz == 1) and np.all(dat_nz == 1.0))
-            argmax_rows = np.zeros(C.shape[0], dtype=int)
-            if one_hot:
-                argmax_rows[rows_nz] = cols_nz
-        elif sp.issparse(C):
-            cnt_sensors = np.asarray(C.dot(X_cnt)).ravel()
-            row_nnz = np.diff(C.tocsr().indptr)
-            one_hot = bool(np.all(row_nnz == 1) and
-                           np.all(C.data == 1.0))
-            argmax_rows = np.asarray(C.tocsr().argmax(axis=1)).ravel()
-        else:
-            Cd = np.asarray(C)
-            cnt_sensors = Cd @ X_cnt
-            one_hot = bool(np.all((Cd != 0).sum(axis=1) == 1)
-                           and np.all(Cd[Cd != 0] == 1.0))
-            argmax_rows = np.argmax(Cd, axis=1)
-
-        if feature_ids is not None:
-            n_points = spr.n_points
-            scl_sensors = X_scl[np.asarray(feature_ids, int) * n_points]
-        elif one_hot:
-            scl_sensors = X_scl[argmax_rows]
-        else:
-            raise ValueError(
-                "C is not one-hot: pass feature_ids (the per-measurement "
-                "feature indices) so measurement scaling is well-defined.")
+        cnt_sensors, scl_sensors = _measurement_scaling(
+            spr.C, X_cnt, X_scl, spr.n_points, feature_ids)
 
         method = getattr(spr, "method", "OLS")
         kw = {}
@@ -737,3 +746,85 @@ class CoKrigingSensor:
         new = copy.copy(self)
         new._state = shard_state_rows(self._state, mesh, axis_name)
         return new
+
+
+# ---------------------------------------------------------------------- #
+# Shallow-decoder serving: sensors -> field through the trained MLP
+# ---------------------------------------------------------------------- #
+
+@jax.jit
+def _decoder_predict_kernel(state, Y_values):
+    """Scaled-sensor MLP forward + unscale.  Y_values (b, s) -> (b, n).
+
+    ``state`` is an ARGUMENT (module-level jit, same convention as the
+    other serving kernels) so same-architecture decoders share one
+    compilation — the pytree structure (layer count/shapes) is the only
+    compile key."""
+    from .sensing.decoder import _forward
+    y0 = (Y_values - state["cnt_sensors"][None, :]) \
+        / state["scl_sensors"][None, :]
+    X0 = _forward(state["layers"], y0)
+    return X0 * state["X_scl"][None, :] + state["X_cnt"][None, :]
+
+
+class DecoderSensor:
+    """Immutable, compiled shallow-decoder soft sensor
+    (:class:`openmeasure_tpu.sensing.decoder.ShallowDecoder` packaged for
+    production) — sensors → full field, one MLP forward per batch.
+
+    No coefficient / σ outputs: the decoder reconstructs outside the POD
+    span and has no closed-form error propagation (use :class:`SoftSensor`
+    when σ is needed)."""
+
+    def __init__(self, params, cnt_sensors, scl_sensors, X_cnt, X_scl,
+                 dtype=jnp.float32):
+        layers = tuple((jnp.asarray(W, dtype), jnp.asarray(b, dtype))
+                       for W, b in params)
+        self.s = int(layers[0][0].shape[0])
+        self.n = int(layers[-1][0].shape[1])
+        self._state = {
+            "layers": layers,
+            "cnt_sensors": jnp.asarray(cnt_sensors, dtype).reshape(-1),
+            "scl_sensors": jnp.asarray(scl_sensors, dtype).reshape(-1),
+            "X_cnt": jnp.asarray(X_cnt, dtype).reshape(-1),
+            "X_scl": jnp.asarray(X_scl, dtype).reshape(-1),
+        }
+
+    @classmethod
+    def from_decoder(cls, dec, feature_ids=None,
+                     dtype=jnp.float32) -> "DecoderSensor":
+        """Package a fitted :class:`ShallowDecoder`.  ``feature_ids`` as in
+        :meth:`SoftSensor.from_spr` (required for non-one-hot C)."""
+        if not hasattr(dec, "params"):
+            raise ValueError("DecoderSensor.from_decoder needs a fitted "
+                             "decoder: call dec.fit(C) first.")
+        X_cnt = np.asarray(dec.X_cnt)[:, 0]
+        X_scl = np.asarray(dec.X_scl)[:, 0]
+        cnt_sensors, scl_sensors = _measurement_scaling(
+            dec.C, X_cnt, X_scl, dec.n_points, feature_ids)
+        return cls(dec.params, cnt_sensors, scl_sensors, X_cnt, X_scl,
+                   dtype)
+
+    @classmethod
+    def load(cls, path: str, feature_ids=None,
+             dtype=jnp.float32) -> "DecoderSensor":
+        from .utils.checkpoint import load_model
+        return cls.from_decoder(load_model(path), feature_ids=feature_ids,
+                                dtype=dtype)
+
+    def __call__(self, y_values) -> jax.Array:
+        """One request: sensor values (s,) → field (n,)."""
+        y = jnp.asarray(y_values, self._state["X_cnt"].dtype)
+        return _decoder_predict_kernel(self._state, y[None, :])[0]
+
+    def predict_batch(self, Y_values) -> jax.Array:
+        """Batched inference: (b, s) → fields (b, n) in one dispatch."""
+        Y = jnp.asarray(Y_values, self._state["X_cnt"].dtype)
+        if Y.ndim != 2 or Y.shape[1] != self.s:
+            raise ValueError(
+                f"Y_values must be (batch, s={self.s}); got {Y.shape}.")
+        return _decoder_predict_kernel(self._state, Y)
+
+    def warmup(self) -> "DecoderSensor":
+        _ = self(jnp.zeros((self.s,))).block_until_ready()
+        return self

@@ -2,7 +2,7 @@
 
 The reference has no persistence — trained state lives in object attributes
 and the only resume affordance is ``fit(basis=(Ur, Ar))`` (SURVEY §5).  Here
-every fitted model (ROM / SPR / GPR / PIGPR) serializes to a single ``.npz``
+every fitted model (ROM / SPR / GPR / PIGPR / ShallowDecoder / CoKriging) serializes to a single ``.npz``
 archive: array attributes flattened under path-like keys, scalars/specs in an
 embedded JSON header.  ``load_model`` reconstructs a ready-to-predict object
 without re-running the SVD or GP training.
@@ -93,7 +93,7 @@ _META_ATTRS = ["r", "n_features", "n_points", "scale_type", "method",
 
 def save_model(obj, path: str, include_data: bool = False,
                backend: str = "npz") -> None:
-    """Serialize a fitted ROM/SPR/GPR/PIGPR/CoKriging.
+    """Serialize a fitted ROM/SPR/GPR/PIGPR/CoKriging/ShallowDecoder.
 
     backend='npz' (default): single compressed archive at ``path``.
     backend='orbax': an orbax-checkpoint directory at ``path`` — atomic
@@ -142,7 +142,15 @@ def save_model(obj, path: str, include_data: bool = False,
         if C is not None:
             arrays["attr/C"] = np.asarray(C)
 
-    if hasattr(obj, "params"):
+    if type(obj).__name__ == "ShallowDecoder":
+        # MLP layers are a LIST of (W, b) tuples, not the GP dict pytree
+        if not hasattr(obj, "params"):
+            raise ValueError("ShallowDecoder must be fit() before saving")
+        for i, (W, b) in enumerate(obj.params):
+            arrays[f"decoder/layer{i}/W"] = np.asarray(W)
+            arrays[f"decoder/layer{i}/b"] = np.asarray(b)
+        meta["hidden"] = [int(h) for h in obj.hidden]
+    elif hasattr(obj, "params"):
         _flatten_tree(obj.params, "params", arrays)
         meta["mean_spec"] = _spec_to_json(getattr(obj, "mean", None))
         meta["kernel_spec"] = _spec_to_json(getattr(obj, "kernel", None))
@@ -283,6 +291,10 @@ def load_model(path: str):
         obj = GPR(X, n_features, xyz,
                   P if P is not None else np.zeros((X.shape[1], 1)),
                   gpr_type=meta.get("gpr_type", "SingleTask"))
+    elif cls_name == "ShallowDecoder":
+        from ..sensing.decoder import ShallowDecoder
+        obj = ShallowDecoder(X, n_features, xyz,
+                             hidden=tuple(meta["hidden"]))
     else:
         raise ValueError(f"unknown checkpointed class {cls_name!r}")
 
@@ -322,6 +334,20 @@ def load_model(path: str):
             shape=tuple(meta["C_sparse_shape"]))
     elif "attr/C" in arrays:
         obj.C = jnp.asarray(arrays["attr/C"])
+
+    if cls_name == "ShallowDecoder":
+        import jax.numpy as jnp
+        from ..rom.rom import apply_sampling
+        layers = []
+        i = 0
+        while f"decoder/layer{i}/W" in arrays:
+            layers.append((jnp.asarray(arrays[f"decoder/layer{i}/W"]),
+                           jnp.asarray(arrays[f"decoder/layer{i}/b"])))
+            i += 1
+        obj.params = layers
+        obj._cnt_vector_cache = np.asarray(
+            apply_sampling(obj.C, np.asarray(obj.X_cnt)[:, 0]))
+        return obj
 
     if any(k.startswith("params/") for k in arrays):
         import jax

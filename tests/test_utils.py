@@ -963,3 +963,98 @@ class TestCoKrigingSensor:
                        rng.random((4, 3)), 2)
         with _pytest.raises(AttributeError, match="batched"):
             CoKrigingSensor.from_cokriging(ck)
+
+
+class TestDecoderSensor:
+    """Serving + checkpointing of the shallow decoder
+    (sensing/decoder.py, serving.DecoderSensor)."""
+
+    def _fitted(self, seed=0, epochs=800):
+        import numpy as np
+        from openmeasure_tpu import SPR
+        from openmeasure_tpu.sensing.decoder import ShallowDecoder
+        rng = np.random.default_rng(seed)
+        n_points, nf, m = 20, 2, 12
+        t = np.linspace(0, 1, m)
+        x = np.linspace(0, 1, n_points)
+        X = np.concatenate([
+            np.sin(2 * np.pi * (x[:, None] - 0.4 * t[None, :])),
+            1.5 * np.cos(2 * np.pi * (x[:, None] + 0.2 * t[None, :])),
+        ]) + 0.01 * rng.standard_normal((n_points * nf, m))
+        xyz = np.column_stack([x, np.zeros(n_points), np.zeros(n_points)])
+        spr = SPR(X, nf, xyz)
+        spr.fit(select_modes="number", n_modes=4)
+        C = np.asarray(spr.optimal_placement())
+        dec = ShallowDecoder(X, nf, xyz, hidden=(16,))
+        dec.fit(C, epochs=epochs, lr=3e-3, seed=seed)
+        rows = np.argmax(C, axis=1)
+        y = np.zeros((len(rows), 3))
+        y[:, 0] = X[rows, 0]
+        y[:, 2] = rows // n_points
+        return dec, C, y, X
+
+    def test_from_decoder_matches_eager_predict(self):
+        import numpy as np
+        from openmeasure_tpu.serving import DecoderSensor
+        dec, C, y, X = self._fitted()
+        sensor = DecoderSensor.from_decoder(dec, dtype=np.float64)
+        x_eager = np.asarray(dec.predict(y))[:, 0]
+        x_srv = np.asarray(sensor(y[:, 0]))
+        np.testing.assert_allclose(x_srv, x_eager, rtol=1e-6, atol=1e-9)
+        # batched path: both test vectors in one dispatch
+        Y = np.stack([y[:, 0], 1.1 * y[:, 0]])
+        Xb = np.asarray(sensor.predict_batch(Y))
+        assert Xb.shape == (2, X.shape[0])
+        np.testing.assert_allclose(Xb[0], x_eager, rtol=1e-6, atol=1e-9)
+
+    def test_batch_shape_validation_and_unfitted_raise(self):
+        import numpy as np
+        import pytest as _pytest
+        from openmeasure_tpu.sensing.decoder import ShallowDecoder
+        from openmeasure_tpu.serving import DecoderSensor
+        dec, C, y, X = self._fitted()
+        sensor = DecoderSensor.from_decoder(dec)
+        with _pytest.raises(ValueError, match="batch"):
+            sensor.predict_batch(np.zeros((2, C.shape[0] + 1)))
+        rng = np.random.default_rng(0)
+        fresh = ShallowDecoder(np.asarray(dec.X), dec.n_features, dec.xyz)
+        with _pytest.raises(ValueError, match="fit"):
+            DecoderSensor.from_decoder(fresh)
+
+    def test_checkpoint_roundtrip_and_sensor_load(self, tmp_path):
+        import numpy as np
+        from openmeasure_tpu.serving import DecoderSensor
+        from openmeasure_tpu.utils.checkpoint import save_model, load_model
+        dec, C, y, X = self._fitted()
+        path = str(tmp_path / "dec.npz")
+        save_model(dec, path)
+        dec2 = load_model(path)
+        np.testing.assert_allclose(np.asarray(dec2.predict(y)),
+                                   np.asarray(dec.predict(y)),
+                                   rtol=1e-6, atol=1e-9)
+        sensor = DecoderSensor.load(path, dtype=np.float64)
+        np.testing.assert_allclose(np.asarray(sensor(y[:, 0])),
+                                   np.asarray(dec.predict(y))[:, 0],
+                                   rtol=1e-6, atol=1e-9)
+
+    def test_unfitted_save_raises(self, tmp_path):
+        import numpy as np
+        import pytest as _pytest
+        from openmeasure_tpu.sensing.decoder import ShallowDecoder
+        from openmeasure_tpu.utils.checkpoint import save_model
+        rng = np.random.default_rng(1)
+        dec = ShallowDecoder(rng.random((20, 4)), 2, rng.random((10, 3)))
+        with _pytest.raises(ValueError, match="fit"):
+            save_model(dec, str(tmp_path / "x.npz"))
+
+    def test_same_architecture_models_share_compilation(self):
+        import numpy as np
+        from openmeasure_tpu import serving as S
+        dec1, C, y, X = self._fitted(seed=0, epochs=200)
+        dec2, _, _, _ = self._fitted(seed=1, epochs=200)
+        s1 = S.DecoderSensor.from_decoder(dec1, dtype=np.float64).warmup()
+        size = S._decoder_predict_kernel._cache_size()
+        s2 = S.DecoderSensor.from_decoder(dec2, dtype=np.float64).warmup()
+        assert S._decoder_predict_kernel._cache_size() == size
+        assert not np.allclose(np.asarray(s1(y[:, 0])),
+                               np.asarray(s2(y[:, 0])))
