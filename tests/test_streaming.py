@@ -161,12 +161,12 @@ STREAMABLE_TYPES = ["std", "none", "pareto", "vast", "range", "level",
                     "vast_4", "l2-norm", "median"]
 
 
-def fit_pair(X, n_features, chunk_rows=17, refine=1, **kw):
+def fit_pair(X, n_features, chunk_rows=17, refine=1, engine="host", **kw):
     rom = ROM(X, n_features, None)
     rom.fit(**kw)
     srom = StreamingROM(ArrayStore(X), n_features, chunk_rows=chunk_rows,
                         dtype=np.float64)
-    srom.fit(refine=refine, **kw)
+    srom.fit(refine=refine, engine=engine, **kw)
     return rom, srom
 
 
@@ -209,17 +209,44 @@ class TestStreamingFitParity:
         nrmse = np.linalg.norm(rec_s - X) / np.linalg.norm(X)
         assert nrmse < 0.05
 
+    @pytest.mark.parametrize("axis_cnt", [1, None])
+    def test_device_engine_matches_host_engine(self, axis_cnt):
+        """Both fit engines (host f64 BLAS passes vs device passes with
+        fp32 Gram + refine) must deliver the same factors — the engine knob
+        is a transport/hardware trade, not a semantics switch."""
+        X = make_X()
+        sh = StreamingROM(ArrayStore(X.astype(np.float32)), 3, chunk_rows=17)
+        sh.fit(n_modes=99.9, axis_cnt=axis_cnt)               # engine='host'
+        sd = StreamingROM(ArrayStore(X.astype(np.float32)), 3, chunk_rows=17)
+        sd.fit(n_modes=99.9, axis_cnt=axis_cnt, engine="device")
+        assert sh.r == sd.r
+        np.testing.assert_allclose(np.asarray(sh.Sigma_r),
+                                   np.asarray(sd.Sigma_r), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(sh.Ur), np.asarray(sd.Ur),
+                                   atol=5e-5)
+        np.testing.assert_allclose(np.asarray(sh.Ar), np.asarray(sd.Ar),
+                                   atol=5e-5 * float(sd.Sigma_r[0]))
+
+    def test_unknown_engine_raises(self):
+        X = make_X()
+        srom = StreamingROM(ArrayStore(X.astype(np.float32)), 3)
+        with pytest.raises(ValueError, match="engine"):
+            srom.fit(engine="gpu")
+
     def test_refine_zero_three_passes(self):
         X = make_X()
-        rom, srom = fit_pair(X, 3, refine=0, n_modes=99.9)
+        rom, srom = fit_pair(X, 3, refine=0, n_modes=99.9,
+                             engine="device")   # refine is a device-engine knob
         np.testing.assert_allclose(np.asarray(srom.Ur), np.asarray(rom.Ur),
                                    atol=5e-6)
 
-    def test_tail_mode_normalization_large_n_fp32(self):
+    @pytest.mark.parametrize("engine", ["host", "device"])
+    def test_tail_mode_normalization_large_n_fp32(self, engine):
         """Regression twin of test_linalg's √n-floor test for the streamed
-        U pass: real fp32 tail modes at n ≈ 1e5 rows must be normalized by
-        their true column norms, not the rank-deficiency floor (the old
-        eps·max·n floor reached 0.014·σ_1 here and shrank them)."""
+        U pass (both engines share the floor formula): real fp32 tail modes
+        at n ≈ 1e5 rows must be normalized by their true column norms, not
+        the rank-deficiency floor (the old eps·max·n floor reached
+        0.014·σ_1 here and shrank them)."""
         n, m = 120_000, 6
         rng = np.random.default_rng(3)
         U0, _ = np.linalg.qr(rng.standard_normal((n, m)))
@@ -228,7 +255,8 @@ class TestStreamingFitParity:
         X = ((U0 * s[None, :]) @ V0.T).astype(np.float32)
         srom = StreamingROM(ArrayStore(X), 1, chunk_rows=50_000,
                             dtype=np.float32)
-        srom.fit(scale_type="none", select_modes="number", n_modes=5)
+        srom.fit(scale_type="none", select_modes="number", n_modes=5,
+                 engine=engine)
         # float64 truth of the row-centered panel
         X0 = X.astype(np.float64)
         X0 -= X0.mean(axis=1, keepdims=True)
