@@ -185,6 +185,19 @@ def sharded_dg_select(Ur: jax.Array, n_sensors: int):
     return _dg.dg_select(Ur, n_sensors)
 
 
+def sharded_vdg_select(Ur: jax.Array, n_features: int, n_sensors: int,
+                       xyz=None, d_min: float = 0.0):
+    """Vector-measurement greedy placement on a sharded basis (same jitted
+    program as ``sensing.vector.vector_dg_select``): the per-step
+    (n_points, p, p) block scores and Cholesky logdets are shard-local on
+    the points axis; the argmax and the selected block's gather
+    all-reduce.  Shard Ur so the points dimension of its feature-blocked
+    reshape lands on the mesh's state axis."""
+    from ..sensing.vector import vector_dg_select
+    return vector_dg_select(Ur, n_features, n_sensors, xyz=xyz,
+                            d_min=d_min)
+
+
 def sharded_gpr_train(mesh: Mesh, P0: jax.Array, Vr: jax.Array,
                       max_iter: int = 1000, rel_error: float = 1e-5,
                       lr: float = 0.1):

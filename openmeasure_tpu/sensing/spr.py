@@ -137,7 +137,8 @@ class SPR(ROM):
             # restricts the candidate points WITHOUT zeroing the basis
             # (documented deviation from the 'qr'/'dg' contract).
             from .vector import vector_dg_select, vector_onehot
-            P = vector_dg_select(self.Ur, self.n_features, n_sensors, mask)
+            P = vector_dg_select(self.Ur, self.n_features, n_sensors, mask,
+                                 xyz=self.xyz, d_min=d_min)
             self.sensor_points = P
             C = vector_onehot(P, self.n_features, self.n_points,
                               dtype=np.asarray(self.Ur).dtype)

@@ -46,10 +46,12 @@ import jax.numpy as jnp
 
 @functools.partial(jax.jit, static_argnames=("n_sensors",))
 def _vdg_select_jit(blocks: jax.Array, alive0: jax.Array, ridge: jax.Array,
-                    n_sensors: int):
+                    xyz: jax.Array, d_min: jax.Array, n_sensors: int):
     """Greedy regularized-D-optimal selection over per-point blocks.
 
-    blocks: (n_points, p, r); alive0: (n_points,) candidate mask.
+    blocks: (n_points, p, r); alive0: (n_points,) candidate mask;
+    xyz: (n_points, 3) probe coordinates; d_min: minimum inter-probe
+    distance (the GEM contract, reference ``sparse_sensing.py:627,697``).
     Returns (points (n_sensors,) int32, step_scores (n_sensors,)).
     """
     n_points, p, r = blocks.shape
@@ -76,6 +78,11 @@ def _vdg_select_jit(blocks: jax.Array, alive0: jax.Array, ridge: jax.Array,
         W = W - jnp.matmul(UW.T, KinvUW, precision=hp)
         W = 0.5 * (W + W.T)
         alive = alive.at[j].set(False)
+        # minimum inter-probe distance: kill every point within d_min of
+        # the new probe (selected point included — its distance is 0 only
+        # when d_min == 0, and it is already dead above)
+        dist = jnp.linalg.norm(xyz - xyz[j][None, :], axis=1)
+        alive = alive & (dist >= d_min)
         points = points.at[i].set(j.astype(jnp.int32))
         scores = scores.at[i].set(logdet[j])
         return W, alive, points, scores
@@ -88,7 +95,8 @@ def _vdg_select_jit(blocks: jax.Array, alive0: jax.Array, ridge: jax.Array,
 
 
 def vector_dg_select(Ur, n_features: int, n_sensors: int, mask=None,
-                     ridge: float = 1e-6) -> np.ndarray:
+                     ridge: float = 1e-6, xyz=None,
+                     d_min: float = 0.0) -> np.ndarray:
     """Select ``n_sensors`` spatial POINTS for vector sensors measuring all
     ``n_features`` features at once.
 
@@ -97,7 +105,10 @@ def vector_dg_select(Ur, n_features: int, n_sensors: int, mask=None,
     ``mask``: boolean candidate restriction, length n_points (per point) or
     length n (per row; a point stays selectable only if ALL its feature rows
     are).  ``ridge`` is the relative Bayesian regularization δ (scaled by
-    the mean block energy).  Returns (n_sensors,) int64 point indices.
+    the mean block energy).  ``xyz`` (n_points, 3) + ``d_min`` enforce a
+    minimum inter-probe distance (the GEM placement contract, reference
+    ``sparse_sensing.py:627,697``).  Returns (n_sensors,) int64 point
+    indices; raises when the mask/d_min exhaust the candidates.
     """
     Ur = jnp.asarray(Ur)
     n, r = Ur.shape
@@ -124,18 +135,30 @@ def vector_dg_select(Ur, n_features: int, n_sensors: int, mask=None,
             f"vector placement ran out of candidates: {n_sensors} sensors "
             f"requested but only {n_avail} points are selectable "
             "(mask/size). Request fewer sensors or enlarge the mask.")
+    if d_min > 0.0:
+        if xyz is None:
+            raise ValueError("d_min > 0 requires xyz (n_points, 3).")
+        xyz_j = jnp.asarray(np.asarray(xyz, dtype=np.float32))
+        if xyz_j.shape[0] != n_points:
+            raise ValueError(
+                f"xyz must have n_points={n_points} rows; got "
+                f"{xyz_j.shape[0]}.")
+    else:
+        xyz_j = jnp.zeros((n_points, 3), jnp.float32)
 
     # δ relative to the data scale: mean per-block energy / p
     energy = float(jnp.mean(jnp.sum(blocks * blocks, axis=(1, 2)))) \
         / n_features
     delta = jnp.asarray(max(ridge * energy, np.finfo(np.float32).tiny),
                         blocks.dtype)
-    points, _ = _vdg_select_jit(blocks, alive, delta, n_sensors)
+    points, _ = _vdg_select_jit(blocks, alive, delta, xyz_j,
+                                jnp.asarray(d_min, jnp.float32), n_sensors)
     out = np.asarray(points, dtype=np.int64)
     if len(set(out.tolist())) != n_sensors:
         raise ValueError(
-            "vector placement selected a duplicate point — the masked basis "
-            "has fewer independent blocks than sensors requested.")
+            "vector placement ran out of candidates: the mask/d_min "
+            "exclusions leave fewer selectable points than sensors "
+            "requested (a duplicate selection was detected).")
     return out
 
 

@@ -142,6 +142,29 @@ def test_sharded_gem_and_dg_match_eager(mesh):
     np.testing.assert_array_equal(sel_dg, sel_dg_ref)
 
 
+def test_sharded_vdg_matches_eager(mesh):
+    """Vector-probe placement under a points-sharded blocked basis selects
+    the same locations as the single-device program (incl. d_min)."""
+    from openmeasure_tpu.parallel.sharded import sharded_vdg_select
+    from openmeasure_tpu.sensing.vector import vector_dg_select
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rng = np.random.default_rng(14)
+    p, n_pts, r = 3, 128, 6
+    Ur = rng.standard_normal((p * n_pts, r))
+    xyz = rng.random((n_pts, 3))
+    with mesh:
+        # feature-blocked rows: shard so points land on the state axis
+        Ur_sh = jax.device_put(
+            jnp.asarray(Ur.reshape(p, n_pts, r)),
+            NamedSharding(mesh, P(None, "state", None))
+        ).reshape(p * n_pts, r)
+        sel = np.asarray(sharded_vdg_select(Ur_sh, p, 5,
+                                            xyz=jnp.asarray(xyz),
+                                            d_min=0.1))
+    sel_ref = np.asarray(vector_dg_select(Ur, p, 5, xyz=xyz, d_min=0.1))
+    np.testing.assert_array_equal(sel, sel_ref)
+
+
 def test_sharded_gpr_train_matches_single_device(mesh):
     """The sharded trainer IS adam_early_stop on mode-sharded params — same
     early-stop/freeze semantics, same losses and iteration counts."""

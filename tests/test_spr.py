@@ -413,6 +413,22 @@ class TestVectorPlacement:
         # the basis is NOT zeroed by vdg masking (documented deviation)
         assert not np.any(np.asarray(self.spr.Ur) == 0.0)
 
+    def test_vdg_d_min_enforced(self):
+        """Probes must honor a minimum inter-probe distance (the GEM
+        contract) and raise when d_min exhausts the candidates."""
+        self.spr.fit(select_modes="number", n_modes=3)
+        self.spr.optimal_placement(calc_type="vdg", n_sensors=3,
+                                   d_min=0.25)
+        pts = np.asarray(self.spr.sensor_points)
+        xyz = np.asarray(self.xyz)
+        for a in range(3):
+            for b in range(a + 1, 3):
+                assert np.linalg.norm(xyz[pts[a]] - xyz[pts[b]]) >= 0.25
+        # a d_min that empties the pool raises the exhaustion error
+        with pytest.raises(ValueError, match="ran out of candidates"):
+            self.spr.optimal_placement(calc_type="vdg", n_sensors=6,
+                                       d_min=10.0)
+
     def test_vdg_exhaustion_raises(self):
         self.spr.fit(select_modes="number", n_modes=3)
         mask = np.zeros(self.n_points, dtype=bool)
