@@ -56,6 +56,20 @@ def apply_sampling(sampling, M):
                       precision=jax.lax.Precision.HIGHEST)
 
 
+def scale_measurement_values(y, cnt_vector, scl_full, n_points):
+    """Value-column measurement scaling — the single source for the
+    reference's ``SPR.scale_vector`` semantics (``sparse_sensing.py:553-
+    584``): each measurement's scale is the feature-block SCALAR
+    ``X_scl[feature_id * n_points]`` (the block start — every row of a block
+    shares it), its centering the precomputed ``C @ X_cnt``.  Shared by
+    ``SPR.scale_vector`` and ``sensing.decoder.ShallowDecoder`` so the two
+    reconstruction families can never diverge on measurement scaling.
+    Returns ``(scaled_values, scl_vector)``."""
+    y = np.asarray(y)
+    scl_vector = np.asarray(scl_full)[y[:, 2].astype(int) * n_points]
+    return (y[:, 0] - cnt_vector) / scl_vector, scl_vector
+
+
 class ROM:
     """Reduced-order model over a feature-blocked snapshot matrix.
 

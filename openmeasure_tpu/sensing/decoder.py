@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..rom.rom import ROM, apply_sampling
+from ..rom.rom import ROM, apply_sampling, scale_measurement_values
 
 
 def _forward(params, y):
@@ -112,11 +112,12 @@ class ShallowDecoder(ROM):
 
     def _scale_y(self, y):
         """Reference measurement-vector scaling (``sparse_sensing.py:553-
-        584``), value column only."""
-        y = np.asarray(y)
-        scl_full = np.asarray(self.X_scl[:, 0])
-        scl_vector = scl_full[y[:, 2].astype(int) * self.n_points]
-        return (y[:, 0] - self._cnt_vector_cache) / scl_vector
+        584``), value column only — the SAME helper ``SPR.scale_vector``
+        uses, so the gappy-POD and decoder families share one scaling."""
+        vals, _ = scale_measurement_values(
+            y, self._cnt_vector_cache, np.asarray(self.X_scl[:, 0]),
+            self.n_points)
+        return vals
 
     def predict(self, y):
         """Reconstruct full fields from measurement vectors.

@@ -33,7 +33,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..rom.rom import ROM, apply_sampling, _as_device
+from ..rom.rom import (ROM, apply_sampling, _as_device,
+                       scale_measurement_values as _scale_measurement_values)
 from ..linalg import qrcp as _qrcp
 from ..linalg import qrcp_pallas as _qrcp_pl
 from ..linalg import boxls as _boxls
@@ -63,10 +64,11 @@ class SPR(ROM):
         if cnt_vector is None:
             cnt_vector = np.asarray(apply_sampling(self.C, self.X_cnt[:, 0]))
         scl_full = np.asarray(self.X_scl[:, 0])
-        scl_vector = scl_full[y[:, 2].astype(int) * self.n_points]
+        vals, scl_vector = _scale_measurement_values(
+            y, cnt_vector, scl_full, self.n_points)
 
         y0 = np.zeros((y.shape[0], 2), dtype=scl_full.dtype)
-        y0[:, 0] = (y[:, 0] - cnt_vector) / scl_vector
+        y0[:, 0] = vals
         y0[:, 1] = y[:, 1] / scl_vector
 
         self.cnt_vector = cnt_vector

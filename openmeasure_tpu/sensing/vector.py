@@ -151,14 +151,21 @@ def vector_dg_select(Ur, n_features: int, n_sensors: int, mask=None,
         / n_features
     delta = jnp.asarray(max(ridge * energy, np.finfo(np.float32).tiny),
                         blocks.dtype)
-    points, _ = _vdg_select_jit(blocks, alive, delta, xyz_j,
-                                jnp.asarray(d_min, jnp.float32), n_sensors)
+    points, scores = _vdg_select_jit(blocks, alive, delta, xyz_j,
+                                     jnp.asarray(d_min, jnp.float32),
+                                     n_sensors)
     out = np.asarray(points, dtype=np.int64)
-    if len(set(out.tolist())) != n_sensors:
+    # Exhaustion guard: when mask/d_min kills every candidate mid-run, the
+    # masked argmax scans all -inf and falls back to index 0 — which may
+    # not duplicate an earlier pick, so the step SCORE (-inf exactly on an
+    # exhausted step) is the reliable signal, with the duplicate check kept
+    # as a belt-and-suspenders backstop.
+    if not np.isfinite(np.asarray(scores)).all() \
+            or len(set(out.tolist())) != n_sensors:
         raise ValueError(
             "vector placement ran out of candidates: the mask/d_min "
             "exclusions leave fewer selectable points than sensors "
-            "requested (a duplicate selection was detected).")
+            "requested.")
     return out
 
 

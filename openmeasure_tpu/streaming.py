@@ -34,23 +34,35 @@ Streaming fit algorithm (disk passes)
    scale types of ``core/scaling.py``; ``median`` is not a moment statistic
    and adds its own exact histogram-refinement selection passes (usually 2
    — see :func:`_block_medians`).
-2. **Gram** (device): ``G += x0_chunkᵀ x0_chunk`` at HIGHEST per chunk,
-   accumulated in host float64; ``eigh`` on host float64 → full-width ``V``,
-   eigenvalues → explained variance → rank ``r`` (same
-   :func:`linalg.svd.select_rank` as in-core).
-3. **Refine** (device, ``refine≥1``): one orthogonal-iteration pass on the
-   leading-``width`` subspace — ``G2 += (x0 W)ᵀ (x0 W)`` — exactly the
-   width-limited refine of :func:`linalg.svd.svd_tall` (its guard-column
-   analysis applies unchanged; default ``width = min(m, 2r)``).
-4. **U** (device): ``U[rows] = x0_chunk @ (V V2)[:, :r]`` scattered into an
-   ``(n, r)`` device buffer; final column norms give ``Sigma_r`` (the
-   true-column-norm normalization of the in-core ``rank`` path), then sign
-   canonicalization matching :func:`linalg.svd._sign_canonicalize`.
+2. **Gram**: ``G += x0_chunkᵀ x0_chunk`` per chunk, accumulated host
+   float64; ``eigh`` → full-width ``V``, explained variance → rank ``r``
+   (same :func:`linalg.svd.select_rank` as in-core).
+3. **U**: ``U[rows] = x0_chunk @ V[:, :r]``; final column norms give
+   ``Sigma_r`` (the true-column-norm normalization of the in-core ``rank``
+   path), then sign canonicalization matching
+   :func:`linalg.svd._sign_canonicalize`.
 
-With ``refine=0`` the fit is 3 disk passes; each pass moves ``n·m`` elements
-through a ``chunk_rows × m`` host buffer.  The spectral problems are ``(m, m)``
-host float64 — *more* accurate than the in-core float32 device path, so
-streaming-vs-in-core parity holds to float32 round-off (tested).
+Two ENGINES run passes 2-3 (``fit(engine=...)``):
+
+* ``'host'`` (default): both products in host float64 BLAS while chunks
+  stream — ~18 flops/byte, far below host-BLAS throughput at disk
+  bandwidth, so the fit is disk-bound; the f64 Gram needs no fp32 refine
+  pass, and the DEVICE sees only one ``(n, r)`` upload (9.6× fewer bytes
+  than the device engine at the 3D shape; measured 13.5-21 s vs 46-59 s
+  through the TPU tunnel at 1.7M × 45).  Needs an ``(n, r)`` fp32 host
+  buffer — the same size as the device engine's HBM buffer.
+* ``'device'``: per-chunk products on the accelerator at HIGHEST
+  precision, plus one orthogonal-iteration **refine** pass on the
+  leading-``width`` subspace — ``G2 += (x0 W)ᵀ (x0 W)`` — exactly the
+  width-limited refine of :func:`linalg.svd.svd_tall` (its guard-column
+  analysis applies unchanged; default ``width = min(m, 2r)``) to recover
+  fp32-Gram accuracy.  ``refine=0`` makes the fit 3 disk passes.
+
+Both engines share the rank rule, norm floor, and sign canonicalization
+(:func:`_finalize_basis`) and are cross-parity-tested.  The spectral
+problems are ``(m, m)`` host float64 either way — *more* accurate than the
+in-core float32 device path, so streaming-vs-in-core parity holds to
+float32 round-off (tested).
 
 Rank-deficiency note: like :func:`linalg.svd.svd_tall` (and unlike the eager
 ``svd_tall_safe`` wrapper), the streamed route does not orthonormalize the
@@ -546,6 +558,30 @@ def _chunk_gram(chunk, cnt, scl, W=None):
     return jnp.matmul(x0.T, x0, precision=hp)
 
 
+def _finalize_basis(xp, U, colnorm, S2, V, r, n):
+    """Shared fit-engine epilogue — SINGLE SOURCE for the eps·max·√n
+    rank-deficiency norm floor (√n is the growth rate of an n-entry norm's
+    rounding error; an n-proportional floor de-normalizes real fp32 tail
+    modes — see ``linalg/svd.py``), the column normalization, the sign
+    canonicalization (largest-|.| entry positive, V flipped to match), and
+    the full-width S assembly.  ``xp`` is numpy (host engine) or jax.numpy
+    (device engine).  Returns ``(U, sr_f64, S_f64, V_f64)``."""
+    eps = float(np.finfo(np.dtype(U.dtype)).eps)
+    tiny = float(np.finfo(np.dtype(U.dtype)).tiny)
+    safe = xp.maximum(
+        xp.maximum(colnorm, eps * xp.max(colnorm) * float(n) ** 0.5), tiny)
+    U = U / xp.asarray(safe, dtype=U.dtype)[None, :]
+    idx = xp.argmax(xp.abs(U), axis=0)
+    signs = xp.sign(U[idx, xp.arange(r)])
+    signs = xp.where(signs == 0, 1.0, signs).astype(U.dtype)
+    U = U * signs[None, :]
+    sr = np.asarray(colnorm, dtype=np.float64)
+    S = np.sqrt(S2)
+    S[:r] = sr
+    V[:, :r] *= np.asarray(signs, dtype=np.float64)[None, :]
+    return U, sr, S, V
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter_u(buf, chunk, cnt, scl, VU, row0):
     """``buf[row0:row0+c] = ((chunk − cnt)/scl) @ VU`` — U-pass scatter into
@@ -641,8 +677,9 @@ class StreamingROM(ROM):
         (2+refine)·n·m·4 — measured on the tunneled v5e at (1.7M × 45):
         10.6 s vs 46-59 s wall (9.6× fewer bytes shipped).  Requires an
         (n, r) float32 host buffer (same size as the device engine's HBM
-        buffer).  ``refine``/``width`` are ignored (the f64 Gram is
-        already beyond fp32-refine accuracy).
+        buffer).  ``refine``/``width`` are device-engine knobs and are
+        REJECTED here (the f64 Gram is already beyond fp32-refine
+        accuracy) — pass ``engine='device'`` to use them.
 
         ``engine='device'``: every pass runs on the accelerator
         (``refine``/``width`` follow :func:`linalg.svd.svd_tall`; default
@@ -656,6 +693,14 @@ class StreamingROM(ROM):
             n_modes = config.n_modes
         if engine not in ("host", "device"):
             raise ValueError(f"unknown streaming fit engine {engine!r}")
+        if engine == "host" and (refine is not None or width is not None):
+            # loud, not silent: these knobs control the device engine's
+            # fp32-Gram accuracy recovery; the host engine's float64 Gram
+            # has nothing for them to do
+            raise ValueError(
+                "refine/width are device-engine knobs; the host engine's "
+                "float64 Gram does not use them — pass engine='device' "
+                "or drop them.")
         if refine is None:
             refine = _svd.default_refine()
         self.scale_type = scale_type
@@ -686,12 +731,7 @@ class StreamingROM(ROM):
             G += np.asarray(_chunk_gram(
                 jnp.asarray(chunk), *self._cnt_scl_slices(cnt_h, scl_h,
                                                           row0, chunk)))
-        evals, V = np.linalg.eigh(G)          # host float64, ascending
-        V = V[:, ::-1]
-        S2 = np.maximum(evals[::-1], 0.0)
-        exp_var = 100.0 * np.cumsum(S2) / max(S2.sum(), np.finfo(float).tiny)
-        r = _svd.select_rank(exp_var, select_modes, n_modes, m)
-        self.r = r
+        V, S2, r = self._rank_from_gram(G, select_modes, n_modes)
 
         # pass 3 — width-limited orthogonal-iteration refine
         if width is None:
@@ -726,32 +766,8 @@ class StreamingROM(ROM):
                                                    chunk),
                              VU, row0)
         colnorm = jnp.linalg.norm(buf, axis=0)
-        eps = jnp.finfo(self.dtype).eps
-        tiny = jnp.finfo(self.dtype).tiny
-        # eps·max·√n rank-deficiency floor — √n is the growth rate of an
-        # n-entry norm's rounding error; an n-proportional floor reaches
-        # 0.2·σ_1 at fp32/1.7M rows and de-normalizes real tail modes
-        # (see linalg/svd.py — measured 3.1e-3 max|U| error before the fix)
-        safe = jnp.maximum(
-            jnp.maximum(colnorm, eps * jnp.max(colnorm) * float(n) ** 0.5),
-            tiny)
-        U = buf / safe[None, :]
-        # sign canonicalization (largest-|.| entry positive), flipping V too
-        idx = jnp.argmax(jnp.abs(U), axis=0)
-        signs = jnp.sign(U[idx, jnp.arange(r)])
-        signs = jnp.where(signs == 0, 1.0, signs).astype(U.dtype)
-        U = U * signs[None, :]
-        sr = np.asarray(colnorm, dtype=np.float64)
-        S = np.sqrt(S2)
-        S[:r] = sr
-        V[:, :r] *= np.asarray(signs, dtype=np.float64)[None, :]
-
-        self.Ur = U
-        self.Sigma_r = jnp.asarray(sr.astype(self.dtype))
-        self.Ar = jnp.asarray((V[:, :r] * S[:r][None, :]).astype(self.dtype))
-        self.Vr = jnp.asarray(V[:, :r].astype(self.dtype))
-        self._S_full = S                       # (m,) host float64
-        self._V_full = V                       # (m, m) host float64
+        U, sr, S, V = _finalize_basis(jnp, buf, colnorm, S2, V, r, n)
+        self._set_spectral_attrs(U, sr, S, V)
         self._fit_axis_cnt = axis_cnt
 
     # -------------------------------------------------------------- #
@@ -772,12 +788,7 @@ class StreamingROM(ROM):
             x0 = (chunk.astype(np.float64)
                   - cnt64[row0:row0 + c, None]) / scl64[row0:row0 + c, None]
             G += x0.T @ x0
-        evals, V = np.linalg.eigh(G)
-        V = V[:, ::-1]
-        S2 = np.maximum(evals[::-1], 0.0)
-        exp_var = 100.0 * np.cumsum(S2) / max(S2.sum(), np.finfo(float).tiny)
-        r = _svd.select_rank(exp_var, select_modes, n_modes, m)
-        self.r = r
+        V, S2, r = self._rank_from_gram(G, select_modes, n_modes)
 
         # disk pass B — U = X0 V_r, column norms accumulated in f64,
         # entries stored fp32 (the only O(n) host buffer, size == the
@@ -793,23 +804,25 @@ class StreamingROM(ROM):
             colnorm2 += np.sum(u * u, axis=0)
             U_h[row0:row0 + c] = u.astype(self.dtype)
         colnorm = np.sqrt(colnorm2)
-        eps = float(np.finfo(self.dtype).eps)
-        tiny = float(np.finfo(self.dtype).tiny)
-        safe = np.maximum(
-            np.maximum(colnorm, eps * colnorm.max(initial=0.0) * n ** 0.5),
-            tiny)
-        U_h /= safe[None, :].astype(self.dtype)
-        idx = np.argmax(np.abs(U_h), axis=0)
-        signs = np.sign(U_h[idx, np.arange(r)]).astype(np.float64)
-        signs[signs == 0] = 1.0
-        U_h *= signs[None, :].astype(self.dtype)
+        U_h, sr, S, V = _finalize_basis(np, U_h, colnorm, S2, V, r, n)
+        self._set_spectral_attrs(jnp.asarray(U_h), sr, S, V)
 
-        sr = colnorm
-        S = np.sqrt(S2)
-        S[:r] = sr
-        V[:, :r] *= signs[None, :]
+    def _rank_from_gram(self, G, select_modes, n_modes):
+        """Shared spectral step: host-f64 ``eigh`` of the accumulated
+        Gram, explained variance, in-core rank rule.  Sets ``self.r``."""
+        m = G.shape[0]
+        evals, V = np.linalg.eigh(G)          # host float64, ascending
+        V = V[:, ::-1]
+        S2 = np.maximum(evals[::-1], 0.0)
+        exp_var = 100.0 * np.cumsum(S2) / max(S2.sum(), np.finfo(float).tiny)
+        r = _svd.select_rank(exp_var, select_modes, n_modes, m)
+        self.r = r
+        return V, S2, r
 
-        self.Ur = jnp.asarray(U_h)             # the single device upload
+    def _set_spectral_attrs(self, U_dev, sr, S, V):
+        """Shared post-fit attribute writes (both engines)."""
+        r = self.r
+        self.Ur = U_dev
         self.Sigma_r = jnp.asarray(sr.astype(self.dtype))
         self.Ar = jnp.asarray((V[:, :r] * S[:r][None, :]).astype(self.dtype))
         self.Vr = jnp.asarray(V[:, :r].astype(self.dtype))

@@ -139,6 +139,18 @@ def save_model(obj, path: str, include_data: bool = False,
                 C = None
         except ImportError:  # pragma: no cover
             pass
+        try:
+            from jax.experimental import sparse as jsparse
+            if isinstance(C, jsparse.BCOO):
+                # np.asarray(BCOO) yields a pickled OBJECT array that
+                # np.load(allow_pickle=False) can never restore — store the
+                # COO triplets like the CSR branch instead
+                arrays["C_bcoo/data"] = np.asarray(C.data)
+                arrays["C_bcoo/indices"] = np.asarray(C.indices)
+                meta["C_bcoo_shape"] = list(C.shape)
+                C = None
+        except ImportError:  # pragma: no cover
+            pass
         if C is not None:
             arrays["attr/C"] = np.asarray(C)
 
@@ -332,6 +344,12 @@ def load_model(path: str):
             (arrays["C_sparse/data"], arrays["C_sparse/indices"],
              arrays["C_sparse/indptr"]),
             shape=tuple(meta["C_sparse_shape"]))
+    elif "C_bcoo_shape" in meta:
+        from jax.experimental import sparse as jsparse
+        obj.C = jsparse.BCOO(
+            (jnp.asarray(arrays["C_bcoo/data"]),
+             jnp.asarray(arrays["C_bcoo/indices"])),
+            shape=tuple(meta["C_bcoo_shape"]))
     elif "attr/C" in arrays:
         obj.C = jnp.asarray(arrays["attr/C"])
 

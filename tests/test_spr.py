@@ -429,6 +429,20 @@ class TestVectorPlacement:
             self.spr.optimal_placement(calc_type="vdg", n_sensors=6,
                                        d_min=10.0)
 
+    def test_vdg_mid_run_exhaustion_without_duplicate_raises(self):
+        """Regression: exhaustion on the FIRST dead step picks argmax-of-
+        -inf = index 0, which is not a duplicate — the -inf step score must
+        still raise (and never return points violating d_min/mask)."""
+        from openmeasure_tpu.sensing.vector import vector_dg_select
+        rng = np.random.default_rng(7)
+        Ur = rng.standard_normal((8, 3))          # p=2, 4 points
+        xyz = 0.05 * rng.random((4, 3))           # all within 0.1
+        with pytest.raises(ValueError, match="ran out of candidates"):
+            vector_dg_select(Ur, 2, 2, xyz=xyz, d_min=5.0)
+        mask = np.array([False, True, True, True])
+        with pytest.raises(ValueError, match="ran out of candidates"):
+            vector_dg_select(Ur, 2, 2, mask=mask, xyz=xyz, d_min=5.0)
+
     def test_vdg_exhaustion_raises(self):
         self.spr.fit(select_modes="number", n_modes=3)
         mask = np.zeros(self.n_points, dtype=bool)

@@ -161,12 +161,15 @@ STREAMABLE_TYPES = ["std", "none", "pareto", "vast", "range", "level",
                     "vast_4", "l2-norm", "median"]
 
 
-def fit_pair(X, n_features, chunk_rows=17, refine=1, engine="host", **kw):
+def fit_pair(X, n_features, chunk_rows=17, refine=None, engine="host", **kw):
     rom = ROM(X, n_features, None)
     rom.fit(**kw)
     srom = StreamingROM(ArrayStore(X), n_features, chunk_rows=chunk_rows,
                         dtype=np.float64)
-    srom.fit(refine=refine, engine=engine, **kw)
+    if engine == "device":
+        srom.fit(refine=1 if refine is None else refine, engine=engine, **kw)
+    else:                      # host engine rejects the device-only knobs
+        srom.fit(engine=engine, **kw)
     return rom, srom
 
 
@@ -232,6 +235,15 @@ class TestStreamingFitParity:
         srom = StreamingROM(ArrayStore(X.astype(np.float32)), 3)
         with pytest.raises(ValueError, match="engine"):
             srom.fit(engine="gpu")
+
+    def test_host_engine_rejects_device_knobs(self):
+        """refine/width must not be silently ignored by the host engine."""
+        X = make_X()
+        srom = StreamingROM(ArrayStore(X.astype(np.float32)), 3)
+        with pytest.raises(ValueError, match="device-engine knobs"):
+            srom.fit(refine=2)
+        with pytest.raises(ValueError, match="device-engine knobs"):
+            srom.fit(width=8)
 
     def test_refine_zero_three_passes(self):
         X = make_X()

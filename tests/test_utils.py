@@ -1058,3 +1058,60 @@ class TestDecoderSensor:
         assert S._decoder_predict_kernel._cache_size() == size
         assert not np.allclose(np.asarray(s1(y[:, 0])),
                                np.asarray(s2(y[:, 0])))
+
+
+class TestBCOOCheckpoint:
+    def test_bcoo_C_roundtrips(self, tmp_path):
+        """Regression: np.asarray(BCOO) pickles an object array that
+        load_model(allow_pickle=False) can never restore — BCOO C must be
+        stored as COO triplets like the CSR branch."""
+        import numpy as np
+        from jax.experimental import sparse as jsparse
+        import jax.numpy as jnp
+        from openmeasure_tpu import SPR
+        from openmeasure_tpu.utils.checkpoint import save_model, load_model
+        rng = np.random.default_rng(21)
+        X = rng.random((30, 6))
+        spr = SPR(X, 2, rng.random((15, 3)))
+        spr.fit(select_modes="number", n_modes=4)
+        C = np.asarray(spr.optimal_placement())
+        spr.train(jsparse.BCOO.fromdense(jnp.asarray(C)))
+        path = str(tmp_path / "bcoo.npz")
+        save_model(spr, path)
+        spr2 = load_model(path)
+        assert isinstance(spr2.C, jsparse.BCOO)
+        rows = np.argmax(C, axis=1)
+        y = np.zeros((len(rows), 3))
+        y[:, 0] = X[rows, 0]
+        y[:, 2] = rows // 15
+        a1, _ = spr.predict(y)
+        a2, _ = spr2.predict(y)
+        np.testing.assert_allclose(np.asarray(a2), np.asarray(a1),
+                                   rtol=1e-7, atol=1e-10)
+
+    def test_decoder_bcoo_C_serves_from_checkpoint(self, tmp_path):
+        import numpy as np
+        from jax.experimental import sparse as jsparse
+        import jax.numpy as jnp
+        from openmeasure_tpu import SPR
+        from openmeasure_tpu.sensing.decoder import ShallowDecoder
+        from openmeasure_tpu.serving import DecoderSensor
+        from openmeasure_tpu.utils.checkpoint import save_model
+        rng = np.random.default_rng(22)
+        X = rng.random((30, 10))
+        xyz = rng.random((15, 3))
+        spr = SPR(X, 2, xyz)
+        spr.fit(select_modes="number", n_modes=4)
+        C = np.asarray(spr.optimal_placement())
+        dec = ShallowDecoder(X, 2, xyz, hidden=(8,))
+        dec.fit(jsparse.BCOO.fromdense(jnp.asarray(C)), epochs=50)
+        path = str(tmp_path / "dec_bcoo.npz")
+        save_model(dec, path)
+        sensor = DecoderSensor.load(path)
+        rows = np.argmax(C, axis=1)
+        y = np.zeros((len(rows), 3))
+        y[:, 0] = X[rows, 0]
+        y[:, 2] = rows // 15
+        np.testing.assert_allclose(
+            np.asarray(sensor(y[:, 0])),
+            np.asarray(dec.predict(y))[:, 0], rtol=1e-5, atol=1e-6)
