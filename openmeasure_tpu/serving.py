@@ -815,7 +815,8 @@ class DecoderSensor:
     def __call__(self, y_values) -> jax.Array:
         """One request: sensor values (s,) → field (n,)."""
         y = jnp.asarray(y_values, self._state["X_cnt"].dtype)
-        return _decoder_predict_kernel(self._state, y[None, :])[0]
+        out = _decoder_predict_kernel(self._state, y[None, :])[0]
+        return out[: self.n] if out.shape[0] != self.n else out
 
     def predict_batch(self, Y_values) -> jax.Array:
         """Batched inference: (b, s) → fields (b, n) in one dispatch."""
@@ -823,8 +824,48 @@ class DecoderSensor:
         if Y.ndim != 2 or Y.shape[1] != self.s:
             raise ValueError(
                 f"Y_values must be (batch, s={self.s}); got {Y.shape}.")
-        return _decoder_predict_kernel(self._state, Y)
+        out = _decoder_predict_kernel(self._state, Y)
+        return out[:, : self.n] if out.shape[1] != self.n else out
 
     def warmup(self) -> "DecoderSensor":
         _ = self(jnp.zeros((self.s,))).block_until_ready()
         return self
+
+    def shard(self, mesh, axis_name: str = "state") -> "DecoderSensor":
+        """Multi-chip serving: copy with the n-sized state sharded over
+        ``mesh`` — the output layer's COLUMNS (plus its bias and the
+        unscaling vectors) split across chips, so the dominant
+        (hidden × n) matmul runs shard-local with no collectives (the
+        hidden activations are replicated, tiny).  Non-divisible n is
+        padded with inert columns (zero weights/center, unit scale) and
+        the field output sliced back — results identical to the
+        single-device sensor (parity tested)."""
+        import copy
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        size = mesh.shape[axis_name]
+        n0 = self.n
+        pad = -(-n0 // size) * size - n0
+
+        def put(x, spec):
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        *hidden, (W_out, b_out) = self._state["layers"]
+        if pad:
+            W_out = jnp.pad(W_out, ((0, 0), (0, pad)))
+            b_out = jnp.pad(b_out, (0, pad))
+        layers = tuple((put(W, P()), put(b, P())) for W, b in hidden) + (
+            (put(W_out, P(None, axis_name)), put(b_out, P(axis_name))),)
+
+        def pad1(x, v):
+            return jnp.pad(x, (0, pad), constant_values=v) if pad else x
+
+        new = copy.copy(self)
+        new._state = {
+            "layers": layers,
+            "cnt_sensors": put(self._state["cnt_sensors"], P()),
+            "scl_sensors": put(self._state["scl_sensors"], P()),
+            "X_cnt": put(pad1(self._state["X_cnt"], 0.0), P(axis_name)),
+            "X_scl": put(pad1(self._state["X_scl"], 1.0), P(axis_name)),
+        }
+        return new

@@ -437,3 +437,33 @@ class TestShardedServing:
         x2 = np.asarray(ssens(Y[0]))
         assert x1.shape == x2.shape
         np.testing.assert_allclose(x2, x1, atol=1e-5 * scale)
+
+
+def test_sharded_decoder_sensor_matches_single_device(mesh):
+    """DecoderSensor.shard column-shards the output layer; padded inert
+    columns must slice away and predictions match the unsharded sensor
+    (n = 90 is NOT divisible by the 4-way state axis)."""
+    from openmeasure_tpu import SPR
+    from openmeasure_tpu.sensing.decoder import ShallowDecoder
+    from openmeasure_tpu.serving import DecoderSensor
+    rng = np.random.default_rng(23)
+    n_points, nf = 45, 2                    # n = 90, 90 % 4 != 0
+    X = rng.random((n_points * nf, 10)).astype(np.float32)
+    xyz = rng.random((n_points, 3))
+    spr = SPR(X, nf, xyz)
+    spr.fit(select_modes="number", n_modes=4)
+    C = np.asarray(spr.optimal_placement())
+    dec = ShallowDecoder(X, nf, xyz, hidden=(8,))
+    dec.fit(C, epochs=100)
+    sensor = DecoderSensor.from_decoder(dec)
+    ssens = sensor.shard(mesh)
+    rows = np.argmax(C, axis=1)
+    Y = X[rows, :3].T                       # (3, s)
+    f1 = np.asarray(sensor.predict_batch(Y))
+    f2 = np.asarray(ssens.predict_batch(Y))
+    assert f2.shape == f1.shape == (3, n_points * nf)
+    scale = float(np.abs(f1).max())
+    np.testing.assert_allclose(f2, f1, atol=1e-6 * scale)
+    np.testing.assert_allclose(np.asarray(ssens(Y[0])),
+                               np.asarray(sensor(Y[0])),
+                               atol=1e-6 * scale)

@@ -472,3 +472,28 @@ class TestStreamingSPR:
         bad_C = np.zeros((4, X.shape[0] + 1))
         with pytest.raises(ValueError, match="columns of C"):
             sspr.train(bad_C)
+
+
+class TestStreamingServing:
+    def test_streaming_spr_packages_into_softsensor(self, tmp_path):
+        """A StreamingSPR trained out-of-core must package into the
+        compiled SoftSensor exactly like the in-core class (it IS an SPR
+        after fit: Ur/Theta/scaling all memory-resident)."""
+        from openmeasure_tpu.serving import SoftSensor
+        X = make_X(dtype=np.float32)
+        p = str(tmp_path / "x.npy")
+        np.save(p, X)
+        sspr = StreamingSPR(p, 3)
+        sspr.fit(select_modes="number", n_modes=4)
+        C = np.asarray(sspr.optimal_placement())
+        sspr.train(C)
+        sensor = SoftSensor.from_spr(sspr)
+        rows = np.argmax(C, axis=1)
+        y = np.zeros((len(rows), 3))
+        y[:, 0] = X[rows, 0]
+        y[:, 2] = rows // (X.shape[0] // 3)
+        a_eager, _ = sspr.predict(y)
+        x_eager = np.asarray(sspr.reconstruct(np.asarray(a_eager)))[:, 0]
+        x_srv = np.asarray(sensor(y[:, 0]))
+        scale = float(np.abs(x_eager).max())
+        np.testing.assert_allclose(x_srv, x_eager, atol=1e-5 * scale)
