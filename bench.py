@@ -626,13 +626,22 @@ def main():
     tmpd = tempfile.mkdtemp(prefix="omtpu_bench_stream_")
     npy_path = os.path.join(tmpd, "X3.npy")
     np.save(npy_path, np.asarray(data3d["X_train"], np.float32))
-    t_stream = np.inf
+    t_stream = t_stream_passes = np.inf
     for _ in range(2):
         srom = StreamingROM(npy_path, 9)
         t0 = time.perf_counter()
         srom.fit(select_modes="number", n_modes=R)
-        _ = float(jnp.sum(srom.Sigma_r))        # force device completion
+        # fit() returns after the host passes + upload ENQUEUE;
+        # block_until_ready lies on the tunneled device (SKILL.md), so the
+        # 95 MB basis transfer is only forced by a readback that depends
+        # on the uploaded array.  Report both: the host-pass time (the
+        # engine's real disk+BLAS cost, stable ~5-7 s) and the
+        # upload-inclusive wall (tunnel-bandwidth weather: the same 95 MB
+        # measured 5 s and 64 s hours apart — 19 vs 1.5 MB/s).
+        t_pass = time.perf_counter() - t0
+        _ = float(jnp.sum(srom.Ur[:: 100000, 0]))   # force the upload
         t_stream = min(t_stream, time.perf_counter() - t0)
+        t_stream_passes = min(t_stream_passes, t_pass)
     os.remove(npy_path)
     os.rmdir(tmpd)
     n3_rows = data3d["X_train"].shape[0]
@@ -664,7 +673,8 @@ def main():
             "gem_device_20k_10sensors_s": round(t_gem_dev, 8),
             "serving_cols_batch50_per_frame_s": round(t_srv_frame, 8),
             "streaming_fit_from_disk_1p7M_rows_s": round(t_stream, 6),
-            "streaming_rows_per_s": round(n3_rows / t_stream, 0),
+            "streaming_host_passes_s": round(t_stream_passes, 6),
+            "streaming_rows_per_s": round(n3_rows / t_stream_passes, 0),
             "reference_gem_cpu_s": round(ref_gem_time, 6),
             "gem_vs_baseline": round(ref_gem_time / t_gem, 3),
             "device": str(jax.devices()[0]),
