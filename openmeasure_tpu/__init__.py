@@ -58,4 +58,10 @@ def __getattr__(name):
         from .streaming import StreamingROM, StreamingSPR
         return {"StreamingROM": StreamingROM,
                 "StreamingSPR": StreamingSPR}[name]
+    if name == "ShallowDecoder":
+        from .sensing.decoder import ShallowDecoder
+        return ShallowDecoder
+    if name == "DecoderSensor":
+        from .serving import DecoderSensor
+        return DecoderSensor
     raise AttributeError(f"module 'openmeasure_tpu' has no attribute {name!r}")
