@@ -609,6 +609,32 @@ def main():
     t_srv_frame = slope_per_iter(
         lambda k: float(bench_loop_srv(Yb, k)), 20, reps=3) / 50.0
 
+    # --- Shallow-decoder serving (nonlinear reconstruction family): the
+    # batched DecoderSensor forward at flagship scale — the 14 QRCP sensor
+    # readings feed a (40, 45) ReLU MLP emitting the 165,258-dim field.
+    # Training epochs are kept short (this row times the compiled serving
+    # forward, not training; the 2000-epoch training cost is documented in
+    # docs/parity.md).
+    from openmeasure_tpu.sensing.decoder import ShallowDecoder
+    from openmeasure_tpu.serving import (DecoderSensor,
+                                         _decoder_predict_kernel)
+    dec_b = ShallowDecoder(np.asarray(X_train64, np.float32), n_features,
+                           data["xyz"], hidden=(40, 45))
+    dec_b.fit(C_srv, epochs=50, lr=3e-3)
+    dsensor = DecoderSensor.from_decoder(dec_b)
+    Yd = jnp.asarray(np.tile(frames.T, (13, 1))[:50], jnp.float32)
+    dstate = dsensor._state
+
+    @jax.jit
+    def bench_loop_dec(Y, k):
+        def body(i, acc):
+            out = _decoder_predict_kernel(dstate, Y + acc * 1e-30)
+            return jnp.sum(out[:, :: 4096]).astype(jnp.float32) * 1e-9
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    t_dec_frame = slope_per_iter(
+        lambda k: float(bench_loop_dec(Yd, k)), 50, reps=3) / 50.0
+
     # --- Streaming tier (out-of-core): POD fit of the 3D-scale panel
     # DIRECTLY FROM DISK (1.7M x 45 float32 = 307 MB npy; native chunk
     # loader + double-buffered prefetch, X0 never materialized; default
@@ -672,6 +698,7 @@ def main():
             "gem_placement_20k_10sensors_s": round(t_gem, 6),
             "gem_device_20k_10sensors_s": round(t_gem_dev, 8),
             "serving_cols_batch50_per_frame_s": round(t_srv_frame, 8),
+            "serving_decoder_batch50_per_frame_s": round(t_dec_frame, 9),
             "streaming_fit_from_disk_1p7M_rows_s": round(t_stream, 6),
             "streaming_host_passes_s": round(t_stream_passes, 6),
             "streaming_rows_per_s": round(n3_rows / t_stream_passes, 0),
