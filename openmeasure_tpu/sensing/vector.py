@@ -15,18 +15,32 @@ Formulation (TPU-native, one jitted fixed-shape program): instead of the
 paper's two-phase det(ΘΘᵀ)/det(ΘᵀΘ) split — whose hand-off step is ill
 posed when p does not divide r (the straddling block makes both Grams
 singular) — we run the single-phase *regularized* (Bayesian) D-optimal
-greedy: maintain W = (ΘᵀΘ + δI)⁻¹ and score every candidate block by
+greedy, scoring every candidate block by
 
-    score_j = logdet(I_p + U_j W U_jᵀ),
+    score_j = logdet(I_p + U_j (ΘᵀΘ + δI)⁻¹ U_jᵀ),
 
-selecting the argmax and updating W with the rank-p Woodbury identity.  As
-δ → 0 this reproduces the paper's behavior in both regimes — while
-s·p < r, W ≈ P_⊥/δ on the unexplored subspace, so score_j is dominated by
-the residual-volume term det(B_j B_jᵀ)/δ^p (phase-1 objective), with the
-already-explained directions acting as an O(1) tie-break; once s·p ≥ r it
-is exactly the det(ΘᵀΘ) increment (phase-2 objective).  Every step is a
-batched (n_points, p, r) einsum against the (r, r) W plus a batched p×p
-Cholesky logdet — no data-dependent shapes, no host round-trips.
+selecting the argmax.  As δ → 0 this reproduces the paper's behavior in
+both regimes — while s·p < r, (ΘᵀΘ+δI)⁻¹ ≈ P_⊥/δ on the unexplored
+subspace, so score_j is dominated by the residual-volume term
+det(B_j B_jᵀ)/δ^p (phase-1 objective), with the already-explained
+directions acting as an O(1) tie-break; once s·p ≥ r it is exactly the
+det(ΘᵀΘ) increment (phase-2 objective).
+
+Numerical structure (fp32-safe): the selected-block Gram G = ΘᵀΘ is
+ACCUMULATED (pure PSD additions), and each step takes a fresh Cholesky
+A = δI + G = LLᵀ, forms R_j = U_j L⁻ᵀ with one batched (n_points, p, r)
+einsum, and scores chol-logdet(I_p + R_j R_jᵀ) — PSD by construction.
+The earlier formulation carried W = A⁻¹ via rank-p Woodbury *downdates*;
+at the δ → 0 scales involved (‖W‖ ≈ 1/δ) the fp32 cancellation made W
+indefinite within a few steps and the Cholesky went NaN on TPU (the
+measured failure: NaN scores at step 3 of the flame-scale decoder
+example).  δ is additionally floored at 64·p·eps·max_j‖U_j‖² so that
+eigenvalue-rounding in the batched Gram stays a small fraction of the
+identity shift (in float64 the floor is ~1e-13 relative and the ``ridge``
+knob dominates; in float32 it caps κ(A) at ~s/(64·p·eps), far from
+Cholesky breakdown).  Every step is a batched einsum against an (r, r)
+triangular inverse plus a batched p×p Cholesky logdet — no data-dependent
+shapes, no host round-trips.
 
 The candidate ``mask`` restricts the searchable points WITHOUT zeroing the
 basis (deviation from the 'qr'/'dg' contract, where the reference zeroes
@@ -57,26 +71,28 @@ def _vdg_select_jit(blocks: jax.Array, alive0: jax.Array, ridge: jax.Array,
     n_points, p, r = blocks.shape
     hp = jax.lax.Precision.HIGHEST
     eye_p = jnp.eye(p, dtype=blocks.dtype)
-    W0 = jnp.eye(r, dtype=blocks.dtype) / ridge
+    eye_r = jnp.eye(r, dtype=blocks.dtype)
+    G0 = jnp.zeros((r, r), dtype=blocks.dtype)
 
     def step(i, carry):
-        W, alive, points, scores = carry
-        # batched score: logdet(I_p + U_j W U_jᵀ) via SPD Cholesky
-        T = jnp.einsum("npr,rs->nps", blocks, W, precision=hp)
-        M = jnp.einsum("nps,nqs->npq", T, blocks, precision=hp)
+        G, alive, points, scores = carry
+        # fresh factorization of A = δI + G (G accumulates PSD blocks only —
+        # no cancellation; the Woodbury-downdate carry this replaces went
+        # indefinite in fp32, see module docstring)
+        La = jnp.linalg.cholesky(ridge * eye_r + G)
+        Linv = jax.scipy.linalg.solve_triangular(La, eye_r, lower=True)
+        # batched score: logdet(I_p + U_j A⁻¹ U_jᵀ) with R_j = U_j L⁻ᵀ,
+        # M_j = R_j R_jᵀ — PSD by construction
+        T = jnp.einsum("npr,sr->nps", blocks, Linv, precision=hp)
+        M = jnp.einsum("nps,nqs->npq", T, T, precision=hp)
         M = 0.5 * (M + jnp.swapaxes(M, 1, 2))        # exact symmetry for chol
         L = jnp.linalg.cholesky(eye_p[None] + M)
         logdet = 2.0 * jnp.sum(
             jnp.log(jnp.diagonal(L, axis1=1, axis2=2)), axis=1)
         logdet = jnp.where(alive, logdet, -jnp.inf)
         j = jnp.argmax(logdet)
-        # Woodbury: W ← W − (UW)ᵀ (I_p + U W Uᵀ)⁻¹ (UW)
-        UW = T[j]                                    # (p, r)
-        K = eye_p + M[j]
-        Lk = jnp.linalg.cholesky(K)
-        KinvUW = jax.scipy.linalg.cho_solve((Lk, True), UW)
-        W = W - jnp.matmul(UW.T, KinvUW, precision=hp)
-        W = 0.5 * (W + W.T)
+        G = G + jnp.matmul(blocks[j].T, blocks[j], precision=hp)
+        G = 0.5 * (G + G.T)
         alive = alive.at[j].set(False)
         # minimum inter-probe distance: kill every point within d_min of
         # the new probe (selected point included — its distance is 0 only
@@ -85,12 +101,12 @@ def _vdg_select_jit(blocks: jax.Array, alive0: jax.Array, ridge: jax.Array,
         alive = alive & (dist >= d_min)
         points = points.at[i].set(j.astype(jnp.int32))
         scores = scores.at[i].set(logdet[j])
-        return W, alive, points, scores
+        return G, alive, points, scores
 
     points0 = jnp.zeros((n_sensors,), jnp.int32)
     scores0 = jnp.zeros((n_sensors,), blocks.dtype)
     _, _, points, scores = jax.lax.fori_loop(
-        0, n_sensors, step, (W0, alive0, points0, scores0))
+        0, n_sensors, step, (G0, alive0, points0, scores0))
     return points, scores
 
 
@@ -146,11 +162,15 @@ def vector_dg_select(Ur, n_features: int, n_sensors: int, mask=None,
     else:
         xyz_j = jnp.zeros((n_points, 3), jnp.float32)
 
-    # δ relative to the data scale: mean per-block energy / p
-    energy = float(jnp.mean(jnp.sum(blocks * blocks, axis=(1, 2)))) \
-        / n_features
-    delta = jnp.asarray(max(ridge * energy, np.finfo(np.float32).tiny),
-                        blocks.dtype)
+    # δ relative to the data scale: mean per-block energy / p, floored so
+    # Gram-rounding noise stays well below the identity shift (fp32 safety;
+    # see module docstring)
+    block_e = jnp.sum(blocks * blocks, axis=(1, 2))
+    energy = float(jnp.mean(block_e)) / n_features
+    eps = float(jnp.finfo(blocks.dtype).eps)
+    floor = 64.0 * n_features * eps * float(jnp.max(block_e))
+    delta = jnp.asarray(max(ridge * energy, floor,
+                            np.finfo(np.float32).tiny), blocks.dtype)
     points, scores = _vdg_select_jit(blocks, alive, delta, xyz_j,
                                      jnp.asarray(d_min, jnp.float32),
                                      n_sensors)

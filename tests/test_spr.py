@@ -370,6 +370,39 @@ class TestVectorPlacement:
             G = G + blocks[s_idx].T @ blocks[s_idx]
             alive[s_idx] = False
 
+    def test_vdg_fp32_long_run_stays_finite_and_matches_f64(self):
+        """Regression (TPU decoder-example failure): the Woodbury-downdated
+        W carry went indefinite in float32 within 3 steps at flame scale
+        (NaN Cholesky scores -> spurious exhaustion error).  The Gram-
+        accumulation formulation must survive a LONG fp32 run — scores
+        finite, points distinct — and agree with the float64 selection."""
+        from openmeasure_tpu.sensing.vector import vector_dg_select
+        rng = np.random.default_rng(11)
+        p, n_pts, r = 9, 2000, 14
+        # flame-like: smooth orthonormalized basis with p feature blocks
+        t = np.linspace(0, 1, n_pts)
+        cols = [np.sin((k + 1) * np.pi * t + 0.3 * f)
+                for f in range(p) for k in range(2)][:r]
+        base = np.stack(cols, axis=1)
+        Ur = np.linalg.qr(np.tile(base, (p, 1))
+                          + 0.01 * rng.standard_normal((p * n_pts, r)))[0]
+        sel32 = vector_dg_select(Ur.astype(np.float32), p, 12)
+        sel64 = vector_dg_select(Ur.astype(np.float64), p, 12)
+        assert len(set(sel32.tolist())) == 12
+        # near-ties may flip picks between dtypes; what must hold is the
+        # D-optimality QUALITY: the fp32 selection, scored in f64, reaches
+        # the f64 selection's objective
+        blocks = Ur.reshape(p, n_pts, r).transpose(1, 0, 2)
+
+        def objective(sel):
+            G = 1e-12 * np.eye(r)
+            for j in sel:
+                G += blocks[j].T @ blocks[j]
+            return np.linalg.slogdet(G)[1]
+
+        o32, o64 = objective(sel32), objective(sel64)
+        assert o32 >= o64 - 0.05 * abs(o64)
+
     def test_spr_vdg_end_to_end(self):
         """vdg placement -> train -> OLS predict reconstructs a training
         snapshot exactly once s·p >= r (full-rank X, r = m)."""
