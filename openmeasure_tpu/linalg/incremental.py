@@ -1,0 +1,153 @@
+"""Incremental thin-SVD update: append snapshot columns without a refit.
+
+The reference has NO incremental basis update — acquiring new snapshots
+means a full refit (``ROM.fit`` recomputes the SVD from scratch,
+``sparse_sensing.py:463-511``), and ``GPR.update`` (``gpr.py:603-675``)
+extends only the GP *training data*, never the POD basis it regresses onto.
+This module supplies the missing capability TPU-first, using Brand's
+rank-additive SVD update (M. Brand, "Fast low-rank modifications of the thin
+singular value decomposition", Linear Algebra Appl. 415, 2006):
+
+Given a thin factorization ``X0 ≈ U diag(S) Vt`` (rank r, U: (n, r)) and q
+new scaled columns ``Xn`` (n, q):
+
+.. code-block:: text
+
+    M   = Uᵀ Xn                      (r, q)   one narrow-panel pass
+    Res = Xn − U M                   (n, q)   residual out of span(U)
+    Q R = qr(Res)                    (n, q) thin QR
+    K   = [[diag(S), M],
+           [   0   , R ]]            ((r+q), (r+q)) — tiny
+    K   = Uk Sk Vkᵀ                  small dense SVD, replicated
+    U'  = [U  Q] Uk                  one (n, r+q) matmul pass
+    S'  = Sk
+    V'  = [[V, 0], [0, I_q]] Vk      right factors for all m+q snapshots
+
+This is EXACT (to round-off) for the matrix ``[U diag(S) Vt, Xn]``: keeping
+all r+q singular triplets reproduces the direct SVD of the concatenation;
+truncating back to rank r afterwards is the optimal rank-r approximation of
+that matrix.  All n-row work is three narrow-panel passes (M, Res, the U'
+product) plus one thin QR — O(n(r+q)) HBM traffic instead of the full
+refit's O(nm) Gram + eigh + recovery passes, and no re-read of the original
+snapshots (the streaming tier never touches the on-disk data again).
+
+On TPU everything stays in one jitted program with static shapes; the
+(r+q)-sized SVD and the QR are replicated (tiny).  Contractions run at
+HIGHEST precision — the update feeds Ur used by placement/serving, where
+bf16 operand rounding is measurable (see ``rom/rom.py`` reconstruct note).
+
+fp32 hygiene: a single classical-Gram-Schmidt re-orthogonalization pass of
+the residual against U (``reorth=True``, default) keeps ``[U Q]`` orthonormal
+to ~eps even when the new snapshots are nearly in span(U); with
+``reorth=False`` the update saves one panel pass but inherits CGS's ~eps·κ
+orthogonality loss.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("reorth",))
+def svd_append_columns(
+    U: jax.Array, S: jax.Array, Vt: jax.Array, Xn: jax.Array,
+    reorth: bool = True,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Thin-SVD update appending columns ``Xn`` to ``U diag(S) Vt``.
+
+    Returns ``(U', S', Vt')`` of the concatenated matrix with r+q triplets
+    (caller truncates).  ``Vt'`` has shape ``(r+q, m+q)``.
+    """
+    hp = jax.lax.Precision.HIGHEST
+    r = S.shape[0]
+    q = Xn.shape[1]
+    dt = U.dtype
+    Xn = Xn.astype(dt)
+
+    M = jnp.matmul(U.T, Xn, precision=hp)                    # (r, q)
+    Res = Xn - jnp.matmul(U, M, precision=hp)                # (n, q)
+    if reorth:
+        # one CGS re-orthogonalization pass: removes the O(eps·κ) component
+        # of Res still in span(U) (fp32: measurable when Xn ≈ U(·))
+        M2 = jnp.matmul(U.T, Res, precision=hp)
+        Res = Res - jnp.matmul(U, M2, precision=hp)
+        M = M + M2
+    Q, R = jnp.linalg.qr(Res)                                # thin, (n,q)/(q,q)
+
+    K = jnp.zeros((r + q, r + q), dtype=dt)
+    K = K.at[jnp.arange(r), jnp.arange(r)].set(S.astype(dt))
+    K = K.at[:r, r:].set(M)
+    K = K.at[r:, r:].set(R)
+    Uk, Sk, Vkt = jnp.linalg.svd(K)                          # tiny, replicated
+    Vk = Vkt.T                                               # (r+q, r+q)
+
+    U_new = jnp.matmul(jnp.concatenate([U, Q], axis=1), Uk,  # (n, r+q)
+                       precision=hp)
+    V_old = Vt.T                                             # (m, r)
+    V_top = jnp.matmul(V_old.astype(dt), Vk[:r, :], precision=hp)
+    V_new = jnp.concatenate([V_top, Vk[r:, :]], axis=0)      # (m+q, r+q)
+    return U_new, Sk, V_new.T
+
+
+@functools.partial(jax.jit, static_argnames=("reorth",))
+def svd_append_columns_cholqr(
+    U: jax.Array, S: jax.Array, Vt: jax.Array, Xn: jax.Array,
+    reorth: bool = True,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """:func:`svd_append_columns` with the residual orthogonalized by
+    Cholesky-QR — the SPMD-partitionable form for row-sharded bases.
+
+    ``jnp.linalg.qr`` of the (n, q) residual is not partitionable (GSPMD
+    all-gathers the panel to one device); CholQR replaces it with a
+    shard-local Gram (one (q, q) psum), a replicated Cholesky, and narrow
+    shard-local matmuls — under a ``Mesh`` the whole update lowers to
+    shard-local panel passes plus (q, q)- and (r+q, r+q)-sized collectives.
+    ``Q`` is never materialized: ``U' = U·Uk_top + Res·(R⁻¹ Uk_bot)`` folds
+    the triangular solve into the small factor.
+
+    Exactness: ``Q R ≡ Res`` holds by construction even when the residual
+    Gram is floored for rank deficiency (``Q = Res R⁻¹`` uses the same R
+    placed in K), so the factorization still reproduces the concatenation;
+    only Q's *orthonormality* degrades in near-null directions — which
+    truncation discards.  fp32 caveat: CholQR squares the residual's
+    condition number where Householder QR does not; the ``reorth`` pass
+    (default on) keeps the residual well-scaled in practice.
+    """
+    hp = jax.lax.Precision.HIGHEST
+    r = S.shape[0]
+    q = Xn.shape[1]
+    dt = U.dtype
+    Xn = Xn.astype(dt)
+
+    M = jnp.matmul(U.T, Xn, precision=hp)                    # (r, q) psum
+    Res = Xn - jnp.matmul(U, M, precision=hp)                # shard-local
+    if reorth:
+        M2 = jnp.matmul(U.T, Res, precision=hp)
+        Res = Res - jnp.matmul(U, M2, precision=hp)
+        M = M + M2
+    G_R = jnp.matmul(Res.T, Res, precision=hp)               # (q, q) psum
+    # rank-deficiency floor: new snapshots inside span(U) make G_R singular
+    eps = jnp.finfo(dt).eps
+    floor = eps * jnp.maximum(jnp.trace(G_R), jnp.finfo(dt).tiny)
+    L = jnp.linalg.cholesky(G_R + floor * jnp.eye(q, dtype=dt))
+    R = L.T                                                  # upper (q, q)
+
+    K = jnp.zeros((r + q, r + q), dtype=dt)
+    K = K.at[jnp.arange(r), jnp.arange(r)].set(S.astype(dt))
+    K = K.at[:r, r:].set(M)
+    K = K.at[r:, r:].set(R)
+    Uk, Sk, Vkt = jnp.linalg.svd(K)                          # replicated
+    Vk = Vkt.T
+
+    # R⁻¹ Uk_bot without forming Q: triangular solve on the (q, r+q) factor
+    T = jax.scipy.linalg.solve_triangular(R, Uk[r:, :], lower=False)
+    U_new = (jnp.matmul(U, Uk[:r, :], precision=hp)
+             + jnp.matmul(Res, T, precision=hp))             # (n, r+q)
+    V_old = Vt.T
+    V_top = jnp.matmul(V_old.astype(dt), Vk[:r, :], precision=hp)
+    V_new = jnp.concatenate([V_top, Vk[r:, :]], axis=0)
+    return U_new, Sk, V_new.T

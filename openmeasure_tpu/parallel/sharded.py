@@ -198,6 +198,18 @@ def sharded_vdg_select(Ur: jax.Array, n_features: int, n_sensors: int,
                             d_min=d_min)
 
 
+def sharded_update_basis(U: jax.Array, S: jax.Array, Vt: jax.Array,
+                         Xn: jax.Array, reorth: bool = True):
+    """Incremental thin-SVD basis update on a row-sharded basis (same
+    program as ``linalg.incremental.svd_append_columns_cholqr`` — CholQR
+    keeps the residual orthogonalization SPMD-partitionable: shard-local
+    panel passes plus (q, q)- and (r+q, r+q)-sized psums; a Householder QR
+    here would all-gather the (n, q) residual to one device).  Shard ``U``
+    and ``Xn`` row-wise on the mesh's state axis; small factors replicate."""
+    from ..linalg.incremental import svd_append_columns_cholqr
+    return svd_append_columns_cholqr(U, S, Vt, Xn, reorth=reorth)
+
+
 def sharded_gpr_train(mesh: Mesh, P0: jax.Array, Vr: jax.Array,
                       max_iter: int = 1000, rel_error: float = 1e-5,
                       lr: float = 0.1):

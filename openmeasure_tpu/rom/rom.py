@@ -188,6 +188,84 @@ class ROM:
         self.Vr = Ar / Sigma_r[None, :]
         self.Sigma_r = Sigma_r
 
+    def update_basis(self, X_new, select_modes: str = "number",
+                     n_modes=None, reorth: bool = True):
+        """Append new snapshots and update the POD basis incrementally.
+
+        Capability beyond the reference: acquiring new snapshots there means
+        a full refit (``ROM.fit`` recomputes the SVD from scratch,
+        ``sparse_sensing.py:463-511``) and ``GPR.update`` (``gpr.py:603-675``)
+        extends only the GP training data, never the basis.  This uses
+        Brand's rank-additive SVD update
+        (:func:`openmeasure_tpu.linalg.incremental.svd_append_columns`):
+        three narrow (n, r+q) panel passes + a tiny replicated SVD, no
+        re-read of the original snapshots — exact (to round-off) for the
+        rank-r matrix the current factorization represents.
+
+        Semantics:
+
+        * **Frozen scaling statistics** — ``X_new`` is scaled with the stats
+          from :meth:`fit` (the same contract as ``GPR.update`` scaling new
+          parameters with stored stats, ``gpr.py:630-632``).  A full refit
+          would recompute means/scales over the enlarged set; after many
+          updates drift the stats by refitting.
+        * Rank selection: ``n_modes=None`` keeps the current rank r;
+          otherwise ``select_modes``/``n_modes`` choose as in :meth:`fit`
+          (``'variance'`` uses the *retained* energy — the tail discarded by
+          the original truncation is gone).
+        * Requires an unmodified POD factorization: call after :meth:`fit`.
+          After :meth:`CPOD` the coefficients are constrained projections,
+          not ``V diag(S)``, and the update would silently discard that —
+          re-run CPOD after updating if constrained coefficients are needed.
+
+        Updates ``X, X0, Ur, Ar, Vr, Sigma_r, r`` in place.
+        """
+        if not hasattr(self, "Ur"):
+            raise AttributeError(
+                "The fit function has to be called before update_basis.")
+        from ..linalg import incremental as _inc
+
+        X_new = np.asarray(X_new) if not isinstance(X_new, jax.Array) \
+            else X_new
+        if X_new.ndim == 1:
+            X_new = X_new[:, None]
+        if X_new.shape[0] != self.X.shape[0]:
+            raise ValueError(
+                f"X_new has {X_new.shape[0]} rows; expected "
+                f"{self.X.shape[0]} (the fitted snapshot dimension).")
+
+        Xn = _as_device(X_new).astype(self.Ur.dtype)
+        X0n = (Xn - self.X_cnt) / self.X_scl
+        self._update_basis_core(X0n, select_modes, n_modes, reorth)
+
+        if isinstance(self.X, np.ndarray):
+            self.X = np.concatenate([self.X, np.asarray(X_new)], axis=1)
+        else:
+            self.X = jnp.concatenate(
+                [_as_device(self.X), Xn.astype(_as_device(self.X).dtype)],
+                axis=1)
+        if hasattr(self, "X0"):
+            self.X0 = jnp.concatenate([self.X0, X0n], axis=1)
+
+    def _update_basis_core(self, X0n, select_modes, n_modes, reorth):
+        """Shared update math (in-core + streaming): Brand update of the
+        current (Ur, Sigma_r, Vr) triple with the pre-scaled columns X0n,
+        rank selection, attribute writes."""
+        from ..linalg import incremental as _inc
+        U2, S2, Vt2 = _inc.svd_append_columns(
+            self.Ur, self.Sigma_r, self.Vr.T, X0n, reorth=reorth)
+        if n_modes is None:
+            r_new = min(self.r, S2.shape[0])
+        else:
+            exp_var = _svd.explained_variance(S2)
+            r_new = _svd.select_rank(exp_var, select_modes, n_modes,
+                                     S2.shape[0])
+        self.r = r_new
+        self.Ur = U2[:, :r_new]
+        self.Sigma_r = S2[:r_new]
+        self.Vr = Vt2.T[:, :r_new]
+        self.Ar = self.Vr * self.Sigma_r[None, :]
+
     def reconstruct(self, Ar, sampling=None):
         """``X_rec = Ur @ Arᵀ`` (optionally sampled), unscaled column-wise in
         one fused pass."""

@@ -208,6 +208,25 @@ class SPR(ROM):
                                          compute_uv=False)
             self.k = float(S_theta[0] / S_theta[-1])
 
+    def update_basis(self, X_new, select_modes: str = "number",
+                     n_modes=None, reorth: bool = True):
+        """Incremental basis update (see :meth:`ROM.update_basis`) that keeps
+        a trained sensor consistent: ``Theta = C @ Ur`` is re-derived from
+        the stored measurement operator (the cached ``C @ X_cnt`` centering
+        stays valid — update_basis freezes the scaling stats).  A sensor
+        trained with ``is_Theta=True`` supplied a Theta encoding the OLD
+        basis; it is invalidated and :meth:`train` must be called again."""
+        super().update_basis(X_new, select_modes=select_modes,
+                             n_modes=n_modes, reorth=reorth)
+        self._refresh_theta_after_update()
+
+    def _refresh_theta_after_update(self):
+        if getattr(self, "Theta", None) is not None:
+            if getattr(self, "C", None) is not None:
+                self.Theta = apply_sampling(self.C, self.Ur)
+            else:
+                del self.Theta   # is_Theta path: predict re-raises "train"
+
     def fit_predict(self, C, y, scale_type: str = "std",
                     select_modes: str = "variance", n_modes=99, **train_kw):
         """Convenience: fit + train + predict in one call.

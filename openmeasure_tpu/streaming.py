@@ -890,8 +890,10 @@ class StreamingROM(ROM):
         """Streaming variant reuses the fitted full-width spectrum (the
         influence functional needs only ``S`` and ``V`` — ``(m,)``/``(m, m)``
         — not the panel).  Requires ``scale_type`` to match the fit's."""
-        if not hasattr(self, "_S_full"):
-            raise RuntimeError("call fit() before adaptive_sampling")
+        if getattr(self, "_S_full", None) is None:
+            raise RuntimeError(
+                "call fit() before adaptive_sampling (an update_basis "
+                "invalidates the fitted full-width spectrum — refit)")
         if scale_type != self.scale_type:
             raise NotImplementedError(
                 "StreamingROM.adaptive_sampling reuses the fitted spectrum; "
@@ -925,9 +927,68 @@ class StreamingROM(ROM):
         return sample[np.argmax(pot), :]
 
 
+    def update_basis(self, X_new, select_modes: str = "number",
+                     n_modes=None, reorth: bool = True):
+        """Incremental basis update without touching the original store.
+
+        ``X_new`` may be an in-RAM ``(n, q)`` array or any
+        :class:`SnapshotStore` source (an ``.npy`` path, a list of
+        per-snapshot column files); new snapshots are streamed in row
+        chunks, scaled with the FROZEN fit statistics, and appended via
+        Brand's update (:meth:`ROM.update_basis` semantics) — the original
+        snapshots are never re-read, which is the point of the streaming
+        tier: assimilating q new snapshots costs O(n(r+q)) regardless of
+        how many are already folded in.  The scaled ``(n, q)`` panel is
+        materialized (same size class as the resident basis).
+
+        The fitted full-width spectrum kept for ``adaptive_sampling`` no
+        longer describes the enlarged set and is invalidated — refit to
+        refresh it.
+        """
+        if not hasattr(self, "Ur"):
+            raise AttributeError(
+                "The fit function has to be called before update_basis.")
+        n = self.store.shape[0]
+        if isinstance(X_new, (np.ndarray, jax.Array)):
+            Xn_h = np.asarray(X_new, dtype=self.dtype)
+            if Xn_h.ndim == 1:
+                Xn_h = Xn_h[:, None]
+            if Xn_h.shape[0] != n:
+                raise ValueError(
+                    f"X_new has {Xn_h.shape[0]} rows; expected {n} "
+                    f"(the fitted snapshot dimension).")
+        else:
+            new_store = open_store(X_new)
+            if new_store.shape[0] != n:
+                raise ValueError(
+                    f"new source has {new_store.shape[0]} rows; expected "
+                    f"{n} (the fitted snapshot dimension).")
+            Xn_h = np.empty((n, new_store.shape[1]), dtype=self.dtype)
+            for row0, chunk in iter_chunks(new_store, self.chunk_rows,
+                                           self.dtype, self.prefetch):
+                Xn_h[row0:row0 + chunk.shape[0]] = chunk
+        cnt_h = np.asarray(self.X_cnt)[:, 0]
+        scl_h = np.asarray(self.X_scl)[:, 0]
+        X0n = jnp.asarray((Xn_h - cnt_h[:, None]) / scl_h[:, None],
+                          dtype=self.Ur.dtype)
+        self._update_basis_core(X0n, select_modes, n_modes, reorth)
+        self._n_appended = getattr(self, "_n_appended", 0) + X0n.shape[1]
+        # full-width spectrum no longer matches the enlarged snapshot set
+        self._S_full = None
+        self._V_full = None
+
+
 class StreamingSPR(StreamingROM, SPR):
     """Out-of-core :class:`SPR`: streaming fit + the standard placement /
     train / predict stack (all of which consume only the memory-resident
     reduced quantities).  MRO: fit/CPOD from :class:`StreamingROM`;
     placement, train, predict, scale_vector from :class:`SPR`."""
-    pass
+
+    def update_basis(self, X_new, select_modes: str = "number",
+                     n_modes=None, reorth: bool = True):
+        """Streaming update (:meth:`StreamingROM.update_basis`) that also
+        re-derives a trained sensor's ``Theta = C @ Ur``
+        (:meth:`SPR.update_basis` semantics)."""
+        StreamingROM.update_basis(self, X_new, select_modes=select_modes,
+                                  n_modes=n_modes, reorth=reorth)
+        self._refresh_theta_after_update()

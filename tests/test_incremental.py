@@ -1,0 +1,307 @@
+"""Incremental thin-SVD basis updates (linalg.incremental + ROM.update_basis).
+
+The reference has no incremental update (a full refit recomputes the SVD,
+``sparse_sensing.py:463-511``) — correctness here is against direct
+numpy SVD oracles of the matrix the update claims to factorize.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from openmeasure_tpu.linalg.incremental import svd_append_columns
+from openmeasure_tpu import ROM, SPR
+
+
+def _thin_svd(X):
+    U, S, Vt = np.linalg.svd(X, full_matrices=False)
+    return U, S, Vt
+
+
+class TestSvdAppendColumns:
+    def test_full_rank_exact_vs_direct_svd(self):
+        rng = np.random.default_rng(0)
+        A = rng.standard_normal((60, 8))
+        B = rng.standard_normal((60, 3))
+        U, S, Vt = _thin_svd(A)
+        U2, S2, Vt2 = svd_append_columns(jnp.asarray(U), jnp.asarray(S),
+                                         jnp.asarray(Vt), jnp.asarray(B))
+        S_ref = np.linalg.svd(np.concatenate([A, B], axis=1),
+                              compute_uv=False)
+        np.testing.assert_allclose(np.asarray(S2), S_ref, rtol=1e-10)
+        # the factorization reproduces the concatenation exactly
+        rec = np.asarray(U2) @ np.diag(np.asarray(S2)) @ np.asarray(Vt2)
+        np.testing.assert_allclose(rec, np.concatenate([A, B], axis=1),
+                                   atol=1e-10)
+
+    def test_truncated_start_exact_for_represented_matrix(self):
+        rng = np.random.default_rng(1)
+        A = rng.standard_normal((50, 7))
+        B = rng.standard_normal((50, 2))
+        U, S, Vt = _thin_svd(A)
+        r = 4
+        Ur, Sr, Vtr = U[:, :r], S[:r], Vt[:r, :]
+        U2, S2, Vt2 = svd_append_columns(jnp.asarray(Ur), jnp.asarray(Sr),
+                                         jnp.asarray(Vtr), jnp.asarray(B))
+        # exact statement: the update factorizes [Ur Sr Vtr, B]
+        M_rep = np.concatenate([Ur @ np.diag(Sr) @ Vtr, B], axis=1)
+        S_ref = np.linalg.svd(M_rep, compute_uv=False)
+        np.testing.assert_allclose(np.asarray(S2), S_ref[:r + 2], rtol=1e-10)
+        rec = np.asarray(U2) @ np.diag(np.asarray(S2)) @ np.asarray(Vt2)
+        np.testing.assert_allclose(rec, M_rep, atol=1e-10)
+
+    def test_orthonormal_even_when_in_span(self):
+        # new columns (numerically) inside span(U): the residual QR is rank-
+        # deficient; U' must stay orthonormal and the junk singular values ~0
+        rng = np.random.default_rng(2)
+        A = rng.standard_normal((40, 5))
+        U, S, Vt = _thin_svd(A)
+        B = U @ rng.standard_normal((5, 2))          # exactly in span
+        U2, S2, _ = svd_append_columns(jnp.asarray(U), jnp.asarray(S),
+                                       jnp.asarray(Vt), jnp.asarray(B))
+        G = np.asarray(U2).T @ np.asarray(U2)
+        np.testing.assert_allclose(G, np.eye(7), atol=1e-8)
+        assert np.asarray(S2)[-2:].max() <= 1e-8 * np.asarray(S2)[0]
+
+    def test_right_factors_orthonormal(self):
+        rng = np.random.default_rng(3)
+        A = rng.standard_normal((30, 6))
+        B = rng.standard_normal((30, 2))
+        U, S, Vt = _thin_svd(A)
+        _, _, Vt2 = svd_append_columns(jnp.asarray(U), jnp.asarray(S),
+                                       jnp.asarray(Vt), jnp.asarray(B))
+        V2 = np.asarray(Vt2).T
+        np.testing.assert_allclose(V2.T @ V2, np.eye(8), atol=1e-10)
+
+
+class TestCholQRVariant:
+    def test_matches_householder_variant(self):
+        from openmeasure_tpu.linalg.incremental import (
+            svd_append_columns_cholqr)
+        rng = np.random.default_rng(8)
+        A = rng.standard_normal((60, 8))
+        B = rng.standard_normal((60, 3))
+        U, S, Vt = _thin_svd(A)
+        U1, S1, Vt1 = svd_append_columns(jnp.asarray(U), jnp.asarray(S),
+                                         jnp.asarray(Vt), jnp.asarray(B))
+        U2, S2, Vt2 = svd_append_columns_cholqr(
+            jnp.asarray(U), jnp.asarray(S), jnp.asarray(Vt), jnp.asarray(B))
+        np.testing.assert_allclose(np.asarray(S2), np.asarray(S1), rtol=1e-9)
+        rec1 = np.asarray(U1) @ np.diag(np.asarray(S1)) @ np.asarray(Vt1)
+        rec2 = np.asarray(U2) @ np.diag(np.asarray(S2)) @ np.asarray(Vt2)
+        np.testing.assert_allclose(rec2, rec1, atol=1e-9)
+        G = np.asarray(U2).T @ np.asarray(U2)
+        np.testing.assert_allclose(G, np.eye(11), atol=1e-7)
+
+    def test_rank_deficient_residual_still_exact(self):
+        # new columns in span(U): the floored CholQR must still reproduce
+        # the concatenation (Q R == Res by construction)
+        from openmeasure_tpu.linalg.incremental import (
+            svd_append_columns_cholqr)
+        rng = np.random.default_rng(9)
+        A = rng.standard_normal((40, 5))
+        U, S, Vt = _thin_svd(A)
+        B = U @ rng.standard_normal((5, 2))
+        U2, S2, Vt2 = svd_append_columns_cholqr(
+            jnp.asarray(U), jnp.asarray(S), jnp.asarray(Vt), jnp.asarray(B))
+        rec = np.asarray(U2) @ np.diag(np.asarray(S2)) @ np.asarray(Vt2)
+        np.testing.assert_allclose(rec, np.concatenate([A, B], axis=1),
+                                   atol=1e-8)
+
+    def test_sharded_parity(self):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from openmeasure_tpu.parallel.sharded import (
+            make_mesh, sharded_update_basis)
+        from openmeasure_tpu.linalg.incremental import (
+            svd_append_columns_cholqr)
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        mesh = make_mesh(8, 1)
+        rng = np.random.default_rng(10)
+        A = rng.standard_normal((64, 6))
+        B = rng.standard_normal((64, 2))
+        U, S, Vt = _thin_svd(A)
+        row = NamedSharding(mesh, P("state", None))
+        with mesh:
+            Ud = jax.device_put(jnp.asarray(U), row)
+            Bd = jax.device_put(jnp.asarray(B), row)
+            U2, S2, Vt2 = sharded_update_basis(
+                Ud, jnp.asarray(S), jnp.asarray(Vt), Bd)
+            U2, S2, Vt2 = map(np.asarray, (U2, S2, Vt2))
+        U1, S1, Vt1 = map(np.asarray, svd_append_columns_cholqr(
+            jnp.asarray(U), jnp.asarray(S), jnp.asarray(Vt),
+            jnp.asarray(B)))
+        np.testing.assert_allclose(S2, S1, rtol=1e-10)
+        np.testing.assert_allclose(U2, U1, atol=1e-10)
+        np.testing.assert_allclose(Vt2, Vt1, atol=1e-10)
+
+
+class TestROMUpdateBasis:
+    def _make(self, seed=0, n_points=30, n_features=2, m=8):
+        rng = np.random.default_rng(seed)
+        n = n_points * n_features
+        X = rng.standard_normal((n, m)) * 10 + 5
+        xyz = rng.random((n_points, 3))
+        return X, xyz, rng
+
+    def test_full_rank_update_matches_direct_svd_frozen_stats(self):
+        X, xyz, rng = self._make()
+        rom = ROM(X, 2, xyz)
+        rom.fit(select_modes="number", n_modes=8)
+        Xn = rng.standard_normal((X.shape[0], 3)) * 10 + 5
+        cnt, scl = np.asarray(rom.X_cnt), np.asarray(rom.X_scl)
+        # row-centering makes the old block rank m-1 = 7, so the enlarged
+        # matrix has 10 genuine singular values; keep rank 10
+        rom.update_basis(Xn, n_modes=10)
+        # oracle: direct SVD of [X0_old, X0_new] with the FROZEN stats
+        X0_cat = np.concatenate([(X - cnt) / scl, (Xn - cnt) / scl], axis=1)
+        U_ref, S_ref, Vt_ref = _thin_svd(X0_cat)
+        np.testing.assert_allclose(np.asarray(rom.Sigma_r), S_ref[:10],
+                                   rtol=1e-9)
+        # subspace equality (up to per-mode sign) on the well-separated modes
+        dots = np.abs(np.sum(np.asarray(rom.Ur) * U_ref[:, :10], axis=0))
+        np.testing.assert_allclose(dots, np.ones(10), atol=1e-7)
+        # coefficients reproduce the scaled data: Ur @ Ar.T == X0_cat
+        rec = np.asarray(rom.Ur) @ np.asarray(rom.Ar).T
+        np.testing.assert_allclose(rec, X0_cat, atol=1e-9)
+        assert rom.X.shape == (X.shape[0], 11)
+        assert np.asarray(rom.X0).shape == (X.shape[0], 11)
+        assert rom.r == 10 and rom.Ar.shape == (11, 10)
+
+    def test_truncated_update_keeps_rank_and_tracks_new_snapshots(self):
+        # low-rank signal + small noise: the rank-4 update must absorb a new
+        # snapshot direction nearly as well as a frozen-stats refit
+        rng = np.random.default_rng(4)
+        n, m, r_true = 80, 10, 3
+        U_sig = np.linalg.qr(rng.standard_normal((n, r_true + 1)))[0]
+        X = U_sig[:, :r_true] @ rng.standard_normal((r_true, m)) * 5
+        X += 0.01 * rng.standard_normal((n, m))
+        rom = ROM(X, 2, rng.random((n // 2, 3)))
+        rom.fit(select_modes="number", n_modes=4)
+        # new snapshots excite the 4th signal direction
+        Xn = (U_sig[:, [r_true]] @ rng.standard_normal((1, 3)) * 5
+              + 0.01 * rng.standard_normal((n, 3)))
+        cnt, scl = np.asarray(rom.X_cnt), np.asarray(rom.X_scl)
+        rom.update_basis(Xn)
+        assert rom.r == 4 and rom.Ur.shape == (n, 4)
+        X0_cat = np.concatenate([(X - cnt) / scl, (Xn - cnt) / scl], axis=1)
+        rec = np.asarray(rom.Ur) @ np.asarray(rom.Ar).T
+        nrmse_up = np.linalg.norm(rec - X0_cat) / np.linalg.norm(X0_cat)
+        U_ref, S_ref, Vt_ref = _thin_svd(X0_cat)
+        rec_ref = U_ref[:, :4] @ np.diag(S_ref[:4]) @ Vt_ref[:4, :]
+        nrmse_ref = np.linalg.norm(rec_ref - X0_cat) / np.linalg.norm(X0_cat)
+        # the update started from a truncated basis, so it can only be
+        # slightly worse than the oracle rank-4 refit
+        assert nrmse_up <= nrmse_ref + 5e-3, (nrmse_up, nrmse_ref)
+
+    def test_variance_mode_selection_and_validation(self):
+        X, xyz, rng = self._make(seed=5)
+        rom = ROM(X, 2, xyz)
+        with pytest.raises(AttributeError, match="fit"):
+            rom.update_basis(X[:, :1])
+        rom.fit(select_modes="number", n_modes=5)
+        with pytest.raises(ValueError, match="rows"):
+            rom.update_basis(np.zeros((7, 2)))
+        rom.update_basis(X[:, :1] * 1.1, select_modes="variance", n_modes=99)
+        assert 1 <= rom.r <= 6
+        # 1-D new snapshot promotes to a column
+        rom.update_basis(np.asarray(X[:, 0] * 0.9))
+        assert rom.X.shape[1] == 10
+
+
+class TestStreamingUpdateBasis:
+    def _fit_both(self, X, n_features=3, n_modes=6):
+        from openmeasure_tpu.streaming import StreamingROM, ArrayStore
+        rom = ROM(X, n_features, None)
+        rom.fit(select_modes="number", n_modes=n_modes)
+        srom = StreamingROM(ArrayStore(X), n_features, chunk_rows=17,
+                            dtype=np.float64)
+        srom.fit(select_modes="number", n_modes=n_modes)
+        return rom, srom
+
+    def test_array_update_matches_incore(self):
+        rng = np.random.default_rng(11)
+        X = rng.standard_normal((120, 10)) * 4 + 2
+        rom, srom = self._fit_both(X)
+        Xn = rng.standard_normal((120, 3)) * 4 + 2
+        rom.update_basis(Xn)
+        srom.update_basis(Xn)
+        assert srom.r == rom.r
+        np.testing.assert_allclose(np.asarray(srom.Sigma_r),
+                                   np.asarray(rom.Sigma_r), rtol=1e-8)
+        dots = np.abs(np.sum(np.asarray(srom.Ur) * np.asarray(rom.Ur),
+                             axis=0))
+        np.testing.assert_allclose(dots, np.ones(rom.r), atol=1e-7)
+
+    def test_npy_source_update_and_spectrum_invalidation(self, tmp_path):
+        rng = np.random.default_rng(12)
+        X = rng.standard_normal((120, 10))
+        rom, srom = self._fit_both(X)
+        Xn = rng.standard_normal((120, 2))
+        p = str(tmp_path / "new.npy")
+        np.save(p, Xn)
+        rom.update_basis(Xn)
+        srom.update_basis(p)
+        np.testing.assert_allclose(np.asarray(srom.Sigma_r),
+                                   np.asarray(rom.Sigma_r), rtol=1e-8)
+        assert srom._n_appended == 2
+        with pytest.raises(RuntimeError, match="update_basis"):
+            srom.adaptive_sampling(rng.random((5, 2)))
+        with pytest.raises(ValueError, match="rows"):
+            srom.update_basis(np.zeros((7, 1)))
+
+    def test_streaming_spr_theta_refresh(self):
+        from openmeasure_tpu.streaming import StreamingSPR, ArrayStore
+        rng = np.random.default_rng(13)
+        n, m = 60, 8
+        X = rng.standard_normal((n, m)) * 2 + 1
+        spr = StreamingSPR(ArrayStore(X), 2, chunk_rows=13,
+                           dtype=np.float64)
+        spr.fit(select_modes="number", n_modes=m)
+        C = np.eye(n)
+        spr.train(C)
+        Xn = rng.standard_normal((n, 2)) * 2 + 1
+        spr.update_basis(Xn, n_modes=m + 1)
+        np.testing.assert_allclose(np.asarray(spr.Theta),
+                                   np.asarray(spr.Ur), atol=1e-12)
+        y = np.stack([Xn[:, 1], np.zeros(n),
+                      np.repeat([0.0, 1.0], n // 2)], axis=1)
+        Ar, _ = spr.predict(y)
+        rec = spr.reconstruct(Ar)
+        np.testing.assert_allclose(np.asarray(rec)[:, 0], Xn[:, 1],
+                                   rtol=1e-6, atol=1e-8)
+
+
+class TestSPRUpdateBasis:
+    def test_theta_refresh_and_predict_new_snapshot(self):
+        rng = np.random.default_rng(6)
+        n, m = 40, 6
+        X = rng.standard_normal((n, m)) * 3 + 1
+        spr = SPR(X, 2, rng.random((n // 2, 3)))
+        spr.fit(select_modes="number", n_modes=m)
+        C = np.eye(n)
+        spr.train(C)
+        Xn = rng.standard_normal((n, 2)) * 3 + 1
+        spr.update_basis(Xn, n_modes=m + 2)
+        np.testing.assert_allclose(np.asarray(spr.Theta),
+                                   np.asarray(spr.Ur), atol=1e-12)
+        # with C = I the new snapshot must be reconstructed exactly
+        # (reference exactness bar, tests/test_spr.py:48-60)
+        y = np.stack([Xn[:, 0], np.zeros(n),
+                      np.repeat([0.0, 1.0], n // 2)], axis=1)
+        Ar, _ = spr.predict(y)
+        rec = spr.reconstruct(Ar)
+        np.testing.assert_allclose(np.asarray(rec)[:, 0], Xn[:, 0],
+                                   rtol=1e-6, atol=1e-8)
+
+    def test_is_theta_invalidated(self):
+        rng = np.random.default_rng(7)
+        n, m = 20, 5
+        X = rng.standard_normal((n, m))
+        spr = SPR(X, 1, rng.random((n, 3)))
+        spr.fit(select_modes="number", n_modes=4)
+        spr.train(np.asarray(spr.Ur)[:4, :], is_Theta=True)
+        spr.update_basis(X[:, :1] * 1.05)
+        with pytest.raises(AttributeError):
+            spr.predict(np.zeros((4, 3)))
