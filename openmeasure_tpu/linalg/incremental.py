@@ -94,6 +94,63 @@ def svd_append_columns(
 
 
 @functools.partial(jax.jit, static_argnames=("reorth",))
+def _residual_qr(U: jax.Array, Xn: jax.Array, reorth: bool = True):
+    """Device panel passes of the update: projection M, residual thin QR."""
+    hp = jax.lax.Precision.HIGHEST
+    Xn = Xn.astype(U.dtype)
+    M = jnp.matmul(U.T, Xn, precision=hp)
+    Res = Xn - jnp.matmul(U, M, precision=hp)
+    if reorth:
+        M2 = jnp.matmul(U.T, Res, precision=hp)
+        Res = Res - jnp.matmul(U, M2, precision=hp)
+        M = M + M2
+    Q, R = jnp.linalg.qr(Res)
+    return M, Q, R
+
+
+def svd_append_columns_eager(
+    U: jax.Array, S, Vt, Xn: jax.Array, reorth: bool = True,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """:func:`svd_append_columns` with the tiny core SVD on host LAPACK
+    float64 — the accurate form on the real TPU.
+
+    TPU fp32 ``jnp.linalg.svd`` loses the SMALL singular values of an
+    ill-conditioned matrix (the known device-SVD weakness — see
+    ``SPR.predict``'s host-f64 pinv for the same reason): measured on the
+    flame-scale update (cond(K) ≈ 1e5, σ_tail/σ_1 ≈ 1e-5), the device
+    core SVD returned tail values off by up to 4.3× relative while this
+    host-core form matches the f64 oracle to ~4e-6.  The core is
+    (r+q)² ≈ 17² scalars, so the host round-trip costs nothing next to
+    the (n, r+q) panel passes, which stay on device (jitted).  Used by
+    the eager ``ROM.update_basis``; fully-jitted/sharded pipelines use
+    :func:`svd_append_columns` / :func:`svd_append_columns_cholqr`
+    (exact on CPU's LAPACK backend; on real multi-chip TPU meshes the
+    tail caveat applies — truncate well above it).
+    """
+    import numpy as np
+    dt = U.dtype
+    M, Q, R = _residual_qr(U, Xn, reorth=reorth)
+    r = int(np.asarray(S).shape[0])
+    q = int(Xn.shape[1])
+    K = np.zeros((r + q, r + q), dtype=np.float64)
+    K[np.arange(r), np.arange(r)] = np.asarray(S, dtype=np.float64)
+    K[:r, r:] = np.asarray(M, dtype=np.float64)
+    K[r:, r:] = np.asarray(R, dtype=np.float64)
+    Uk, Sk, Vkt = np.linalg.svd(K)                 # LAPACK f64, tiny
+    Vk = Vkt.T
+
+    hp = jax.lax.Precision.HIGHEST
+    U_new = jnp.matmul(jnp.concatenate([U, Q], axis=1),
+                       jnp.asarray(Uk.astype(dt)), precision=hp)
+    V_old = jnp.asarray(Vt).T.astype(dt)
+    V_top = jnp.matmul(V_old, jnp.asarray(Vk[:r, :].astype(dt)),
+                       precision=hp)
+    V_new = jnp.concatenate([V_top, jnp.asarray(Vk[r:, :].astype(dt))],
+                            axis=0)
+    return U_new, jnp.asarray(Sk.astype(dt)), V_new.T
+
+
+@functools.partial(jax.jit, static_argnames=("reorth",))
 def svd_append_columns_cholqr(
     U: jax.Array, S: jax.Array, Vt: jax.Array, Xn: jax.Array,
     reorth: bool = True,

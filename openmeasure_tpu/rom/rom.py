@@ -252,7 +252,9 @@ class ROM:
         current (Ur, Sigma_r, Vr) triple with the pre-scaled columns X0n,
         rank selection, attribute writes."""
         from ..linalg import incremental as _inc
-        U2, S2, Vt2 = _inc.svd_append_columns(
+        # eager host-f64 core SVD: accurate tail singular values on TPU
+        # (device fp32 SVD loses them at cond(K) ~ 1e5 — see incremental.py)
+        U2, S2, Vt2 = _inc.svd_append_columns_eager(
             self.Ur, self.Sigma_r, self.Vr.T, X0n, reorth=reorth)
         if n_modes is None:
             r_new = min(self.r, S2.shape[0])

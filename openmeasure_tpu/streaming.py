@@ -558,15 +558,23 @@ def _chunk_gram(chunk, cnt, scl, W=None):
     return jnp.matmul(x0.T, x0, precision=hp)
 
 
-def _finalize_basis(xp, U, colnorm, S2, V, r, n):
+def _finalize_basis(xp, U, colnorm, S2, V, r, n, norm_dtype=None):
     """Shared fit-engine epilogue — SINGLE SOURCE for the eps·max·√n
     rank-deficiency norm floor (√n is the growth rate of an n-entry norm's
     rounding error; an n-proportional floor de-normalizes real fp32 tail
     modes — see ``linalg/svd.py``), the column normalization, the sign
     canonicalization (largest-|.| entry positive, V flipped to match), and
     the full-width S assembly.  ``xp`` is numpy (host engine) or jax.numpy
-    (device engine).  Returns ``(U, sr_f64, S_f64, V_f64)``."""
-    eps = float(np.finfo(np.dtype(U.dtype)).eps)
+    (device engine).  ``norm_dtype`` is the dtype the column norms were
+    ACCUMULATED in — the floor must track that precision, not the storage
+    dtype: the host engine's float64 norms resolve genuine tail modes far
+    below fp32's eps·max·√n, and flooring those de-normalizes real basis
+    columns (measured at flagship scale: σ12–14/σ1 ≈ 1e-5 sit under the
+    fp32 floor 4.9e-5 — their U columns came out 0.2–0.5-norm, silently
+    breaking downstream orthonormal-Ur math like the incremental basis
+    update).  Defaults to ``U.dtype`` (the device engine's case).
+    Returns ``(U, sr_f64, S_f64, V_f64)``."""
+    eps = float(np.finfo(np.dtype(norm_dtype or U.dtype)).eps)
     tiny = float(np.finfo(np.dtype(U.dtype)).tiny)
     safe = xp.maximum(
         xp.maximum(colnorm, eps * xp.max(colnorm) * float(n) ** 0.5), tiny)
@@ -804,7 +812,8 @@ class StreamingROM(ROM):
             colnorm2 += np.sum(u * u, axis=0)
             U_h[row0:row0 + c] = u.astype(self.dtype)
         colnorm = np.sqrt(colnorm2)
-        U_h, sr, S, V = _finalize_basis(np, U_h, colnorm, S2, V, r, n)
+        U_h, sr, S, V = _finalize_basis(np, U_h, colnorm, S2, V, r, n,
+                                        norm_dtype=np.float64)
         self._set_spectral_attrs(jnp.asarray(U_h), sr, S, V)
 
     def _rank_from_gram(self, G, select_modes, n_modes):

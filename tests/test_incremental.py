@@ -74,6 +74,53 @@ class TestSvdAppendColumns:
         np.testing.assert_allclose(V2.T @ V2, np.eye(8), atol=1e-10)
 
 
+class TestEagerHostCoreVariant:
+    def test_matches_jitted_variant(self):
+        # the production eager path (host-f64 core SVD — accurate tails on
+        # the real TPU, see incremental.py) must agree with the jitted
+        # variant on CPU where both cores are LAPACK
+        from openmeasure_tpu.linalg.incremental import (
+            svd_append_columns_eager)
+        rng = np.random.default_rng(14)
+        A = rng.standard_normal((50, 7))
+        B = rng.standard_normal((50, 2))
+        U, S, Vt = _thin_svd(A)
+        out_j = svd_append_columns(jnp.asarray(U), jnp.asarray(S),
+                                   jnp.asarray(Vt), jnp.asarray(B))
+        out_e = svd_append_columns_eager(jnp.asarray(U), jnp.asarray(S),
+                                         jnp.asarray(Vt), jnp.asarray(B))
+        for a, b in zip(out_e, out_j):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-9)
+
+    def test_fp32_inputs_get_f64_core_accuracy(self):
+        # ill-conditioned spectrum in fp32: the host-f64 core must recover
+        # tail singular values to entry-noise accuracy
+        from openmeasure_tpu.linalg.incremental import (
+            svd_append_columns_eager)
+        rng = np.random.default_rng(15)
+        n, r = 400, 6
+        Uo = np.linalg.qr(rng.standard_normal((n, r + 2)))[0]
+        S_true = np.array([1e3, 1e2, 1e1, 1.0, 1e-2, 1e-3])
+        Vo = np.linalg.qr(rng.standard_normal((10, r)))[0]
+        A = (Uo[:, :r] * S_true) @ Vo.T
+        U, S, Vt = np.linalg.svd(A.astype(np.float32), full_matrices=False)
+        B = (Uo[:, r:] @ rng.standard_normal((2, 3))).astype(np.float32)
+        U2, S2, _ = svd_append_columns_eager(
+            jnp.asarray(U[:, :r], jnp.float32),
+            jnp.asarray(S[:r], jnp.float32),
+            jnp.asarray(Vt[:r], jnp.float32), jnp.asarray(B, jnp.float32))
+        M_rep = np.concatenate(
+            [U[:, :r].astype(np.float64) @ np.diag(S[:r].astype(np.float64))
+             @ Vt[:r].astype(np.float64), B.astype(np.float64)], axis=1)
+        S_ref = np.linalg.svd(M_rep, compute_uv=False)
+        # B spans only 2 fresh directions, so σ9 of the concat is exactly 0
+        # — compare the r+2 genuine values
+        rel = np.abs(np.asarray(S2, np.float64)[:r + 2] - S_ref[:r + 2]) \
+            / S_ref[:r + 2]
+        assert rel.max() < 1e-3, rel
+
+
 class TestCholQRVariant:
     def test_matches_householder_variant(self):
         from openmeasure_tpu.linalg.incremental import (
@@ -250,6 +297,41 @@ class TestStreamingUpdateBasis:
             srom.adaptive_sampling(rng.random((5, 2)))
         with pytest.raises(ValueError, match="rows"):
             srom.update_basis(np.zeros((7, 1)))
+
+    def test_host_engine_tail_modes_stay_unit_norm(self):
+        # regression (found driving update_basis on the TPU): genuine tail
+        # modes with sigma/sigma1 below fp32's eps*max*sqrt(n) floor were
+        # de-normalized by the host-f64 engine's epilogue, silently breaking
+        # the orthonormal-Ur premise of downstream math.  The floor must
+        # track the f64 norm-accumulation precision.
+        from openmeasure_tpu.streaming import StreamingROM, ArrayStore
+        rng = np.random.default_rng(16)
+        n, r_true = 40_000, 5
+        Uo = np.linalg.qr(rng.standard_normal((n, r_true)))[0]
+        sig = np.array([1.0, 1e-2, 1e-4, 1e-6, 1e-7])   # deep tail
+        Vo = np.linalg.qr(rng.standard_normal((8, r_true)))[0]
+        X = (Uo * sig) @ Vo.T
+        srom = StreamingROM(ArrayStore(X.astype(np.float32)), 1,
+                            chunk_rows=7000)      # default dtype=float32
+        srom.fit(scale_type="none", axis_cnt=None, select_modes="number",
+                 n_modes=r_true)
+        # centering is by the block mean here; tail ratios stay ~1e-7 <<
+        # fp32 eps*sqrt(n) = 2.4e-5, so the old floor would shrink them
+        norms = np.linalg.norm(np.asarray(srom.Ur, np.float64), axis=0)
+        np.testing.assert_allclose(norms, np.ones(r_true), atol=1e-4)
+        # and the update algebra now holds for the streamed triple
+        Xn = (Uo[:, [4]] @ rng.standard_normal((1, 2))).astype(np.float32)
+        U_f = np.asarray(srom.Ur, np.float64)
+        S_f = np.asarray(srom.Sigma_r, np.float64)
+        Vt_f = np.asarray(srom.Vr, np.float64).T
+        cnt = np.asarray(srom.X_cnt, np.float64)
+        scl = np.asarray(srom.X_scl, np.float64)
+        srom.update_basis(Xn)
+        X0n = (Xn.astype(np.float64) - cnt) / scl
+        M_rep = np.concatenate([U_f @ np.diag(S_f) @ Vt_f, X0n], axis=1)
+        S_ref = np.linalg.svd(M_rep, compute_uv=False)[: srom.r]
+        rel = np.abs(np.asarray(srom.Sigma_r, np.float64) - S_ref) / S_ref
+        assert rel.max() < 1e-3, rel
 
     def test_streaming_spr_theta_refresh(self):
         from openmeasure_tpu.streaming import StreamingSPR, ArrayStore
