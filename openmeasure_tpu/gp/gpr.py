@@ -474,6 +474,128 @@ class GPR(ROM):
             )(self.params).T
 
 
+    def update_basis(self, X_new, P_new, select_modes: str = "number",
+                     n_modes=None, reorth: bool = True,
+                     retrain: bool = False, verbose: bool = False):
+        """Assimilate new (parameter, snapshot) pairs into BOTH the POD
+        basis and the GP regression.
+
+        Capability beyond the reference: its ``GPR.update``
+        (``gpr.py:603-675``) extends only the GP training data against the
+        FROZEN basis — a basis refresh means a full refit + retrain.  Here
+        the basis absorbs the new snapshots via Brand's incremental update
+        (:meth:`ROM.update_basis` — frozen X scaling stats), and because
+        that update ROTATES every right factor, the GP targets for the
+        ORIGINAL parameter points change too: unlike :meth:`update`, the
+        whole training set is re-set (``P0_tot``, the updated ``Vr``).
+        ``P_new`` is scaled with the frozen parameter stats (the
+        :meth:`update` contract, reference ``gpr.py:630-632``).
+
+        With a trained model, the rank must stay unchanged (per-mode
+        parameter stacks are shaped (r, ...)) — pass ``n_modes`` that keeps
+        r, or call :meth:`train` afterwards for a rank change.
+        ``retrain=True`` re-runs the standard Adam/early-stop loop from the
+        CURRENT hyperparameters with the existing mean/kernel/likelihood
+        specs (warm start — a basis update perturbs targets slightly, so
+        convergence is typically a few iterations).
+        """
+        X_arr = np.asarray(X_new)
+        q = 1 if X_arr.ndim == 1 else X_arr.shape[1]
+        P_new = self._validate_update_params(P_new, q)
+        trained = hasattr(self, "params")
+        r_old = self.r
+        super().update_basis(X_new, select_modes=select_modes,
+                             n_modes=n_modes, reorth=reorth)
+        self._assimilate_params_after_update(P_new, trained, r_old,
+                                             retrain, verbose)
+
+    def _validate_update_params(self, P_new, q):
+        """Shared (in-core + streaming) validation of the arriving
+        parameter rows against the arriving snapshot count ``q``."""
+        P_new = np.atleast_2d(np.asarray(P_new))
+        if P_new.shape[0] != q:
+            raise Exception(
+                f"The number of parameters ({P_new.shape[0]}) is different"
+                f" from the number of columns of X ({q})")
+        if P_new.shape[1] != self.P.shape[1]:
+            raise ValueError(
+                f"P_new has {P_new.shape[1]} columns; expected "
+                f"{self.P.shape[1]}.")
+        return P_new
+
+    def _assimilate_params_after_update(self, P_new, trained, r_old,
+                                        retrain, verbose):
+        """GP-side bookkeeping after the basis absorbed the new snapshots:
+        extend P/P0 with frozen parameter stats, re-set the training set
+        (the update rotated every right factor), optionally warm-start
+        retrain.  Shared by :meth:`update_basis` and the streaming class."""
+        if trained and self.r != r_old:
+            raise ValueError(
+                f"update_basis changed the rank ({r_old} -> {self.r}) of a "
+                "trained model; the per-mode parameter stacks no longer "
+                "apply — call train() again (or keep n_modes=None).")
+
+        self.P = np.concatenate([np.asarray(self.P), P_new], axis=0)
+        P0_new = (jnp.asarray(P_new, dtype=jnp.asarray(self.P0).dtype)
+                  - self.P_cnt[0][None, :]) / self.P_scl[0][None, :]
+        self.P0 = jnp.concatenate([_as_device(self.P0), P0_new], axis=0)
+
+        if not trained:
+            return
+
+        P0_tot = _as_device(self.P0)
+        Vr_tot = _as_device(self.Vr)
+        self._train_X = P0_tot
+        self._train_Y = Vr_tot
+
+        if retrain:
+            if self.gpr_type == "MultiTask":
+                loss_raw = E.make_multitask_loss(
+                    self.mean, self.kernel, self.likelihood, P0_tot, Vr_tot)
+                params0_b = jax.tree_util.tree_map(lambda x: x[None],
+                                                   self.params)
+
+                def loss_fn(pb):
+                    return loss_raw(
+                        jax.tree_util.tree_map(lambda x: x[0], pb))
+
+                res = E.adam_early_stop(loss_fn, params0_b, lr=self.lr,
+                                        max_iter=self.max_iter,
+                                        rel_error=self.rel_error,
+                                        verbose=verbose)
+                self.params = jax.tree_util.tree_map(lambda x: x[0],
+                                                     res.params)
+            else:
+                loss_fn = E.make_single_task_loss(
+                    self.mean, self.kernel, self.likelihood, P0_tot,
+                    Vr_tot.T)
+                vag = E.make_single_task_value_and_grad(
+                    self.mean, self.kernel, self.likelihood, P0_tot,
+                    Vr_tot.T)
+                res = E.adam_early_stop(loss_fn, self.params, lr=self.lr,
+                                        max_iter=self.max_iter,
+                                        rel_error=self.rel_error,
+                                        verbose=verbose,
+                                        value_and_grad=vag)
+                self.params = res.params
+
+        # prior stddev at the full set with the (possibly re-optimized)
+        # hyperparameters — same bookkeeping as update()
+        if self.gpr_type == "MultiTask":
+            task_params = self.params["tasks"]
+        else:
+            task_params = self.params
+        self.Vr_sigma = jax.vmap(
+            lambda tp: E.gp_prior_stddev(self.mean, self.kernel, tp,
+                                         P0_tot))(task_params).T
+        if self.gpr_type == "MultiTask":
+            self.models = [self.params]
+        else:
+            self.models = [
+                jax.tree_util.tree_map(lambda x: x[i], self.params)
+                for i in range(self.r)]
+
+
 class PIGPR(GPR):
     """Physics-informed GPR (MultiTask-only, reference ``gpr.py:677-889``).
 
@@ -495,6 +617,22 @@ class PIGPR(GPR):
         P0_cstr = (jnp.asarray(self.P_cstr) - self.P_cnt[0][None, :]) \
             / self.P_scl[0][None, :]
         return jnp.concatenate([_as_device(self.P0), P0_cstr], axis=0)
+
+    def update_basis(self, X_new, P_new, select_modes: str = "number",
+                     n_modes=None, reorth: bool = True,
+                     retrain: bool = False, verbose: bool = False):
+        """Basis + training-set assimilation (see :meth:`GPR.update_basis`).
+        ``retrain=True`` is rejected here: the standard warm-start loop
+        would silently drop the physics-informed added-loss term — call
+        :meth:`train` after the update instead."""
+        if retrain:
+            raise ValueError(
+                "PIGPR.update_basis cannot retrain with the standard loop "
+                "(it would drop the added-loss term); update with "
+                "retrain=False and call train() again.")
+        super().update_basis(X_new, P_new, select_modes=select_modes,
+                             n_modes=n_modes, reorth=reorth,
+                             retrain=False, verbose=verbose)
 
     def _posterior_with(self, params, P0_eval):
         """Noise-inclusive posterior at P0_eval under given params —

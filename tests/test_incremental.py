@@ -355,6 +355,84 @@ class TestStreamingUpdateBasis:
                                    rtol=1e-6, atol=1e-8)
 
 
+class TestGPRUpdateBasis:
+    """Basis + GP-training-set assimilation (beyond-reference; the
+    reference's GPR.update extends data against a FROZEN basis only)."""
+
+    def _make(self):
+        # the reference's manufactured rank-1 problem (test_gpr.py:13-34
+        # there): X = U (100 Vt) + 20, V = sin(2 pi P)
+        n_points, m = 20, 10
+        P = np.linspace(0, 1, 2 * m)[:, None]
+        V = 10 * np.sin(2 * np.pi * P)
+        V = V / np.linalg.norm(V)
+        U = np.arange(1, n_points + 1, dtype=float)[:, None]
+        U = U / np.linalg.norm(U)
+        X = U @ (100 * V.T) + 20.0
+        return P, X, np.zeros((n_points, 3))
+
+    def test_untrained_update_and_validation(self):
+        from openmeasure_tpu import GPR
+        P, X, xyz = self._make()
+        gpr = GPR(X[:, :14], 1, xyz, P[:14])
+        gpr.fit(scaleX_type="none", select_modes="number", n_modes=1)
+        with pytest.raises(Exception, match="number of parameters"):
+            gpr.update_basis(X[:, 14:17], P[14:16])
+        gpr.update_basis(X[:, 14:17], P[14:17])
+        assert gpr.P.shape == (17, 1) and np.asarray(gpr.P0).shape == (17, 1)
+        assert np.asarray(gpr.Vr).shape == (17, 1)
+        # frozen-stat parameter scaling (the update contract)
+        np.testing.assert_allclose(
+            np.asarray(gpr.P0)[14:],
+            (P[14:17] - np.asarray(gpr.P_cnt)[0]) / np.asarray(gpr.P_scl)[0],
+            rtol=1e-12)
+
+    @pytest.mark.parametrize("gpr_type", ["SingleTask", "MultiTask"])
+    def test_trained_update_predicts_heldout(self, gpr_type):
+        from openmeasure_tpu import GPR
+        P, X, xyz = self._make()
+        even = np.arange(0, 20, 2)          # initial ensemble
+        upd = np.arange(1, 11, 2)           # arriving pairs
+        te = np.arange(11, 20, 2)           # held-out, interleaved
+        gpr = GPR(X[:, even], 1, xyz, P[even], gpr_type)
+        gpr.fit(scaleX_type="none", select_modes="number", n_modes=1)
+        gpr.train(max_iter=400)
+        gpr.update_basis(X[:, upd], P[upd], retrain=True)
+        assert np.asarray(gpr._train_X).shape[0] == 15
+        assert np.asarray(gpr._train_Y).shape[0] == 15
+        assert np.asarray(gpr.Vr_sigma).shape[0] == 15
+        A_pred, _ = gpr.predict(P[te])
+        X_pred = gpr.reconstruct(A_pred)
+        # reference predict bar (atol 0.5) on the never-seen points
+        np.testing.assert_allclose(X[:, te], np.asarray(X_pred), atol=5e-1)
+
+    def test_rank_change_on_trained_model_raises(self):
+        from openmeasure_tpu import GPR
+        rng = np.random.default_rng(17)
+        X = rng.standard_normal((20, 8))
+        P = rng.random((8, 2))
+        gpr = GPR(X, 1, np.zeros((20, 3)), P)
+        gpr.fit(select_modes="number", n_modes=3)
+        gpr.train(max_iter=30)
+        with pytest.raises(ValueError, match="rank"):
+            gpr.update_basis(rng.standard_normal((20, 2)), rng.random((2, 2)),
+                             select_modes="number", n_modes=5)
+
+    def test_pigpr_retrain_rejected(self):
+        from openmeasure_tpu import PIGPR
+        P, X, xyz = self._make()
+
+        def added_loss(ctx):
+            return 0.0
+
+        pig = PIGPR(X[:, :14], 1, xyz, P[:14], P[14:16], added_loss)
+        pig.fit(scaleX_type="none", select_modes="number", n_modes=1)
+        with pytest.raises(ValueError, match="added-loss"):
+            pig.update_basis(X[:, 14:16], P[14:16], retrain=True)
+        pig.update_basis(X[:, 14:16], P[14:16])
+        assert np.asarray(pig.P0).shape[0] == 16
+
+
 class TestSPRUpdateBasis:
     def test_theta_refresh_and_predict_new_snapshot(self):
         rng = np.random.default_rng(6)
@@ -376,6 +454,26 @@ class TestSPRUpdateBasis:
         rec = spr.reconstruct(Ar)
         np.testing.assert_allclose(np.asarray(rec)[:, 0], Xn[:, 0],
                                    rtol=1e-6, atol=1e-8)
+
+    def test_checkpoint_roundtrip_after_update(self, tmp_path):
+        # an updated model must save/load like a fitted one
+        from openmeasure_tpu.utils.checkpoint import save_model, load_model
+        rng = np.random.default_rng(18)
+        n, m = 30, 6
+        X = rng.standard_normal((n, m))
+        spr = SPR(X, 2, rng.random((n // 2, 3)))
+        spr.fit(select_modes="number", n_modes=4)
+        spr.train(np.eye(n))
+        spr.update_basis(rng.standard_normal((n, 2)))
+        p = str(tmp_path / "updated.npz")
+        save_model(spr, p)
+        spr2 = load_model(p)
+        np.testing.assert_allclose(np.asarray(spr2.Ur), np.asarray(spr.Ur),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(spr2.Sigma_r),
+                                   np.asarray(spr.Sigma_r), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(spr2.Theta),
+                                   np.asarray(spr.Theta), atol=1e-12)
 
     def test_is_theta_invalidated(self):
         rng = np.random.default_rng(7)
