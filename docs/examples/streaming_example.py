@@ -63,6 +63,22 @@ print(f"streamed-vs-incore subspace principal-angle cosines: "
       f"min {cosines.min():.6f}")
 assert cosines.min() > 0.999 and err < 1e-2
 
+# ---- the GP family out-of-core: StreamingGPR ------------------------------
+# the snapshot side of fit streams from the same per-snapshot files; the GP
+# consumes only the tiny reduced quantities, so train/predict/serving are
+# the in-core engines unchanged
+from openmeasure_tpu import StreamingGPR
+
+gpr = StreamingGPR(paths, n_features, xyz, data["P_train"],
+                   chunk_rows=60_000)
+gpr.fit(select_modes="number", n_modes=10)
+gpr.train(max_iter=500)
+A_pred, A_sigma = gpr.predict(data["P_test"])
+xg = np.asarray(gpr.reconstruct(np.asarray(A_pred)))
+err_gp = float(nrmse(xg[:, 0], X_test[:, 0]))
+print("streamed GPR held-out NRMSE:", err_gp)
+assert err_gp < 0.25
+
 for p in paths:
     os.remove(p)
 os.rmdir(tmp)

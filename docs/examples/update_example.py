@@ -98,3 +98,22 @@ ss.update_basis(new_paths, n_modes=r + 1)   # streams ONLY the 3 new files
 ss.train(ss.optimal_placement())
 print(f"streaming update: rank {ss.r}; new-snapshot NRMSE "
       f"{nrmse(reconstruct_from_sensors(ss, X_new[:, 0]), X_new[:, 0]):.2e}")
+
+# ---- 4. the parameter→field family: GPR.update_basis assimilates (P, X)
+# pairs — the basis grows AND the GP training targets are re-set (the
+# update rotates every right factor), with frozen parameter scaling.
+# retrain=True warm-starts from the trained hyperparameters when the rank
+# is kept (n_modes=None); growing the rank (as here, to capture the new
+# regime) drops the per-mode stacks and retrain=True trains fresh.
+from openmeasure_tpu import GPR
+
+P_tr = np.asarray(data["P_train"])
+P_new, P_hold = np.asarray(data["P_test"])[:3], np.asarray(data["P_test"])[3:]
+gpr = GPR(jnp.asarray(X), 9, data["xyz"], P_tr)
+gpr.fit(select_modes="number", n_modes=r)
+gpr.train(max_iter=300)
+gpr.update_basis(X_new, P_new, n_modes=r + 1, retrain=True)
+A_pred, _ = gpr.predict(P_new)
+rec = np.asarray(gpr.reconstruct(np.asarray(A_pred)))
+print(f"GPR update: rank {gpr.r}, training set {gpr.P0.shape[0]} points; "
+      f"assimilated-snapshot NRMSE {nrmse(rec[:, 0], X_new[:, 0]):.2e}")

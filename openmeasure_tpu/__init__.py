@@ -54,10 +54,10 @@ def __getattr__(name):
     if name == "CoKrigingSensor":
         from .serving import CoKrigingSensor
         return CoKrigingSensor
-    if name in ("StreamingROM", "StreamingSPR"):
-        from .streaming import StreamingROM, StreamingSPR
-        return {"StreamingROM": StreamingROM,
-                "StreamingSPR": StreamingSPR}[name]
+    if name in ("StreamingROM", "StreamingSPR", "StreamingGPR",
+                "StreamingPIGPR"):
+        from . import streaming
+        return getattr(streaming, name)
     if name == "ShallowDecoder":
         from .sensing.decoder import ShallowDecoder
         return ShallowDecoder

@@ -491,13 +491,16 @@ class GPR(ROM):
         ``P_new`` is scaled with the frozen parameter stats (the
         :meth:`update` contract, reference ``gpr.py:630-632``).
 
-        With a trained model, the rank must stay unchanged (per-mode
-        parameter stacks are shaped (r, ...)) — pass ``n_modes`` that keeps
-        r, or call :meth:`train` afterwards for a rank change.
-        ``retrain=True`` re-runs the standard Adam/early-stop loop from the
-        CURRENT hyperparameters with the existing mean/kernel/likelihood
-        specs (warm start — a basis update perturbs targets slightly, so
-        convergence is typically a few iterations).
+        On a trained model a rank CHANGE invalidates the per-mode parameter
+        stacks (shaped (r, ...)): the trained state is dropped, and
+        ``retrain=True`` then trains FRESH with the saved
+        mean/kernel/likelihood specs (a ``num_tasks``-bearing likelihood is
+        rebuilt at the new rank); ``retrain=False`` leaves the model
+        fitted-but-untrained — :meth:`train` must run before
+        :meth:`predict`.  With the rank unchanged, ``retrain=True``
+        re-runs the standard Adam/early-stop loop from the CURRENT
+        hyperparameters (warm start — a basis update perturbs targets
+        slightly, so convergence is typically a few iterations).
         """
         X_arr = np.asarray(X_new)
         q = 1 if X_arr.ndim == 1 else X_arr.shape[1]
@@ -529,11 +532,15 @@ class GPR(ROM):
         extend P/P0 with frozen parameter stats, re-set the training set
         (the update rotated every right factor), optionally warm-start
         retrain.  Shared by :meth:`update_basis` and the streaming class."""
-        if trained and self.r != r_old:
-            raise ValueError(
-                f"update_basis changed the rank ({r_old} -> {self.r}) of a "
-                "trained model; the per-mode parameter stacks no longer "
-                "apply — call train() again (or keep n_modes=None).")
+        rank_changed = trained and self.r != r_old
+        if rank_changed:
+            # rank change orphans the (r_old, ...) parameter stacks: drop
+            # the trained state so the model is fitted-but-untrained again
+            for a in ("params", "models", "likelihoods", "Vr_sigma",
+                      "_final_loss", "_train_X", "_train_Y"):
+                if hasattr(self, a):
+                    delattr(self, a)
+            trained = False
 
         self.P = np.concatenate([np.asarray(self.P), P_new], axis=0)
         P0_new = (jnp.asarray(P_new, dtype=jnp.asarray(self.P0).dtype)
@@ -541,6 +548,17 @@ class GPR(ROM):
         self.P0 = jnp.concatenate([_as_device(self.P0), P0_new], axis=0)
 
         if not trained:
+            if rank_changed and retrain:
+                # no (r_old, ...) stacks to warm-start from — train FRESH
+                # with the saved specs (a num_tasks-bearing likelihood is
+                # rebuilt at the new rank)
+                likelihood = self.likelihood
+                if hasattr(likelihood, "num_tasks"):
+                    likelihood = type(likelihood)(num_tasks=self.r)
+                self.train(mean=self.mean, kernel=self.kernel,
+                           likelihood=likelihood, max_iter=self.max_iter,
+                           rel_error=self.rel_error, lr=self.lr,
+                           verbose=verbose)
             return
 
         P0_tot = _as_device(self.P0)

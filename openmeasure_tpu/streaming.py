@@ -93,10 +93,12 @@ from .linalg import svd as _svd
 from .linalg import boxls as _boxls
 from .rom.rom import ROM
 from .sensing.spr import SPR
+from .gp.gpr import GPR, PIGPR
 
 __all__ = [
     "SnapshotStore", "NpyMatrixStore", "NpyColumnStore", "ArrayStore",
     "open_store", "iter_chunks", "StreamingROM", "StreamingSPR",
+    "StreamingGPR", "StreamingPIGPR",
 ]
 
 
@@ -1001,3 +1003,112 @@ class StreamingSPR(StreamingROM, SPR):
         StreamingROM.update_basis(self, X_new, select_modes=select_modes,
                                   n_modes=n_modes, reorth=reorth)
         self._refresh_theta_after_update()
+
+
+class StreamingGPR(StreamingROM, GPR):
+    """Out-of-core :class:`GPR`: the snapshot side of ``fit`` runs the
+    streaming decomposition (the GP itself only ever consumes the tiny
+    reduced quantities ``Vr`` ``(m, r)`` and the scaled parameters ``P0``
+    ``(m, d)``, so train / predict / update / reconstruct / serving are
+    inherited from :class:`GPR` unchanged — reference ``gpr.py:404-675``
+    semantics on a snapshot matrix that never fits in RAM).
+
+    MRO: fit spectral passes and ``update_basis`` engine from
+    :class:`StreamingROM`; everything GP from :class:`GPR`.
+    """
+
+    def __init__(self, source, n_features, xyz, P,
+                 gpr_type: str = "SingleTask", chunk_rows=None,
+                 dtype=np.float32, prefetch: int = 2):
+        StreamingROM.__init__(self, source, n_features, xyz,
+                              chunk_rows=chunk_rows, dtype=dtype,
+                              prefetch=prefetch)
+        P = np.atleast_2d(np.asarray(P))
+        self.P = P
+        self.gpr_type = gpr_type
+        if P.shape[0] != self.store.shape[1]:
+            # reference GPR ctor validation (gpr.py:214-217)
+            raise Exception(
+                f"The number of parameters ({P.shape[0]}) is different"
+                f" from the number of columns of X ({self.store.shape[1]})")
+
+    def fit(self, scaleX_type: str = "std", scaleP_type: str = "std",
+            axis_cnt: Optional[int] = 1, select_modes: str = "variance",
+            n_modes=99, verbose: bool = False, basis=None,
+            refine: Optional[int] = None, width: Optional[int] = None,
+            config=None, engine: str = "host"):
+        """Streaming ``GPR.fit``: :meth:`StreamingROM.fit` for the X side
+        (scaling stats + spectral passes over the store; ``engine`` /
+        ``refine`` / ``width`` as there), then the standard parameter
+        scaling.  ``config`` overrides kwargs like :meth:`GPR.fit` (its
+        ``scale_type`` applies to both X and P)."""
+        if config is not None:
+            scaleX_type = config.scale_type
+            scaleP_type = config.scale_type
+            axis_cnt = config.axis_cnt
+            select_modes = config.select_modes
+            n_modes = config.n_modes
+        self.scaleX_type = scaleX_type
+        self.scaleP_type = scaleP_type
+        self.select_modes = select_modes
+        self.n_modes = n_modes
+        self.verbose = verbose
+        StreamingROM.fit(self, scale_type=scaleX_type, axis_cnt=axis_cnt,
+                         select_modes=select_modes, n_modes=n_modes,
+                         basis=basis, refine=refine, width=width,
+                         engine=engine)
+        self.d = self.P.shape[1]
+        self.P0 = self.scale_GPR_data(self.P, scaleP_type)
+
+    def update_basis(self, X_new, P_new, select_modes: str = "number",
+                     n_modes=None, reorth: bool = True,
+                     retrain: bool = False, verbose: bool = False):
+        """Streaming basis + GP-training-set assimilation:
+        :meth:`StreamingROM.update_basis` for the snapshot side (``X_new``
+        may be an array or any store source — only the NEW snapshots are
+        read), then the :meth:`GPR.update_basis` bookkeeping (frozen
+        parameter stats, re-set training set, optional warm-start
+        retrain)."""
+        if isinstance(X_new, (np.ndarray, jax.Array)):
+            q = 1 if np.ndim(X_new) == 1 else np.shape(X_new)[1]
+        else:
+            q = open_store(X_new).shape[1]
+        P_new = self._validate_update_params(P_new, q)
+        trained = hasattr(self, "params")
+        r_old = self.r
+        StreamingROM.update_basis(self, X_new, select_modes=select_modes,
+                                  n_modes=n_modes, reorth=reorth)
+        self._assimilate_params_after_update(P_new, trained, r_old,
+                                             retrain, verbose)
+
+
+class StreamingPIGPR(StreamingGPR, PIGPR):
+    """Out-of-core :class:`PIGPR`: streamed snapshot side
+    (:meth:`StreamingGPR.fit`), physics-informed added-loss training and
+    prediction from :class:`PIGPR` (MRO: StreamingGPR -> StreamingROM ->
+    PIGPR -> GPR)."""
+
+    def __init__(self, source, n_features, xyz, P, P_cstr, AddedLoss,
+                 chunk_rows=None, dtype=np.float32, prefetch: int = 2):
+        StreamingGPR.__init__(self, source, n_features, xyz, P,
+                              gpr_type="MultiTask", chunk_rows=chunk_rows,
+                              dtype=dtype, prefetch=prefetch)
+        self.P_cstr = P_cstr
+        self.AddedLoss = AddedLoss
+
+    def update_basis(self, X_new, P_new, select_modes: str = "number",
+                     n_modes=None, reorth: bool = True,
+                     retrain: bool = False, verbose: bool = False):
+        """Streaming assimilation with :meth:`PIGPR.update_basis`'s
+        contract — ``retrain=True`` is rejected (the standard warm-start
+        loop would drop the added-loss term; call :meth:`train` after the
+        update instead)."""
+        if retrain:
+            raise ValueError(
+                "PIGPR.update_basis cannot retrain with the standard loop "
+                "(it would drop the added-loss term); update with "
+                "retrain=False and call train() again.")
+        StreamingGPR.update_basis(self, X_new, P_new,
+                                  select_modes=select_modes,
+                                  n_modes=n_modes, reorth=reorth,
+                                  retrain=False, verbose=verbose)

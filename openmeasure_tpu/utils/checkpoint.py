@@ -116,6 +116,11 @@ def save_model(obj, path: str, include_data: bool = False,
         if hasattr(obj, a):
             meta[a] = getattr(obj, a)
     if include_data and hasattr(obj, "X"):
+        if not isinstance(obj.X, (np.ndarray,)) and not hasattr(obj.X,
+                                                                "__array__"):
+            raise ValueError(
+                "include_data=True needs an in-core X; streaming models "
+                "keep snapshots on disk — save with include_data=False.")
         arrays["attr/X"] = np.asarray(obj.X)
 
     if hasattr(obj, "limits") and getattr(obj, "limits") is not None:
@@ -293,11 +298,14 @@ def load_model(path: str):
         m = int(arrays["attr/Ar"].shape[0]) if "attr/Ar" in arrays else 1
         X = np.zeros((n, m))
 
-    if cls_name == "ROM":
+    # streaming classes hold no in-core X; after fit they ARE their in-core
+    # equivalents (all reduced state memory-resident), so they restore as
+    # the in-core class — loading never needs the original snapshot store
+    if cls_name in ("ROM", "StreamingROM"):
         obj = ROM(X, n_features, xyz)
-    elif cls_name == "SPR":
+    elif cls_name in ("SPR", "StreamingSPR"):
         obj = SPR(X, n_features, xyz)
-    elif cls_name in ("GPR", "PIGPR"):
+    elif cls_name in ("GPR", "PIGPR", "StreamingGPR", "StreamingPIGPR"):
         from ..gp.gpr import GPR
         P = arrays.get("attr/P")
         obj = GPR(X, n_features, xyz,

@@ -406,17 +406,40 @@ class TestGPRUpdateBasis:
         # reference predict bar (atol 0.5) on the never-seen points
         np.testing.assert_allclose(X[:, te], np.asarray(X_pred), atol=5e-1)
 
-    def test_rank_change_on_trained_model_raises(self):
+    @pytest.mark.parametrize("gpr_type", ["SingleTask", "MultiTask"])
+    def test_rank_change_on_trained_model(self, gpr_type):
+        """Rank growth on a trained model drops the (r_old, ...) parameter
+        stacks: retrain=False leaves the model fitted-but-untrained;
+        retrain=True trains FRESH at the new rank (MultiTask rebuilds the
+        num_tasks likelihood)."""
         from openmeasure_tpu import GPR
         rng = np.random.default_rng(17)
         X = rng.standard_normal((20, 8))
         P = rng.random((8, 2))
-        gpr = GPR(X, 1, np.zeros((20, 3)), P)
+        gpr = GPR(X, 1, np.zeros((20, 3)), P, gpr_type)
         gpr.fit(select_modes="number", n_modes=3)
         gpr.train(max_iter=30)
-        with pytest.raises(ValueError, match="rank"):
-            gpr.update_basis(rng.standard_normal((20, 2)), rng.random((2, 2)),
-                             select_modes="number", n_modes=5)
+        X_new, P_new = rng.standard_normal((20, 2)), rng.random((2, 2))
+        gpr.update_basis(X_new, P_new, select_modes="number", n_modes=5)
+        assert gpr.r == 5 and not hasattr(gpr, "params")
+        assert np.asarray(gpr.P0).shape[0] == 10
+        gpr.train(max_iter=30)
+        A, _ = gpr.predict(P_new)
+        assert np.asarray(A).shape == (2, 5)
+        assert np.all(np.isfinite(np.asarray(A)))
+
+        # retrain=True at a rank change: fresh training at the new rank
+        gpr2 = GPR(X, 1, np.zeros((20, 3)), P, gpr_type)
+        gpr2.fit(select_modes="number", n_modes=3)
+        gpr2.train(max_iter=30)
+        gpr2.update_basis(X_new, P_new, select_modes="number", n_modes=5,
+                          retrain=True)
+        assert gpr2.r == 5 and hasattr(gpr2, "params")
+        if gpr_type == "MultiTask":
+            assert gpr2.likelihood.num_tasks == 5
+        A2, _ = gpr2.predict(P_new)
+        np.testing.assert_allclose(np.asarray(A2), np.asarray(A),
+                                   rtol=1e-4, atol=1e-6)
 
     def test_pigpr_retrain_rejected(self):
         from openmeasure_tpu import PIGPR

@@ -497,3 +497,156 @@ class TestStreamingServing:
         x_srv = np.asarray(sensor(y[:, 0]))
         scale = float(np.abs(x_eager).max())
         np.testing.assert_allclose(x_srv, x_eager, atol=1e-5 * scale)
+
+
+class TestStreamingGPR:
+    """Out-of-core GPR: the snapshot side streams, the GP side is the
+    in-core engine — fit/train/predict/update_basis must match the in-core
+    GPR on identical data."""
+
+    def _make(self, n_points=30, m=10):
+        # the reference's manufactured rank-1 GP problem (test_gpr.py:13-34
+        # there): X = U (100 Vt) + 20, V = sin(2 pi P)
+        P = np.linspace(0, 1, 2 * m)[:, None]
+        V = 10 * np.sin(2 * np.pi * P)
+        V = V / np.linalg.norm(V)
+        U = np.arange(1, n_points + 1, dtype=float)[:, None]
+        U = U / np.linalg.norm(U)
+        X = U @ (100 * V.T) + 20.0
+        return P, X, np.zeros((n_points, 3))
+
+    def test_ctor_validation(self):
+        from openmeasure_tpu import StreamingGPR
+        P, X, xyz = self._make()
+        with pytest.raises(Exception, match="number of parameters"):
+            StreamingGPR(ArrayStore(X[:, :10]), 1, xyz, P[:9])
+
+    def test_fit_train_predict_matches_incore(self, tmp_path):
+        from openmeasure_tpu import GPR, StreamingGPR
+        P, X, xyz = self._make()
+        tr, te = np.arange(0, 20, 2), np.arange(1, 20, 2)
+        p = str(tmp_path / "x.npy")
+        np.save(p, X[:, tr])
+
+        gpr = GPR(X[:, tr], 1, xyz, P[tr])
+        gpr.fit(scaleX_type="none", select_modes="number", n_modes=1)
+        sgpr = StreamingGPR(p, 1, xyz, P[tr], chunk_rows=7,
+                            dtype=np.float64)
+        sgpr.fit(scaleX_type="none", select_modes="number", n_modes=1)
+
+        np.testing.assert_allclose(np.asarray(sgpr.Vr), np.asarray(gpr.Vr),
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(sgpr.Sigma_r),
+                                   np.asarray(gpr.Sigma_r), rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(sgpr.P0), np.asarray(gpr.P0),
+                                   rtol=1e-12)
+
+        gpr.train(max_iter=200)
+        sgpr.train(max_iter=200)
+        A_i, _ = gpr.predict(P[te])
+        A_s, _ = sgpr.predict(P[te])
+        np.testing.assert_allclose(np.asarray(A_s), np.asarray(A_i),
+                                   rtol=1e-4, atol=1e-8)
+        X_s = np.asarray(sgpr.reconstruct(A_s))
+        # the reference's held-out bar (test_gpr.py:62-68 there)
+        np.testing.assert_allclose(X[:, te], X_s, atol=5e-1)
+
+    def test_update_basis_matches_incore(self, tmp_path):
+        from openmeasure_tpu import GPR, StreamingGPR
+        P, X, xyz = self._make()
+        init = np.arange(0, 20, 2)
+        upd = np.arange(1, 11, 2)
+        p = str(tmp_path / "x.npy")
+        np.save(p, X[:, init])
+
+        gpr = GPR(X[:, init], 1, xyz, P[init])
+        gpr.fit(scaleX_type="none", select_modes="number", n_modes=1)
+        gpr.train(max_iter=150)
+        sgpr = StreamingGPR(p, 1, xyz, P[init], chunk_rows=11,
+                            dtype=np.float64)
+        sgpr.fit(scaleX_type="none", select_modes="number", n_modes=1)
+        sgpr.train(max_iter=150)
+
+        # streaming side assimilates from per-snapshot FILES (only the new
+        # ones are read); in-core side from the array
+        new_paths = []
+        for j, c in enumerate(upd):
+            q = str(tmp_path / f"arr_{j}.npy")
+            np.save(q, X[:, c])
+            new_paths.append(q)
+        gpr.update_basis(X[:, upd], P[upd])
+        sgpr.update_basis(new_paths, P[upd])
+
+        np.testing.assert_allclose(np.asarray(sgpr.P0), np.asarray(gpr.P0),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(sgpr.Vr), np.asarray(gpr.Vr),
+                                   atol=1e-7)
+        np.testing.assert_allclose(np.asarray(sgpr._train_Y),
+                                   np.asarray(gpr._train_Y), atol=1e-7)
+        te = np.arange(11, 20, 2)
+        A_i, _ = gpr.predict(P[te])
+        A_s, _ = sgpr.predict(P[te])
+        np.testing.assert_allclose(np.asarray(A_s), np.asarray(A_i),
+                                   rtol=1e-4, atol=1e-8)
+
+    def test_checkpoint_roundtrip_and_serving(self, tmp_path):
+        from openmeasure_tpu import StreamingGPR
+        from openmeasure_tpu.serving import GPRSensor
+        from openmeasure_tpu.utils.checkpoint import save_model, load_model
+        P, X, xyz = self._make()
+        tr = np.arange(0, 20, 2)
+        p = str(tmp_path / "x.npy")
+        np.save(p, X[:, tr])
+        sgpr = StreamingGPR(p, 1, xyz, P[tr], dtype=np.float64)
+        sgpr.fit(scaleX_type="none", select_modes="number", n_modes=1)
+        sgpr.train(max_iter=150)
+
+        # include_data needs an in-core X — streaming must refuse loudly
+        with pytest.raises(ValueError, match="include_data"):
+            save_model(sgpr, str(tmp_path / "bad.npz"), include_data=True)
+
+        ck = str(tmp_path / "sgpr.npz")
+        save_model(sgpr, ck)
+        loaded = load_model(ck)            # restores as the in-core GPR
+        te = np.arange(1, 20, 2)
+        A_0, _ = sgpr.predict(P[te])
+        A_1, _ = loaded.predict(P[te])
+        np.testing.assert_allclose(np.asarray(A_1), np.asarray(A_0),
+                                   rtol=1e-6, atol=1e-10)
+
+        sensor = GPRSensor.from_gpr(sgpr)
+        fields, _, _ = sensor(P[te])
+        x_srv = np.asarray(fields).T                     # (q, n) -> (n, q)
+        x_eag = np.asarray(sgpr.reconstruct(np.asarray(A_0)))
+        scale = float(np.abs(x_eag).max())
+        np.testing.assert_allclose(x_srv, x_eag, atol=1e-5 * scale)
+
+    def test_streaming_pigpr(self, tmp_path):
+        from openmeasure_tpu import PIGPR, StreamingPIGPR
+        P, X, xyz = self._make()
+        tr = np.arange(0, 20, 2)
+        p = str(tmp_path / "x.npy")
+        np.save(p, X[:, tr])
+        P_cstr = P[[1, 3]]
+        import jax.numpy as jnp
+
+        def added_loss(ctx):
+            # penalize posterior mass above 1 at the constraint points
+            return -jnp.sum(jnp.maximum(ctx["output"].mean[-2:], 1.0) - 1.0)
+
+        pig = PIGPR(X[:, tr], 1, xyz, P[tr], P_cstr, added_loss)
+        pig.fit(scaleX_type="none", select_modes="number", n_modes=1)
+        pig.train(max_iter=100)
+        spig = StreamingPIGPR(p, 1, xyz, P[tr], P_cstr, added_loss,
+                              chunk_rows=7, dtype=np.float64)
+        spig.fit(scaleX_type="none", select_modes="number", n_modes=1)
+        spig.train(max_iter=100)
+        te = np.arange(1, 20, 2)
+        A_i, _ = pig.predict(P[te])
+        A_s, _ = spig.predict(P[te])
+        np.testing.assert_allclose(np.asarray(A_s), np.asarray(A_i),
+                                   rtol=1e-4, atol=1e-8)
+        with pytest.raises(ValueError, match="added-loss"):
+            spig.update_basis(X[:, 1:3], P[1:3], retrain=True)
+        spig.update_basis(X[:, 1:3], P[1:3])
+        assert np.asarray(spig.P0).shape[0] == 12
