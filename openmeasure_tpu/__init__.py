@@ -64,4 +64,10 @@ def __getattr__(name):
     if name == "DecoderSensor":
         from .serving import DecoderSensor
         return DecoderSensor
+    if name == "DMD":
+        from .dynamics.dmd import DMD
+        return DMD
+    if name == "DynamicSensor":
+        from .serving import DynamicSensor
+        return DynamicSensor
     raise AttributeError(f"module 'openmeasure_tpu' has no attribute {name!r}")

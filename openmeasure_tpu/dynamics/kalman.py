@@ -1,0 +1,143 @@
+"""Reduced-order Kalman filtering of sparse-measurement time series.
+
+Capability beyond the reference: its reconstruction is memoryless — each
+measurement vector is solved independently (``sparse_sensing.py:806-895``),
+so sensor noise passes straight into the reconstructed field.  When the
+snapshots are a time series, the POD coefficients follow near-linear
+dynamics that a filter can exploit: this module identifies a reduced-space
+linear model ``a_{k+1} = A a_k + w`` from the training coefficients and runs
+a standard discrete Kalman filter against the gappy measurement model
+``y0_k = Theta a_k + v`` (the same ``Theta = C @ Ur`` the static solve uses).
+
+TPU-first shape: the identification (tiny (r, r) least squares) and the
+stationary covariance run on host float64 at packaging time; the filter
+itself is one jitted ``lax.scan`` over the measurement series — static
+shapes, Joseph-form covariance updates for fp32 stability, every matmul at
+HIGHEST precision (r, s ≤ ~64: the cost is per-op dispatch, not FLOPs, so
+a K-frame series is ONE device program instead of K solves).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_HP = jax.lax.Precision.HIGHEST
+
+
+def fit_reduced_operator(Ar, ridge: float = 0.0) -> np.ndarray:
+    """One-step linear dynamics on the reduced coefficients.
+
+    ``Ar`` (m, r) holds the time-ordered POD coefficients (the house layout:
+    one snapshot per ROW, ``ROM.fit``).  Returns the (r, r) operator A
+    minimizing ``sum_k ||A a_k - a_{k+1}||^2`` (+ ridge ``lam*tr(G)/r`` on
+    the Gram diagonal) — host LAPACK float64, like every tiny solve whose
+    result is baked into packaged state.
+
+    With the basis taken from the SVD of the first m-1 snapshots this is
+    exactly the projected-DMD operator; here the basis is whatever the model
+    was fitted with, so A is the least-squares generator in THOSE
+    coordinates — the right object for filtering against ``Theta = C Ur``.
+    """
+    Ar = np.asarray(Ar, dtype=np.float64)
+    if Ar.ndim != 2 or Ar.shape[0] < 2:
+        raise ValueError(
+            f"Ar must be (m >= 2, r) time-ordered coefficients; got "
+            f"{Ar.shape}.")
+    Y1, Y2 = Ar[:-1], Ar[1:]
+    if ridge == 0.0:
+        At, *_ = np.linalg.lstsq(Y1, Y2, rcond=None)
+        return np.ascontiguousarray(At.T)
+    r = Ar.shape[1]
+    G = Y1.T @ Y1
+    G_reg = G + (ridge * np.trace(G) / max(r, 1)) * np.eye(r)
+    At = np.linalg.solve(G_reg, Y1.T @ Y2)
+    return np.ascontiguousarray(At.T)
+
+
+def estimate_process_noise(A, Ar, floor_rel: float = 1e-8) -> np.ndarray:
+    """Process-noise covariance from the one-step residuals of ``A``.
+
+    ``Q = E^T E / (k - 1)`` over the k = m-1 residuals
+    ``e_k = a_{k+1} - A a_k`` (zero-mean by the least-squares normal
+    equations when A came from :func:`fit_reduced_operator`), symmetrized,
+    with a relative diagonal floor so a perfectly-linear training series
+    still yields a positive-definite Q (the filter needs one).
+    """
+    A = np.asarray(A, dtype=np.float64)
+    Ar = np.asarray(Ar, dtype=np.float64)
+    E = Ar[1:] - Ar[:-1] @ A.T
+    k = E.shape[0]
+    Q = (E.T @ E) / max(k - 1, 1)
+    Q = 0.5 * (Q + Q.T)
+    r = Q.shape[0]
+    scale = max(np.trace(Q) / max(r, 1), np.mean(np.square(Ar)))
+    return Q + (floor_rel * max(scale, np.finfo(np.float64).tiny)) \
+        * np.eye(r)
+
+
+def stationary_covariance(A, Q, max_iter: int = 10_000,
+                          tol: float = 1e-12) -> np.ndarray:
+    """Stationary state covariance ``P = A P A^T + Q`` (discrete Lyapunov).
+
+    Solved by scipy when the dynamics are stable; an unstable A (spectral
+    radius >= 1, e.g. a training series with a growing mode) has no
+    stationary covariance — the filter then starts from ``Q`` scaled by a
+    modest factor, which the first few measurement updates wash out.
+    """
+    A = np.asarray(A, dtype=np.float64)
+    Q = np.asarray(Q, dtype=np.float64)
+    rho = np.max(np.abs(np.linalg.eigvals(A)))
+    if rho >= 1.0 - 1e-9:
+        return 10.0 * Q
+    from scipy.linalg import solve_discrete_lyapunov
+    P = solve_discrete_lyapunov(A, Q)
+    return 0.5 * (P + P.T)
+
+
+def _kf_step(A, Q, H, carry, inputs):
+    """One predict + Joseph-form update.  All matmuls HIGHEST (fp32 device:
+    the covariance recursions are differences of near-equal products)."""
+    a, P = carry
+    y0, r_diag = inputs
+    a_pred = jnp.matmul(A, a, precision=_HP)
+    P_pred = jnp.matmul(jnp.matmul(A, P, precision=_HP), A.T,
+                        precision=_HP) + Q
+    PHt = jnp.matmul(P_pred, H.T, precision=_HP)               # (r, s)
+    S = jnp.matmul(H, PHt, precision=_HP) + jnp.diag(r_diag)   # (s, s) SPD
+    K = jax.scipy.linalg.solve(S, PHt.T, assume_a="pos").T     # (r, s)
+    innov = y0 - jnp.matmul(H, a_pred, precision=_HP)
+    a_new = a_pred + jnp.matmul(K, innov, precision=_HP)
+    IKH = jnp.eye(a.shape[0], dtype=P.dtype) \
+        - jnp.matmul(K, H, precision=_HP)
+    P_new = jnp.matmul(jnp.matmul(IKH, P_pred, precision=_HP), IKH.T,
+                       precision=_HP) \
+        + jnp.matmul(K * r_diag[None, :], K.T, precision=_HP)
+    P_new = 0.5 * (P_new + P_new.T)
+    return (a_new, P_new), (a_new, jnp.diagonal(P_new))
+
+
+@jax.jit
+def kalman_filter(A, Q, H, a0, P0, Y0, R_diag
+                  ) -> Tuple[jax.Array, jax.Array,
+                             Tuple[jax.Array, jax.Array]]:
+    """Filter a series of SCALED measurements through the reduced dynamics.
+
+    A (r, r), Q (r, r): dynamics and process noise (reduced space).
+    H (s, r): measurement matrix (``Theta`` for gappy sensing).
+    a0 (r,), P0 (r, r): prior state at the step BEFORE ``Y0[0]``.
+    Y0 (K, s): scaled measurement series; R_diag (K, s): per-step
+    measurement-noise variances (scaled space; 0 = exact measurement).
+
+    Returns ``(A_filt (K, r), var_diag (K, r), (a_K, P_K))`` — the filtered
+    means, their marginal variances, and the final carry for streaming
+    continuation.  One ``lax.scan``: a K-frame series is a single device
+    dispatch.
+    """
+    step = functools.partial(_kf_step, A, Q, H)
+    (aK, PK), (A_filt, var) = jax.lax.scan(step, (a0, P0), (Y0, R_diag))
+    return A_filt, var, (aK, PK)

@@ -39,3 +39,23 @@ if _platform == "cpu":
 # On OMTPU_TEST_PLATFORM=tpu, x64 stays off: the Pallas/Mosaic kernels are
 # float32/int32 programs and TPU f64 is emulated — the kernel-parity tests
 # pin their dtypes explicitly.
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound the live-compiled-executable count of one long pytest process.
+
+    The full suite compiles thousands of XLA CPU programs; keeping every
+    executable alive for the whole run exhausts the JIT's code address
+    space and reproducibly SEGFAULTS a LATE compile (observed twice at
+    ~95% of the suite inside ``backend_compile_and_load`` — the same test
+    passes in isolation).  Dropping the caches between modules keeps the
+    in-flight footprint at single-module scale; compile-sharing
+    assertions (``_cache_size``) all live within one module, so they are
+    unaffected.
+    """
+    yield
+    jax.clear_caches()

@@ -1,0 +1,417 @@
+"""Dynamics tier: DMD spectral analysis + reduced-order Kalman filtering.
+
+Beyond-reference capability (the reference has no temporal model,
+``sparse_sensing.py:806-895`` solves each frame independently), so the
+oracles here are external/analytic: hand-built linear systems with known
+spectra, an independent textbook numpy DMD / Kalman filter written inline,
+and scipy's discrete Riccati/Lyapunov solvers.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from openmeasure_tpu.dynamics import (DMD, fit_reduced_operator,
+                                      estimate_process_noise,
+                                      stationary_covariance, kalman_filter)
+from openmeasure_tpu.utils.metrics import nrmse
+
+
+def _oscillatory_series(n_points=40, n_features=2, m=40, thetas=(3, 5),
+                        seed=0):
+    """Real snapshot series driven by pure rotations at FULL periods over
+    the m samples (theta_j = 2*pi*k_j/m), so the row time-mean is exactly
+    zero and the house centering does not perturb the linear recurrence."""
+    rng = np.random.default_rng(seed)
+    n = n_points * n_features
+    r_true = 2 * len(thetas)
+    L, _ = np.linalg.qr(rng.standard_normal((n, r_true)))
+    L *= rng.uniform(1.0, 3.0, size=(1, r_true))  # unequal mode energies
+    blocks, lams = [], []
+    for k in thetas:
+        th = 2.0 * np.pi * k / m
+        blocks.append(np.array([[np.cos(th), -np.sin(th)],
+                                [np.sin(th), np.cos(th)]]))
+        lams.extend([np.exp(1j * th), np.exp(-1j * th)])
+    A_z = np.zeros((r_true, r_true))
+    for j, B in enumerate(blocks):
+        A_z[2 * j:2 * j + 2, 2 * j:2 * j + 2] = B
+    z0 = rng.standard_normal(r_true)
+    Z = np.empty((m, r_true))
+    Z[0] = z0
+    for k in range(1, m):
+        Z[k] = A_z @ Z[k - 1]
+    X = L @ Z.T                                       # (n, m)
+    return X, np.array(sorted(lams, key=lambda c: (c.real, c.imag))), L, A_z, Z
+
+
+def _sorted_eigs(lam):
+    return np.array(sorted(lam, key=lambda c: (round(c.real, 9),
+                                               round(c.imag, 9))))
+
+
+class TestDMDAnalytic:
+    """Known-spectrum recovery on exactly-linear, exactly-zero-mean data."""
+
+    def setup_method(self):
+        self.X, self.lams, self.L, self.A_z, self.Z = _oscillatory_series()
+        xyz = np.zeros((40, 3))
+        self.dmd = DMD(self.X, 2, xyz)
+        self.dmd.fit(dt=0.5, scale_type="none", select_modes="number",
+                     n_modes=4)
+
+    def test_eigenvalues_exact(self):
+        got = _sorted_eigs(self.dmd.eigs)
+        np.testing.assert_allclose(got, _sorted_eigs(self.lams),
+                                   atol=1e-8)
+
+    def test_continuous_spectrum(self):
+        # omega = log(lam)/dt: pure oscillations -> zero growth rate,
+        # frequencies theta/(2*pi*dt)
+        np.testing.assert_allclose(self.dmd.growth_rates, 0.0, atol=1e-8)
+        freqs = np.sort(np.abs(self.dmd.frequencies))
+        th = np.array([2 * np.pi * 3 / 40, 2 * np.pi * 3 / 40,
+                       2 * np.pi * 5 / 40, 2 * np.pi * 5 / 40])
+        np.testing.assert_allclose(freqs,
+                                   np.sort(th / (2 * np.pi * 0.5)),
+                                   atol=1e-9)
+
+    def test_reconstruction_exact(self):
+        X_hat = np.asarray(self.dmd.reconstruct_dmd())
+        assert float(nrmse(jnp.asarray(X_hat), jnp.asarray(self.X))) < 1e-8
+
+    def test_forecast_matches_analytic_continuation(self):
+        q = 7
+        Zf = np.empty((q, self.Z.shape[1]))
+        z = self.Z[-1]
+        for k in range(q):
+            z = self.A_z @ z
+            Zf[k] = z
+        X_true = self.L @ Zf.T
+        X_hat = np.asarray(self.dmd.forecast_horizon(q))
+        np.testing.assert_allclose(X_hat, X_true, atol=1e-7)
+
+    def test_exact_modes_are_lambda_scaled_projected(self):
+        # for data exactly in the rank-r span, Phi_exact = Phi_proj @ Lam
+        Pe = self.dmd.modes(exact=True)
+        Pp = self.dmd.modes(exact=False) * self.dmd.eigs[None, :]
+        np.testing.assert_allclose(Pe, Pp, atol=1e-8)
+
+    def test_forecast_validation(self):
+        with pytest.raises(ValueError):
+            self.dmd.forecast(np.zeros((2, 2)))
+        fresh = DMD(self.X, 2, np.zeros((40, 3)))
+        with pytest.raises(AttributeError):
+            fresh.forecast([0])
+
+    def test_update_basis_disabled(self):
+        with pytest.raises(NotImplementedError):
+            self.dmd.update_basis(self.X[:, :2])
+
+
+class TestDMDOracle:
+    """Differential vs an independent textbook numpy DMD on the SAME scaled
+    snapshots (covers centered/scaled paths where the analytic construction
+    above would not stay strictly linear)."""
+
+    def _numpy_dmd(self, X0, r):
+        X1, X2 = X0[:, :-1], X0[:, 1:]
+        U, S, Vt = np.linalg.svd(X1, full_matrices=False)
+        Ur, Sr, Vrt = U[:, :r], S[:r], Vt[:r]
+        A_t = Ur.T @ X2 @ Vrt.T @ np.diag(1.0 / Sr)
+        lam, W = np.linalg.eig(A_t)
+        b = np.linalg.lstsq(W, (Ur.T @ X0[:, 0]).astype(complex),
+                            rcond=None)[0]
+        m = X0.shape[1]
+        T = b[:, None] * lam[:, None] ** np.arange(m)[None, :]
+        X0_hat = np.real(Ur @ (W @ T))
+        return _sorted_eigs(lam), X0_hat
+
+    def test_random_data_matches_numpy(self):
+        rng = np.random.default_rng(3)
+        X = rng.standard_normal((60, 21)) @ np.diag(
+            np.linspace(2.0, 0.1, 21))
+        dmd = DMD(X, 3, np.zeros((20, 3)))
+        dmd.fit(scale_type="std", select_modes="number", n_modes=8)
+        assert dmd.r == 8
+        eigs_o, X0_hat_o = self._numpy_dmd(np.asarray(dmd.X0, np.float64), 8)
+        np.testing.assert_allclose(_sorted_eigs(dmd.eigs), eigs_o,
+                                   atol=1e-8)
+        # unscale the oracle's reconstruction through the house stats
+        X_hat_o = X0_hat_o * np.asarray(dmd.X_scl) + np.asarray(dmd.X_cnt)
+        X_hat = np.asarray(dmd.reconstruct_dmd(exact=False))
+        np.testing.assert_allclose(X_hat, X_hat_o, atol=1e-7)
+
+    def test_variance_rank_selection(self):
+        rng = np.random.default_rng(4)
+        X = rng.standard_normal((60, 21))
+        dmd = DMD(X, 3, np.zeros((20, 3)))
+        dmd.fit(select_modes="variance", n_modes=99)
+        assert 1 <= dmd.r <= 20
+        assert dmd.Ar.shape == (21, dmd.r)
+
+    def test_needs_two_snapshots(self):
+        dmd = DMD(np.ones((6, 1)), 2, np.zeros((3, 3)))
+        with pytest.raises(ValueError):
+            dmd.fit()
+
+
+class TestReducedOperator:
+    def test_exact_recovery_on_linear_coefficients(self):
+        rng = np.random.default_rng(5)
+        r = 5
+        A_true = 0.9 * np.linalg.qr(rng.standard_normal((r, r)))[0]
+        Ar = np.empty((30, r))
+        Ar[0] = rng.standard_normal(r)
+        for k in range(1, 30):
+            Ar[k] = A_true @ Ar[k - 1]
+        A = fit_reduced_operator(Ar)
+        np.testing.assert_allclose(A, A_true, atol=1e-9)
+
+    def test_ridge_shrinks_toward_stability(self):
+        rng = np.random.default_rng(6)
+        Ar = rng.standard_normal((12, 3))
+        A0 = fit_reduced_operator(Ar)
+        A1 = fit_reduced_operator(Ar, ridge=1e-2)
+        assert not np.allclose(A0, A1)
+        # ridge normal equations: (G + lam*tr(G)/r I) A^T = Y1^T Y2
+        Y1, Y2 = Ar[:-1], Ar[1:]
+        G = Y1.T @ Y1
+        G_reg = G + 1e-2 * np.trace(G) / 3 * np.eye(3)
+        np.testing.assert_allclose(A1, np.linalg.solve(G_reg,
+                                                       Y1.T @ Y2).T,
+                                   atol=1e-12)
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            fit_reduced_operator(np.ones((1, 3)))
+
+    def test_process_noise_matches_residual_covariance(self):
+        rng = np.random.default_rng(7)
+        Ar = rng.standard_normal((40, 4))
+        A = fit_reduced_operator(Ar)
+        Q = estimate_process_noise(A, Ar, floor_rel=0.0)
+        E = Ar[1:] - Ar[:-1] @ A.T
+        np.testing.assert_allclose(Q, E.T @ E / (E.shape[0] - 1),
+                                   atol=1e-12)
+        Qf = estimate_process_noise(A, Ar, floor_rel=1e-3)
+        assert np.all(np.diag(Qf) > np.diag(Q))
+
+
+class TestStationaryCovariance:
+    def test_solves_discrete_lyapunov(self):
+        rng = np.random.default_rng(8)
+        A = 0.8 * np.linalg.qr(rng.standard_normal((4, 4)))[0]
+        Q = np.eye(4) * 0.1 + 0.01
+        P = stationary_covariance(A, Q)
+        np.testing.assert_allclose(P, A @ P @ A.T + Q, atol=1e-10)
+
+    def test_unstable_fallback(self):
+        A = np.diag([1.1, 0.5])
+        Q = np.eye(2)
+        np.testing.assert_allclose(stationary_covariance(A, Q), 10 * Q)
+
+
+def _numpy_kf(A, Q, H, a0, P0, Y0, R_diag):
+    """Independent textbook filter (covariance form, NOT Joseph)."""
+    a, P = a0.copy(), P0.copy()
+    means, variances = [], []
+    for y, rd in zip(Y0, R_diag):
+        a = A @ a
+        P = A @ P @ A.T + Q
+        S = H @ P @ H.T + np.diag(rd)
+        K = P @ H.T @ np.linalg.inv(S)
+        a = a + K @ (y - H @ a)
+        P = P - K @ S @ K.T
+        means.append(a.copy())
+        variances.append(np.diag(P).copy())
+    return np.array(means), np.array(variances), (a, P)
+
+
+class TestKalmanFilter:
+    def setup_method(self):
+        rng = np.random.default_rng(9)
+        self.r, self.s, self.K = 4, 6, 25
+        self.A = 0.9 * np.linalg.qr(rng.standard_normal((self.r,) * 2))[0]
+        M = rng.standard_normal((self.r, self.r))
+        self.Q = 0.05 * (M @ M.T) + 0.01 * np.eye(self.r)
+        self.H = rng.standard_normal((self.s, self.r))
+        self.a0 = rng.standard_normal(self.r)
+        self.P0 = np.eye(self.r)
+        self.Y0 = rng.standard_normal((self.K, self.s))
+        self.R = np.full((self.K, self.s), 0.04)
+
+    def test_matches_numpy_reference(self):
+        means_o, var_o, (aK_o, PK_o) = _numpy_kf(
+            self.A, self.Q, self.H, self.a0, self.P0, self.Y0, self.R)
+        means, var, (aK, PK) = kalman_filter(
+            *[jnp.asarray(v) for v in
+              (self.A, self.Q, self.H, self.a0, self.P0, self.Y0, self.R)])
+        np.testing.assert_allclose(np.asarray(means), means_o, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(var), var_o, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(aK), aK_o, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(PK), PK_o, atol=1e-9)
+
+    def test_steady_state_matches_riccati(self):
+        from scipy.linalg import solve_discrete_are
+        K = 400
+        Y0 = np.zeros((K, self.s))
+        R = np.full((K, self.s), 0.04)
+        _, _, (aK, PK) = kalman_filter(
+            *[jnp.asarray(v) for v in
+              (self.A, self.Q, self.H, self.a0, self.P0, Y0, R)])
+        # DARE gives the stationary PREDICTED covariance
+        P_pred = self.A @ np.asarray(PK) @ self.A.T + self.Q
+        P_dare = solve_discrete_are(self.A.T, self.H.T, self.Q,
+                                    np.diag(np.full(self.s, 0.04)))
+        np.testing.assert_allclose(P_pred, P_dare, atol=1e-8)
+
+    def test_covariance_stays_spd(self):
+        _, var, (_, PK) = kalman_filter(
+            *[jnp.asarray(v) for v in
+              (self.A, self.Q, self.H, self.a0, self.P0, self.Y0, self.R)])
+        assert np.all(np.asarray(var) > 0)
+        w = np.linalg.eigvalsh(np.asarray(PK))
+        assert np.all(w > 0)
+
+
+def _timeseries_dataset(seed=11, n_points=75, n_features=2, m=60, K=40,
+                        noise=0.0):
+    """Flame-like time series: oscillatory + slowly decaying reduced
+    dynamics lifted to n dimensions, with optional process noise.  Returns
+    (X_train (n, m), X_test (n, K)) where the test series continues the
+    training trajectory."""
+    rng = np.random.default_rng(seed)
+    n = n_points * n_features
+    r_true = 6
+    L, _ = np.linalg.qr(rng.standard_normal((n, r_true)))
+    L *= np.array([[3.0, 3.0, 1.5, 1.5, 0.8, 0.8]])
+    th1, th2, th3 = 0.35, 0.12, 0.58
+    def rot(th, rho):
+        return rho * np.array([[np.cos(th), -np.sin(th)],
+                               [np.sin(th), np.cos(th)]])
+    A_z = np.zeros((r_true, r_true))
+    A_z[0:2, 0:2] = rot(th1, 0.995)
+    A_z[2:4, 2:4] = rot(th2, 0.99)
+    A_z[4:6, 4:6] = rot(th3, 0.98)
+    z = rng.standard_normal(r_true)
+    Z = []
+    for _ in range(m + K):
+        Z.append(z)
+        z = A_z @ z + noise * rng.standard_normal(r_true)
+    Z = np.array(Z)
+    X = (L @ Z.T) + 5.0  # nonzero mean exercises centering
+    return X[:, :m], X[:, m:]
+
+
+class TestDynamicSensor:
+    @classmethod
+    def setup_class(cls):
+        from openmeasure_tpu import SPR
+        from openmeasure_tpu.serving import SoftSensor, DynamicSensor
+        cls.X_train, cls.X_test = _timeseries_dataset(noise=0.02)
+        n_points = 75
+        xyz = np.random.default_rng(0).standard_normal((n_points, 3))
+        spr = SPR(cls.X_train, 2, xyz)
+        spr.fit(select_modes="number", n_modes=6)
+        C = spr.optimal_placement(calc_type="qr")
+        spr.train(C)
+        cls.spr = spr
+        cls.static = SoftSensor.from_spr(spr)
+        cls.dyn = DynamicSensor.from_spr(spr)
+        # noisy measurement series of the continuation
+        rng = np.random.default_rng(21)
+        Cd = np.asarray(C.todense()) if hasattr(C, "todense") \
+            else np.asarray(C)
+        Y_clean = (Cd @ cls.X_test).T
+        cls.sigma = 0.5 * np.std(Y_clean, axis=0)
+        cls.Y = Y_clean + rng.standard_normal(Y_clean.shape) \
+            * cls.sigma[None, :]
+        cls.Y_sigma = np.broadcast_to(cls.sigma, Y_clean.shape).copy()
+
+    def test_filter_beats_memoryless_solve_under_noise(self):
+        X_kf, _, _ = self.dyn.filter_batch(self.Y, self.Y_sigma)
+        X_st, _, _ = self.static.predict_batch(self.Y, self.Y_sigma)
+        err_kf = float(nrmse(X_kf.T, jnp.asarray(self.X_test)))
+        err_st = float(nrmse(X_st.T, jnp.asarray(self.X_test)))
+        assert err_kf < 0.75 * err_st, (err_kf, err_st)
+
+    def test_step_equals_batch_persist(self):
+        self.dyn.reset()
+        X_b, A_b, V_b = self.dyn.filter_batch(self.Y[:5], self.Y_sigma[:5])
+        self.dyn.reset()
+        for k in range(5):
+            x, a, v = self.dyn.step(self.Y[k], self.Y_sigma[k])
+        np.testing.assert_allclose(np.asarray(x), np.asarray(X_b[-1]),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(A_b[-1]),
+                                   atol=1e-4)
+        # and persist=True continues exactly where the steps left off
+        X_c, _, _ = self.dyn.filter_batch(self.Y[5:8], self.Y_sigma[5:8],
+                                          persist=True)
+        self.dyn.reset()
+        X_full, _, _ = self.dyn.filter_batch(self.Y[:8], self.Y_sigma[:8])
+        np.testing.assert_allclose(np.asarray(X_c[-1]),
+                                   np.asarray(X_full[-1]), atol=1e-4)
+
+    def test_variances_contract_with_measurements(self):
+        self.dyn.reset()
+        _, _, V = self.dyn.filter_batch(self.Y[:10], self.Y_sigma[:10])
+        prior_var = np.diag(np.asarray(self.dyn._P0, np.float64))
+        assert np.all(np.asarray(V[-1], np.float64) < prior_var + 1e-12)
+
+    def test_compile_sharing_across_same_shape_models(self):
+        from openmeasure_tpu.serving import DynamicSensor
+        self.dyn.filter_batch(self.Y[:3], self.Y_sigma[:3])
+        size = self.dyn._kf_kernel._cache_size()
+        other = DynamicSensor.from_spr(self.spr, ridge=1e-3)
+        other.filter_batch(self.Y[:3], self.Y_sigma[:3])
+        assert other._kf_kernel._cache_size() == size
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        from openmeasure_tpu.serving import DynamicSensor
+        from openmeasure_tpu.utils.checkpoint import save_model
+        p = str(tmp_path / "spr_dyn.npz")
+        save_model(self.spr, p)
+        loaded = DynamicSensor.load(p)
+        X1, A1, V1 = loaded.filter_batch(self.Y[:4], self.Y_sigma[:4])
+        self.dyn.reset()
+        X0, A0, V0 = self.dyn.filter_batch(self.Y[:4], self.Y_sigma[:4])
+        np.testing.assert_allclose(np.asarray(X1), np.asarray(X0),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(A1), np.asarray(A0),
+                                   atol=1e-5)
+
+    def test_sigma_none_defaults_to_floored_exact(self):
+        self.dyn.reset()
+        X, A, V = self.dyn.filter_batch(self.Y[:3])
+        assert np.all(np.isfinite(np.asarray(X)))
+
+    def test_validation(self):
+        from openmeasure_tpu import SPR
+        from openmeasure_tpu.serving import DynamicSensor
+        with pytest.raises(ValueError):
+            self.dyn.filter_batch(self.Y[:, :3])
+        with pytest.raises(ValueError):
+            self.dyn.step(self.Y[0, :3])
+        spr2 = SPR(self.X_train, 2,
+                   np.zeros((75, 3)))
+        spr2.fit(select_modes="number", n_modes=4)
+        with pytest.raises(ValueError):
+            DynamicSensor.from_spr(spr2)     # fitted but not trained
+
+    def test_shard_parity(self):
+        from jax.sharding import Mesh
+        devs = np.array(jax.devices()[:8]).reshape(8)
+        mesh = Mesh(devs, ("state",))
+        sharded = self.dyn.shard(mesh)
+        sharded.reset()
+        self.dyn.reset()
+        Xs, As, Vs = sharded.filter_batch(self.Y[:6], self.Y_sigma[:6])
+        X0, A0, V0 = self.dyn.filter_batch(self.Y[:6], self.Y_sigma[:6])
+        assert Xs.shape == X0.shape  # padded rows sliced back (n=150)
+        np.testing.assert_allclose(np.asarray(Xs), np.asarray(X0),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(As), np.asarray(A0),
+                                   atol=1e-5)
