@@ -498,6 +498,36 @@ class TestStreamingServing:
         scale = float(np.abs(x_eager).max())
         np.testing.assert_allclose(x_srv, x_eager, atol=1e-5 * scale)
 
+    def test_streaming_spr_packages_into_dynamic_sensor(self, tmp_path):
+        """The Kalman serving family works out-of-core too: a StreamingSPR
+        carries the same Ar/Theta/C/scaling surface DynamicSensor.from_spr
+        consumes, so the filter built from the streamed fit must match the
+        one built from the in-core fit on the same data."""
+        from openmeasure_tpu import SPR
+        from openmeasure_tpu.serving import DynamicSensor
+        X = make_X(dtype=np.float32)
+        p = str(tmp_path / "x.npy")
+        np.save(p, X)
+        sspr = StreamingSPR(p, 3)
+        sspr.fit(select_modes="number", n_modes=4)
+        C = np.asarray(sspr.optimal_placement())
+        sspr.train(C)
+        spr = SPR(X, 3, np.zeros((X.shape[0] // 3, 3)))
+        spr.fit(select_modes="number", n_modes=4)
+        spr.train(C)
+        d_stream = DynamicSensor.from_spr(sspr)
+        d_core = DynamicSensor.from_spr(spr)
+        rows = np.argmax(C, axis=1)
+        Y = X[rows, -5:].T.astype(np.float64)
+        sig = np.full_like(Y, 0.05 * float(np.std(Y)))
+        Xs, As, _ = d_stream.filter_batch(Y, sig)
+        Xc, Ac, _ = d_core.filter_batch(Y, sig)
+        # streamed factors match in-core to fp32 round-off (basis sign
+        # canonicalized in both); so must the filtered reconstructions
+        scale = float(np.abs(np.asarray(Xc)).max())
+        np.testing.assert_allclose(np.asarray(Xs), np.asarray(Xc),
+                                   atol=5e-4 * scale)
+
 
 class TestStreamingGPR:
     """Out-of-core GPR: the snapshot side streams, the GP side is the
