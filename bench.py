@@ -635,6 +635,29 @@ def main():
     t_dec_frame = slope_per_iter(
         lambda k: float(bench_loop_dec(Yd, k)), 50, reps=3) / 50.0
 
+    # --- Kalman-filtered serving (temporal family): a 50-frame noisy
+    # measurement series filtered through the identified reduced dynamics
+    # and reconstructed at flagship scale — ONE scan program per series
+    # (serving.DynamicSensor; no reference analog, the reference solves
+    # every frame independently).
+    from openmeasure_tpu.serving import DynamicSensor, _kf_serve_series
+    ksensor = DynamicSensor.from_spr(spr_srv)
+    kstate = ksensor._state
+    a0_k, P0_k = ksensor._a0, ksensor._P0
+    Sk = jnp.full_like(Yd, 0.05)
+
+    @jax.jit
+    def bench_loop_kf(Y, k):
+        def body(i, acc):
+            X, Af, var, _ = _kf_serve_series(kstate, Y + acc * 1e-30, Sk,
+                                             a0_k, P0_k)
+            return (jnp.sum(X[:, :: 4096]) + jnp.sum(Af)
+                    + jnp.sum(var)).astype(jnp.float32) * jnp.float32(1e-9)
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    t_kf_frame = slope_per_iter(
+        lambda k: float(bench_loop_kf(Yd, k)), 20, reps=3) / 50.0
+
     # --- Streaming tier (out-of-core): POD fit of the 3D-scale panel
     # DIRECTLY FROM DISK (1.7M x 45 float32 = 307 MB npy; native chunk
     # loader + double-buffered prefetch, X0 never materialized; default
@@ -699,6 +722,7 @@ def main():
             "gem_device_20k_10sensors_s": round(t_gem_dev, 8),
             "serving_cols_batch50_per_frame_s": round(t_srv_frame, 8),
             "serving_decoder_batch50_per_frame_s": round(t_dec_frame, 9),
+            "serving_kf_batch50_per_frame_s": round(t_kf_frame, 9),
             "streaming_fit_from_disk_1p7M_rows_s": round(t_stream, 6),
             "streaming_host_passes_s": round(t_stream_passes, 6),
             "streaming_rows_per_s": round(n3_rows / t_stream_passes, 0),
