@@ -55,7 +55,7 @@ def __getattr__(name):
         from .serving import CoKrigingSensor
         return CoKrigingSensor
     if name in ("StreamingROM", "StreamingSPR", "StreamingGPR",
-                "StreamingPIGPR"):
+                "StreamingPIGPR", "StreamingDMD"):
         from . import streaming
         return getattr(streaming, name)
     if name == "ShallowDecoder":

@@ -65,6 +65,8 @@ class DMD(ROM):
         self.dt = float(dt)
         self.X0 = self.scale_data(scale_type, axis_cnt)
         m = self.X0.shape[1]
+        self._m = m        # snapshot count (forecast index math; the
+        #                    streaming subclass has no in-core X0)
         if m < 2:
             raise ValueError("DMD needs at least 2 time-ordered snapshots.")
         X1 = self.X0[:, :-1]
@@ -166,13 +168,12 @@ class DMD(ROM):
 
     def forecast_horizon(self, q: int, exact: bool = True) -> jax.Array:
         """The q snapshots FOLLOWING the training series (indices m..m+q-1)."""
-        m = self.X0.shape[1]
+        m = self._m
         return self.forecast(np.arange(m, m + q), exact=exact)
 
     def reconstruct_dmd(self, exact: bool = True) -> jax.Array:
         """DMD reconstruction of the full training series (indices 0..m-1)."""
-        m = self.X0.shape[1]
-        return self.forecast(np.arange(m), exact=exact)
+        return self.forecast(np.arange(self._m), exact=exact)
 
     # ------------------------------------------------------------------ #
 

@@ -94,6 +94,7 @@ from .linalg import boxls as _boxls
 from .rom.rom import ROM
 from .sensing.spr import SPR
 from .gp.gpr import GPR, PIGPR
+from .dynamics.dmd import DMD as _DMD_base
 
 __all__ = [
     "SnapshotStore", "NpyMatrixStore", "NpyColumnStore", "ArrayStore",
@@ -1112,3 +1113,92 @@ class StreamingPIGPR(StreamingGPR, PIGPR):
                                   select_modes=select_modes,
                                   n_modes=n_modes, reorth=reorth,
                                   retrain=False, verbose=verbose)
+
+
+class StreamingDMD(StreamingROM, _DMD_base):
+    """Out-of-core DMD: spectrum/modes/forecasts of a time-ordered snapshot
+    series streamed from disk (the in-core :class:`~openmeasure_tpu.DMD`
+    needs the full matrix in RAM; the reference has neither).
+
+    The trick that makes this cheap: the full f64 snapshot Gram
+    ``G = X0^T X0`` already contains the entire DMD identification —
+    ``X1^T X1 = G[:-1, :-1]`` (the basis), ``X1^T X2 = G[:-1, 1:]`` (the
+    cross term), and the projected coefficients of every snapshot
+    ``X0^T Ur = G[:, :-1] V_r S_r^{-1}``.  So the whole fit is the standard
+    stats pass + ONE f64 Gram disk pass + ONE narrow panel pass assembling
+    the two (n, r) forecast panels (``Ur`` from the X1 columns, the exact-
+    mode panel ``B = X2 V_r S_r^{-1}`` from the X2 columns of the same
+    chunks) — X0 is never materialized.  Spectrum/amplitudes are the same
+    host-f64 computation as the in-core class; sign flips of the Gram
+    eigenvectors cancel between panels and amplitudes, so forecasts match
+    the in-core fit to fp32 storage round-off (parity-tested).
+    """
+
+    def fit(self, dt: float = 1.0, scale_type: str = "std",
+            axis_cnt: Optional[int] = 1, select_modes: str = "variance",
+            n_modes=99):
+        self.scale_type = scale_type
+        self.dt = float(dt)
+        n, m = self.store.shape
+        self._m = m
+        if m < 2:
+            raise ValueError("DMD needs at least 2 time-ordered snapshots.")
+
+        # pass 1 — scaling stats
+        cnt_h, scl_h = self._stream_scaling(scale_type, axis_cnt)
+        self.X_cnt = jnp.asarray(cnt_h[:, None])
+        self.X_scl = jnp.asarray(scl_h[:, None])
+        self._cnt_vector_cache = None
+        cnt64 = cnt_h.astype(np.float64)
+        scl64 = scl_h.astype(np.float64)
+
+        # pass 2 — f64 Gram of the FULL scaled series
+        G = np.zeros((m, m), dtype=np.float64)
+        for row0, chunk in self._chunks():
+            c = chunk.shape[0]
+            x0 = (chunk.astype(np.float64)
+                  - cnt64[row0:row0 + c, None]) / scl64[row0:row0 + c, None]
+            G += x0.T @ x0
+
+        # host spectral step on the X1 block
+        V, S2, r = self._rank_from_gram(G[:-1, :-1], select_modes, n_modes)
+        S1 = np.sqrt(S2)
+        # div-by-zero guard only (rank selection should stay above the
+        # noise floor; a zero singular value here means the user forced
+        # n_modes past the series' rank)
+        Sr = np.maximum(S1[:r], np.finfo(np.float64).tiny)
+        Wf = V[:, :r] / Sr[None, :]                       # (m-1, r)
+        A_tilde = Wf.T @ G[:-1, 1:] @ Wf                  # Ur^T X2 V S^-1
+        self.A_tilde = A_tilde
+        self.Sigma_r = jnp.asarray(Sr.astype(self.dtype))
+        self.Ar = jnp.asarray((G[:, :-1] @ Wf).astype(self.dtype))
+
+        lam, W = np.linalg.eig(A_tilde)
+        a0 = Sr * V[0, :r]
+        b, *_ = np.linalg.lstsq(W, a0.astype(np.complex128), rcond=None)
+        be, *_ = np.linalg.lstsq(W * lam[None, :],
+                                 a0.astype(np.complex128), rcond=None)
+        self.eigs, self.W = lam, W
+        self.amplitudes, self._b_exact = b, be
+        with np.errstate(divide="ignore", invalid="ignore"):
+            self.omega = np.log(lam.astype(np.complex128)) / self.dt
+
+        # pass 3 — the two (n, r) forecast panels from the same chunks
+        U_h = np.empty((n, r), dtype=self.dtype)
+        B_h = np.empty((n, r), dtype=self.dtype)
+        for row0, chunk in self._chunks():
+            c = chunk.shape[0]
+            x0 = (chunk.astype(np.float64)
+                  - cnt64[row0:row0 + c, None]) / scl64[row0:row0 + c, None]
+            U_h[row0:row0 + c] = (x0[:, :-1] @ Wf).astype(self.dtype)
+            B_h[row0:row0 + c] = (x0[:, 1:] @ Wf).astype(self.dtype)
+        self.Ur = jnp.asarray(U_h)
+        self._B = jnp.asarray(B_h)
+
+    def update_basis(self, *args, **kwargs):
+        """Disabled, like the in-core DMD: the incremental POD update would
+        decouple the basis from the identified propagator — refit on the
+        extended store instead."""
+        raise NotImplementedError(
+            "StreamingDMD.update_basis is not supported (the propagator is "
+            "tied to the fitted basis); call fit() on the extended store.")

@@ -415,3 +415,65 @@ class TestDynamicSensor:
                                    atol=1e-5)
         np.testing.assert_allclose(np.asarray(As), np.asarray(A0),
                                    atol=1e-5)
+
+
+class TestStreamingDMD:
+    """Out-of-core DMD parity vs the in-core class on the same series.
+
+    The streaming fit identifies everything from the f64 full-series Gram
+    (basis block, cross block, coefficients) + one fp32 panel pass; the
+    in-core fit goes through svd_tall_safe.  Eigenvalues are f64-vs-f64
+    (tight); panels/forecasts carry fp32 storage round-off."""
+
+    @classmethod
+    def setup_class(cls):
+        cls.X, *_ = _oscillatory_series(n_points=60, n_features=3, m=30,
+                                        thetas=(4, 7), seed=13)
+        cls.X = cls.X + 2.5  # nonzero mean exercises the streamed centering
+
+    def _fit_pair(self, tmp_path, **kw):
+        from openmeasure_tpu import StreamingDMD
+        p = str(tmp_path / "series.npy")
+        np.save(p, self.X.astype(np.float32))
+        sdmd = StreamingDMD(p, 3, chunk_rows=37)
+        sdmd.fit(dt=0.5, **kw)
+        dmd = DMD(self.X.astype(np.float32), 3, np.zeros((60, 3)))
+        dmd.fit(dt=0.5, **kw)
+        return sdmd, dmd
+
+    def test_spectrum_and_forecast_match_incore(self, tmp_path):
+        sdmd, dmd = self._fit_pair(tmp_path, select_modes="number",
+                                   n_modes=4)
+        np.testing.assert_allclose(_sorted_eigs(sdmd.eigs),
+                                   _sorted_eigs(dmd.eigs), atol=1e-5)
+        scale = float(np.abs(self.X).max())
+        for exact in (True, False):
+            Xf_s = np.asarray(sdmd.forecast_horizon(5, exact=exact))
+            Xf_c = np.asarray(dmd.forecast_horizon(5, exact=exact))
+            np.testing.assert_allclose(Xf_s, Xf_c, atol=2e-4 * scale)
+        np.testing.assert_allclose(np.asarray(sdmd.reconstruct_dmd()),
+                                   np.asarray(dmd.reconstruct_dmd()),
+                                   atol=2e-4 * scale)
+
+    def test_coefficients_match_incore(self, tmp_path):
+        sdmd, dmd = self._fit_pair(tmp_path, select_modes="number",
+                                   n_modes=4)
+        # Ar is sign-ambiguous per mode (Gram eigh vs svd): compare |.|
+        np.testing.assert_allclose(np.abs(np.asarray(sdmd.Ar)),
+                                   np.abs(np.asarray(dmd.Ar)),
+                                   atol=2e-3)
+        np.testing.assert_allclose(np.asarray(sdmd.Sigma_r),
+                                   np.asarray(dmd.Sigma_r), rtol=1e-5)
+
+    def test_variance_selection_and_validation(self, tmp_path):
+        from openmeasure_tpu import StreamingDMD
+        sdmd, dmd = self._fit_pair(tmp_path, select_modes="variance",
+                                   n_modes=99.9999)
+        assert sdmd.r == dmd.r
+        p1 = str(tmp_path / "one.npy")
+        np.save(p1, self.X[:, :1].astype(np.float32))
+        short = StreamingDMD(p1, 3)
+        with pytest.raises(ValueError):
+            short.fit()
+        with pytest.raises(NotImplementedError):
+            sdmd.update_basis(self.X[:, :2])
