@@ -10,7 +10,7 @@ identifies linear dynamics on the POD coefficients and uses them to analyse
 
 from .dmd import DMD
 from .kalman import (fit_reduced_operator, estimate_process_noise,
-                     stationary_covariance, kalman_filter)
+                     stationary_covariance, kalman_filter, kalman_smoother)
 
 __all__ = ["DMD", "fit_reduced_operator", "estimate_process_noise",
-           "stationary_covariance", "kalman_filter"]
+           "stationary_covariance", "kalman_filter", "kalman_smoother"]

@@ -99,11 +99,11 @@ def stationary_covariance(A, Q, max_iter: int = 10_000,
     return 0.5 * (P + P.T)
 
 
-def _kf_step(A, Q, H, carry, inputs):
+def _kf_core(A, Q, H, a, P, y0, r_diag):
     """One predict + Joseph-form update.  All matmuls HIGHEST (fp32 device:
-    the covariance recursions are differences of near-equal products)."""
-    a, P = carry
-    y0, r_diag = inputs
+    the covariance recursions are differences of near-equal products).
+    Returns the full posterior AND the prediction (the smoother needs
+    both); the filter scan keeps only what it emits."""
     a_pred = jnp.matmul(A, a, precision=_HP)
     P_pred = jnp.matmul(jnp.matmul(A, P, precision=_HP), A.T,
                         precision=_HP) + Q
@@ -118,7 +118,23 @@ def _kf_step(A, Q, H, carry, inputs):
                        precision=_HP) \
         + jnp.matmul(K * r_diag[None, :], K.T, precision=_HP)
     P_new = 0.5 * (P_new + P_new.T)
+    return a_new, P_new, a_pred, P_pred
+
+
+def _kf_step(A, Q, H, carry, inputs):
+    a, P = carry
+    y0, r_diag = inputs
+    a_new, P_new, _, _ = _kf_core(A, Q, H, a, P, y0, r_diag)
     return (a_new, P_new), (a_new, jnp.diagonal(P_new))
+
+
+def _kf_step_full(A, Q, H, carry, inputs):
+    """Filter step that also emits the full covariances and predictions
+    (the RTS backward pass consumes them)."""
+    a, P = carry
+    y0, r_diag = inputs
+    a_new, P_new, a_pred, P_pred = _kf_core(A, Q, H, a, P, y0, r_diag)
+    return (a_new, P_new), (a_new, P_new, a_pred, P_pred)
 
 
 @jax.jit
@@ -141,3 +157,46 @@ def kalman_filter(A, Q, H, a0, P0, Y0, R_diag
     step = functools.partial(_kf_step, A, Q, H)
     (aK, PK), (A_filt, var) = jax.lax.scan(step, (a0, P0), (Y0, R_diag))
     return A_filt, var, (aK, PK)
+
+
+@jax.jit
+def kalman_smoother(A, Q, H, a0, P0, Y0, R_diag
+                    ) -> Tuple[jax.Array, jax.Array,
+                               Tuple[jax.Array, jax.Array]]:
+    """Rauch–Tung–Striebel smoothing of the full measurement series.
+
+    Same inputs/contract as :func:`kalman_filter`, but every returned mean
+    conditions on ALL K measurements (the filter conditions step k on
+    measurements 0..k only) — the right estimator for OFFLINE analysis of a
+    recorded series.  Returns ``(A_smooth (K, r), var_diag (K, r),
+    (a_K, P_K))`` where the carry is the FORWARD filter's final state (so a
+    streaming continuation picks up exactly where filtering would).
+
+    Shape: one forward ``lax.scan`` (Joseph-form, emitting the full
+    covariances) + one ``reverse=True`` scan for the backward gain
+    ``G_k = P_k A^T P_{k+1|k}^{-1}`` — computed via an SPD solve, never an
+    explicit inverse.  Still two device dispatches' worth of work fused in
+    one program: no Python loop, no (K, r, r) host round-trips.
+    """
+    step = functools.partial(_kf_step_full, A, Q, H)
+    (aK, PK), (A_f, P_f, A_p, P_p) = jax.lax.scan(
+        step, (a0, P0), (Y0, R_diag))
+
+    def back(carry, inputs):
+        a_s, P_s = carry
+        a_f, P_fk, a_p1, P_p1 = inputs   # filtered at k, prediction at k+1
+        # G^T = P_{k+1|k}^{-1} A P_k  (SPD solve)
+        Gt = jax.scipy.linalg.solve(
+            P_p1, jnp.matmul(A, P_fk, precision=_HP), assume_a="pos")
+        a_new = a_f + jnp.matmul(Gt.T, a_s - a_p1, precision=_HP)
+        P_new = P_fk + jnp.matmul(
+            jnp.matmul(Gt.T, P_s - P_p1, precision=_HP), Gt, precision=_HP)
+        P_new = 0.5 * (P_new + P_new.T)
+        return (a_new, P_new), (a_new, jnp.diagonal(P_new))
+
+    inputs = (A_f[:-1], P_f[:-1], A_p[1:], P_p[1:])
+    _, (A_sm, var_sm) = jax.lax.scan(
+        back, (A_f[-1], P_f[-1]), inputs, reverse=True)
+    A_smooth = jnp.concatenate([A_sm, A_f[-1:]], axis=0)
+    var = jnp.concatenate([var_sm, jnp.diagonal(P_f[-1])[None, :]], axis=0)
+    return A_smooth, var, (aK, PK)

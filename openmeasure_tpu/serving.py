@@ -875,6 +875,41 @@ class DecoderSensor:
 # Kalman-filtering soft sensor (reduced-coefficient dynamics)
 # ---------------------------------------------------------------------- #
 
+# effective measurement variance for a MISSING sensor reading (scaled
+# space is O(1), so 1e12 drives the Kalman gain to ~1e-12 — numerically
+# a pure prediction step — while keeping the SPD innovation solve
+# well-conditioned in fp32)
+_KF_MISSING_R = 1e12
+
+
+def _kf_scale_inputs(state, Y_values, Y_sigma):
+    """Scale a measurement series + build the per-step noise variances.
+
+    NaN entries in ``Y_values`` mark MISSING readings (a dropped sensor or
+    a pure-prediction frame): the value is replaced by zero and its
+    variance by :data:`_KF_MISSING_R`, so the filter ignores it exactly
+    (gain ~1e-12) instead of propagating the NaN."""
+    miss = jnp.isnan(Y_values)
+    Yv = jnp.where(miss, jnp.zeros_like(Y_values), Y_values)
+    Y0 = (Yv - state["cnt_sensors"][None, :]) \
+        / state["scl_sensors"][None, :]
+    R = jnp.square(jnp.where(miss, jnp.zeros_like(Y_sigma), Y_sigma)
+                   / state["scl_sensors"][None, :])
+    # variance floor: with more sensors than modes and sigma=0 the
+    # innovation covariance Theta P Theta^T is rank-deficient (rank <= r
+    # < s) — the floor keeps the SPD solve well-posed without visibly
+    # weighting real measurements (scaled space is O(1))
+    R = jnp.maximum(R, state["r_floor"])
+    R = jnp.where(miss, jnp.full_like(R, _KF_MISSING_R), R)
+    return Y0, R
+
+
+def _kf_reconstruct(state, A_coef):
+    hp = jax.lax.Precision.HIGHEST
+    return jnp.matmul(A_coef, state["Ur"].T, precision=hp) \
+        * state["X_scl"][None, :] + state["X_cnt"][None, :]
+
+
 @jax.jit
 def _kf_serve_series(state, Y_values, Y_sigma, a0, P0):
     """Scaled-space Kalman filtering of a measurement series + field
@@ -882,20 +917,22 @@ def _kf_serve_series(state, Y_values, Y_sigma, a0, P0):
     K independent gappy solves).  ``state`` is a pytree ARGUMENT — the
     compile-sharing convention of every serving kernel in this module."""
     from .dynamics.kalman import kalman_filter
-    hp = jax.lax.Precision.HIGHEST
-    Y0 = (Y_values - state["cnt_sensors"][None, :]) \
-        / state["scl_sensors"][None, :]
-    R = jnp.square(Y_sigma / state["scl_sensors"][None, :])
-    # variance floor: with more sensors than modes and sigma=0 the
-    # innovation covariance Theta P Theta^T is rank-deficient (rank <= r
-    # < s) — the floor keeps the SPD solve well-posed without visibly
-    # weighting real measurements (scaled space is O(1))
-    R = jnp.maximum(R, state["r_floor"])
+    Y0, R = _kf_scale_inputs(state, Y_values, Y_sigma)
     A_filt, var, carry = kalman_filter(
         state["A"], state["Q"], state["Theta"], a0, P0, Y0, R)
-    X = jnp.matmul(A_filt, state["Ur"].T, precision=hp) \
-        * state["X_scl"][None, :] + state["X_cnt"][None, :]
-    return X, A_filt, var, carry
+    return _kf_reconstruct(state, A_filt), A_filt, var, carry
+
+
+@jax.jit
+def _kf_smooth_series(state, Y_values, Y_sigma, a0, P0):
+    """RTS-smoothed variant of :func:`_kf_serve_series`: every frame
+    conditions on the WHOLE series (offline reconstruction of a recorded
+    run).  The returned carry is the forward filter's final state."""
+    from .dynamics.kalman import kalman_smoother
+    Y0, R = _kf_scale_inputs(state, Y_values, Y_sigma)
+    A_sm, var, carry = kalman_smoother(
+        state["A"], state["Q"], state["Theta"], a0, P0, Y0, R)
+    return _kf_reconstruct(state, A_sm), A_sm, var, carry
 
 
 class DynamicSensor:
@@ -946,16 +983,19 @@ class DynamicSensor:
         self.reset()
 
     def _rebind(self, n_serve=None) -> None:
-        fn = functools.partial(_kf_serve_series, self._state)
-        if n_serve is not None and \
-                int(self._state["Ur"].shape[0]) != int(n_serve):
-            n = int(n_serve)
+        def bind(kernel):
+            fn = functools.partial(kernel, self._state)
+            if n_serve is not None and \
+                    int(self._state["Ur"].shape[0]) != int(n_serve):
+                n = int(n_serve)
 
-            def fn(Yv, Ys, a0, P0, _inner=functools.partial(
-                    _kf_serve_series, self._state)):
-                X, Af, var, carry = _inner(Yv, Ys, a0, P0)
-                return X[..., :n], Af, var, carry
-        self._filter = fn
+                def fn(Yv, Ys, a0, P0,
+                       _inner=functools.partial(kernel, self._state)):
+                    X, Af, var, carry = _inner(Yv, Ys, a0, P0)
+                    return X[..., :n], Af, var, carry
+            return fn
+        self._filter = bind(_kf_serve_series)
+        self._smooth = bind(_kf_smooth_series)
 
     # ------------------------------------------------------------------ #
 
@@ -1030,6 +1070,37 @@ class DynamicSensor:
         if persist:
             self._a, self._P = carry
         return X, A_filt, var
+
+    def smooth_batch(self, Y_values, Y_sigma=None, persist: bool = False
+                     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """RTS-smooth a RECORDED (K, s) series: every returned frame
+        conditions on all K measurements (the filter conditions frame k on
+        frames 0..k only) — the right offline reconstruction of a finished
+        run; under noise it beats the causal filter (tested).  Same return
+        contract as :meth:`filter_batch`; ``persist=True`` advances the
+        streaming carry with the FORWARD filter's final state, so a later
+        :meth:`step` continues exactly as if the series had been filtered."""
+        Y_values, Y_sigma = self._coerce(Y_values, Y_sigma)
+        a, P = (self._a, self._P) if persist else (self._a0, self._P0)
+        X, A_sm, var, carry = self._smooth(Y_values, Y_sigma, a, P)
+        if persist:
+            self._a, self._P = carry
+        return X, A_sm, var
+
+    def forecast(self, horizon: int, persist: bool = False
+                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Predict the next ``horizon`` frames with NO measurements: pure
+        rollout of the identified dynamics ``a_{k+1} = A a_k`` from the
+        current carry (or the packaged prior), with the coefficient
+        variances growing by ``P -> A P A^T + Q`` per step — a
+        measurement-free gap-fill / lookahead with honest uncertainty.
+        Implemented as the filter over an all-missing series (NaN masking),
+        so it shares the compiled kernel with :meth:`filter_batch`."""
+        q = int(horizon)
+        if q < 1:
+            raise ValueError(f"horizon must be >= 1; got {horizon}.")
+        Y = jnp.full((q, self.s), jnp.nan, self.Ur.dtype)
+        return self.filter_batch(Y, None, persist=persist)
 
     def step(self, y_values, y_sigma=None
              ) -> Tuple[jax.Array, jax.Array, jax.Array]:

@@ -14,7 +14,8 @@ import jax.numpy as jnp
 
 from openmeasure_tpu.dynamics import (DMD, fit_reduced_operator,
                                       estimate_process_noise,
-                                      stationary_covariance, kalman_filter)
+                                      stationary_covariance, kalman_filter,
+                                      kalman_smoother)
 from openmeasure_tpu.utils.metrics import nrmse
 
 
@@ -276,6 +277,99 @@ class TestKalmanFilter:
         assert np.all(w > 0)
 
 
+def _numpy_rts(A, Q, H, a0, P0, Y0, R_diag):
+    """Independent textbook RTS smoother (covariance form, explicit
+    inverses — nothing shared with the jax implementation)."""
+    a, P = a0.copy(), P0.copy()
+    m_f, P_f, m_p, P_p = [], [], [], []
+    for y, rd in zip(Y0, R_diag):
+        a_p = A @ a
+        Pp = A @ P @ A.T + Q
+        S = H @ Pp @ H.T + np.diag(rd)
+        K = Pp @ H.T @ np.linalg.inv(S)
+        a = a_p + K @ (y - H @ a_p)
+        P = Pp - K @ S @ K.T
+        m_f.append(a.copy()); P_f.append(P.copy())
+        m_p.append(a_p.copy()); P_p.append(Pp.copy())
+    n_steps = len(Y0)
+    a_s = [None] * n_steps
+    P_s = [None] * n_steps
+    a_s[-1], P_s[-1] = m_f[-1], P_f[-1]
+    for k in range(n_steps - 2, -1, -1):
+        G = P_f[k] @ A.T @ np.linalg.inv(P_p[k + 1])
+        a_s[k] = m_f[k] + G @ (a_s[k + 1] - m_p[k + 1])
+        P_s[k] = P_f[k] + G @ (P_s[k + 1] - P_p[k + 1]) @ G.T
+    return np.array(a_s), np.array([np.diag(P) for P in P_s])
+
+
+class TestKalmanSmoother:
+    def setup_method(self):
+        rng = np.random.default_rng(17)
+        self.r, self.s, self.K = 4, 6, 30
+        self.A = 0.9 * np.linalg.qr(rng.standard_normal((self.r,) * 2))[0]
+        M = rng.standard_normal((self.r, self.r))
+        self.Q = 0.05 * (M @ M.T) + 0.01 * np.eye(self.r)
+        self.H = rng.standard_normal((self.s, self.r))
+        self.a0 = rng.standard_normal(self.r)
+        self.P0 = np.eye(self.r)
+        self.Y0 = rng.standard_normal((self.K, self.s))
+        self.R = np.full((self.K, self.s), 0.04)
+
+    def _args(self, Y0=None, R=None):
+        return [jnp.asarray(v) for v in
+                (self.A, self.Q, self.H, self.a0, self.P0,
+                 self.Y0 if Y0 is None else Y0,
+                 self.R if R is None else R)]
+
+    def test_matches_numpy_rts(self):
+        sm_o, var_o = _numpy_rts(self.A, self.Q, self.H, self.a0, self.P0,
+                                 self.Y0, self.R)
+        sm, var, _ = kalman_smoother(*self._args())
+        np.testing.assert_allclose(np.asarray(sm), sm_o, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(var), var_o, atol=1e-9)
+
+    def test_carry_is_forward_filter_state(self):
+        _, _, (aK_f, PK_f) = kalman_filter(*self._args())
+        sm, _, (aK_s, PK_s) = kalman_smoother(*self._args())
+        np.testing.assert_allclose(np.asarray(aK_s), np.asarray(aK_f),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(PK_s), np.asarray(PK_f),
+                                   atol=1e-12)
+        # ... and the LAST smoothed mean is the last filtered mean
+        np.testing.assert_allclose(np.asarray(sm[-1]), np.asarray(aK_f),
+                                   atol=1e-12)
+
+    def test_single_frame_series_degenerates_to_filter(self):
+        f, vf, _ = kalman_filter(*self._args(self.Y0[:1], self.R[:1]))
+        sm, vs, _ = kalman_smoother(*self._args(self.Y0[:1], self.R[:1]))
+        np.testing.assert_allclose(np.asarray(sm), np.asarray(f),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(vs), np.asarray(vf),
+                                   atol=1e-12)
+
+    def test_smoother_beats_filter_on_state_estimation(self):
+        # simulate the EXACT linear-Gaussian model the filter assumes;
+        # conditioning on the whole series must reduce the mean estimation
+        # error (and never inflate the reported variance)
+        rng = np.random.default_rng(3)
+        Lq = np.linalg.cholesky(self.Q)
+        a = self.a0.copy()
+        truth, Y = [], []
+        for _ in range(self.K):
+            a = self.A @ a + Lq @ rng.standard_normal(self.r)
+            truth.append(a.copy())
+            Y.append(self.H @ a + 0.2 * rng.standard_normal(self.s))
+        truth = np.array(truth)
+        Y = np.array(Y)
+        R = np.full((self.K, self.s), 0.04)
+        f, vf, _ = kalman_filter(*self._args(Y, R))
+        sm, vs, _ = kalman_smoother(*self._args(Y, R))
+        err_f = np.mean(np.square(np.asarray(f) - truth))
+        err_s = np.mean(np.square(np.asarray(sm) - truth))
+        assert err_s < err_f, (err_s, err_f)
+        assert np.all(np.asarray(vs) <= np.asarray(vf) + 1e-12)
+
+
 def _timeseries_dataset(seed=11, n_points=75, n_features=2, m=60, K=40,
                         noise=0.0):
     """Flame-like time series: oscillatory + slowly decaying reduced
@@ -415,6 +509,74 @@ class TestDynamicSensor:
                                    atol=1e-5)
         np.testing.assert_allclose(np.asarray(As), np.asarray(A0),
                                    atol=1e-5)
+        # the smoothing kernel shards the same way
+        sharded.reset()
+        self.dyn.reset()
+        Xs, As, _ = sharded.smooth_batch(self.Y[:6], self.Y_sigma[:6])
+        X0, A0, _ = self.dyn.smooth_batch(self.Y[:6], self.Y_sigma[:6])
+        assert Xs.shape == X0.shape
+        np.testing.assert_allclose(np.asarray(Xs), np.asarray(X0),
+                                   atol=1e-5)
+
+    def test_missing_frame_is_pure_prediction(self):
+        self.dyn.reset()
+        Y = np.asarray(self.Y[:3]).copy()
+        Y[1, :] = np.nan            # whole frame dropped
+        X, A_f, V = self.dyn.filter_batch(Y, self.Y_sigma[:3])
+        assert np.all(np.isfinite(np.asarray(X)))
+        A_op = np.asarray(self.dyn._state["A"], np.float64)
+        np.testing.assert_allclose(
+            np.asarray(A_f[1], np.float64),
+            A_op @ np.asarray(A_f[0], np.float64), atol=1e-5)
+        # partial dropout: one dead sensor on one frame stays finite and
+        # close to the fully-measured filter
+        Y2 = np.asarray(self.Y[:6]).copy()
+        Y2[3, 0] = np.nan
+        X2, _, _ = self.dyn.filter_batch(Y2, self.Y_sigma[:6])
+        self.dyn.reset()
+        X_full, _, _ = self.dyn.filter_batch(self.Y[:6], self.Y_sigma[:6])
+        assert np.all(np.isfinite(np.asarray(X2)))
+        err = float(nrmse(X2, X_full))
+        assert err < 0.1, err
+
+    def test_forecast_matches_operator_rollout(self):
+        self.dyn.reset()
+        Xf, Af, Vf = self.dyn.forecast(4)
+        A_op = np.asarray(self.dyn._state["A"], np.float64)
+        a = np.asarray(self.dyn._a0, np.float64)
+        for k in range(4):
+            a = A_op @ a
+            np.testing.assert_allclose(np.asarray(Af[k], np.float64), a,
+                                       atol=1e-5)
+        assert np.all(np.isfinite(np.asarray(Xf)))
+        # forecasting can never be more certain than filtering actual
+        # measurements
+        self.dyn.reset()
+        _, _, V_meas = self.dyn.filter_batch(self.Y[:4], self.Y_sigma[:4])
+        assert float(jnp.mean(Vf[-1])) > float(jnp.mean(V_meas[-1]))
+        with pytest.raises(ValueError):
+            self.dyn.forecast(0)
+
+    def test_smooth_beats_filter_and_shares_carry(self):
+        self.dyn.reset()
+        X_s, A_s, V_s = self.dyn.smooth_batch(self.Y, self.Y_sigma,
+                                              persist=True)
+        a_s, P_s = np.asarray(self.dyn._a), np.asarray(self.dyn._P)
+        self.dyn.reset()
+        X_f, A_f, V_f = self.dyn.filter_batch(self.Y, self.Y_sigma,
+                                              persist=True)
+        a_f, P_f = np.asarray(self.dyn._a), np.asarray(self.dyn._P)
+        self.dyn.reset()
+        # persist carry == forward filter's carry (streaming continuation)
+        np.testing.assert_allclose(a_s, a_f, atol=1e-6)
+        np.testing.assert_allclose(P_s, P_f, atol=1e-6)
+        # last frame: smoothed == filtered
+        np.testing.assert_allclose(np.asarray(X_s[-1]),
+                                   np.asarray(X_f[-1]), atol=1e-4)
+        # conditioning on the whole series improves the reconstruction
+        err_s = float(nrmse(X_s.T, jnp.asarray(self.X_test)))
+        err_f = float(nrmse(X_f.T, jnp.asarray(self.X_test)))
+        assert err_s < err_f, (err_s, err_f)
 
 
 class TestStreamingDMD:
