@@ -93,6 +93,27 @@ print(f"reconstruction NRMSE under 50% sensor noise: "
       f"({err_st / err_kf:.1f}x better)")
 assert err_kf < 0.8 * err_st, (err_kf, err_st)
 
+# offline: RTS smoothing conditions every frame on the WHOLE series
+X_sm = np.asarray(dyn.smooth_batch(Y_noisy, Y_sigma)[0])
+err_sm = float(nrmse(X_sm.T, X_test))
+print(f"RTS-smoothed NRMSE: {err_sm:.4f} "
+      f"(filter {err_kf:.4f}, memoryless {err_st:.4f})")
+assert err_sm < err_kf, (err_sm, err_kf)
+
+# dropped sensors: NaN entries are masked (pure prediction), not propagated
+Y_holes = Y_noisy.copy()
+Y_holes[3, :] = np.nan                           # a whole frame lost
+Y_holes[7, 0] = np.nan                           # one dead sensor
+X_h = np.asarray(dyn.filter_batch(Y_holes, Y_sigma)[0])
+assert np.all(np.isfinite(X_h))
+print(f"with dropped frames/sensors: NRMSE {nrmse(X_h.T, X_test):.4f} "
+      f"(still finite, still filtered)")
+
+# lookahead: measurement-free rollout of the identified dynamics
+X_fc2, _, V_fc2 = dyn.forecast(10)
+print(f"10-frame measurement-free forecast NRMSE: "
+      f"{float(nrmse(np.asarray(X_fc2).T, X_test[:, :10])):.4f}")
+
 # streaming: one frame at a time, identical to the batch filter
 dyn.reset()
 x_last = None
