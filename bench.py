@@ -649,8 +649,8 @@ def main():
     @jax.jit
     def bench_loop_kf(Y, k):
         def body(i, acc):
-            X, Af, var, _ = _kf_serve_series(kstate, Y + acc * 1e-30, Sk,
-                                             a0_k, P0_k)
+            X, Af, var, *_ = _kf_serve_series(kstate, Y + acc * 1e-30, Sk,
+                                              a0_k, P0_k)
             return (jnp.sum(X[:, :: 4096]) + jnp.sum(Af)
                     + jnp.sum(var)).astype(jnp.float32) * jnp.float32(1e-9)
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))

@@ -99,48 +99,67 @@ def stationary_covariance(A, Q, max_iter: int = 10_000,
     return 0.5 * (P + P.T)
 
 
-def _kf_core(A, Q, H, a, P, y0, r_diag):
+# effective variance of a GATED (outlier-rejected) measurement: large
+# enough that the Kalman gain is numerically zero, small enough that the
+# SPD innovation solve stays well-conditioned in fp32
+_GATED_R = 1e12
+
+
+def _kf_core(A, Q, H, a, P, y0, r_diag, gate):
     """One predict + Joseph-form update.  All matmuls HIGHEST (fp32 device:
     the covariance recursions are differences of near-equal products).
     Returns the full posterior AND the prediction (the smoother needs
-    both); the filter scan keeps only what it emits."""
+    both); the filter scan keeps only what it emits.
+
+    ``gate`` (scalar) is the innovation-gating threshold in predicted
+    standard deviations: a measurement entry whose innovation
+    ``|y_i - (H a_pred)_i|`` exceeds ``gate * sqrt(S_ii)`` (with
+    ``S_ii = (H P_pred H^T)_ii + r_i``, the filter's own predicted
+    innovation variance) is a gross outlier under the model and is
+    rejected — its variance is replaced by :data:`_GATED_R`, so it
+    contributes ~zero gain, exactly like a missing reading.  ``gate=inf``
+    disables gating (the ``where`` masks select every original value, so
+    results are bit-identical to the ungated filter)."""
     a_pred = jnp.matmul(A, a, precision=_HP)
     P_pred = jnp.matmul(jnp.matmul(A, P, precision=_HP), A.T,
                         precision=_HP) + Q
     PHt = jnp.matmul(P_pred, H.T, precision=_HP)               # (r, s)
-    S = jnp.matmul(H, PHt, precision=_HP) + jnp.diag(r_diag)   # (s, s) SPD
-    K = jax.scipy.linalg.solve(S, PHt.T, assume_a="pos").T     # (r, s)
     innov = y0 - jnp.matmul(H, a_pred, precision=_HP)
+    S_diag = jnp.sum(H * PHt.T, axis=1) + r_diag               # (s,)
+    rej = jnp.square(innov) > jnp.square(gate) * S_diag
+    r_eff = jnp.where(rej, jnp.full_like(r_diag, _GATED_R), r_diag)
+    S = jnp.matmul(H, PHt, precision=_HP) + jnp.diag(r_eff)    # (s, s) SPD
+    K = jax.scipy.linalg.solve(S, PHt.T, assume_a="pos").T     # (r, s)
     a_new = a_pred + jnp.matmul(K, innov, precision=_HP)
     IKH = jnp.eye(a.shape[0], dtype=P.dtype) \
         - jnp.matmul(K, H, precision=_HP)
     P_new = jnp.matmul(jnp.matmul(IKH, P_pred, precision=_HP), IKH.T,
                        precision=_HP) \
-        + jnp.matmul(K * r_diag[None, :], K.T, precision=_HP)
+        + jnp.matmul(K * r_eff[None, :], K.T, precision=_HP)
     P_new = 0.5 * (P_new + P_new.T)
-    return a_new, P_new, a_pred, P_pred
+    return a_new, P_new, a_pred, P_pred, rej
 
 
-def _kf_step(A, Q, H, carry, inputs):
+def _kf_step(A, Q, H, gate, carry, inputs):
     a, P = carry
     y0, r_diag = inputs
-    a_new, P_new, _, _ = _kf_core(A, Q, H, a, P, y0, r_diag)
-    return (a_new, P_new), (a_new, jnp.diagonal(P_new))
+    a_new, P_new, _, _, rej = _kf_core(A, Q, H, a, P, y0, r_diag, gate)
+    return (a_new, P_new), (a_new, jnp.diagonal(P_new), rej)
 
 
-def _kf_step_full(A, Q, H, carry, inputs):
+def _kf_step_full(A, Q, H, gate, carry, inputs):
     """Filter step that also emits the full covariances and predictions
     (the RTS backward pass consumes them)."""
     a, P = carry
     y0, r_diag = inputs
-    a_new, P_new, a_pred, P_pred = _kf_core(A, Q, H, a, P, y0, r_diag)
-    return (a_new, P_new), (a_new, P_new, a_pred, P_pred)
+    a_new, P_new, a_pred, P_pred, rej = _kf_core(A, Q, H, a, P, y0,
+                                                 r_diag, gate)
+    return (a_new, P_new), (a_new, P_new, a_pred, P_pred, rej)
 
 
-@jax.jit
-def kalman_filter(A, Q, H, a0, P0, Y0, R_diag
-                  ) -> Tuple[jax.Array, jax.Array,
-                             Tuple[jax.Array, jax.Array]]:
+@functools.partial(jax.jit, static_argnames=("return_rejected",))
+def kalman_filter(A, Q, H, a0, P0, Y0, R_diag, gate=None,
+                  return_rejected: bool = False):
     """Filter a series of SCALED measurements through the reduced dynamics.
 
     A (r, r), Q (r, r): dynamics and process noise (reduced space).
@@ -148,25 +167,34 @@ def kalman_filter(A, Q, H, a0, P0, Y0, R_diag
     a0 (r,), P0 (r, r): prior state at the step BEFORE ``Y0[0]``.
     Y0 (K, s): scaled measurement series; R_diag (K, s): per-step
     measurement-noise variances (scaled space; 0 = exact measurement).
+    gate: optional innovation-gating threshold in predicted standard
+    deviations — entries whose innovation exceeds ``gate * sqrt(S_ii)``
+    are rejected as gross outliers (zero gain); ``None`` disables gating
+    (results bit-identical to the ungated filter).
 
     Returns ``(A_filt (K, r), var_diag (K, r), (a_K, P_K))`` — the filtered
     means, their marginal variances, and the final carry for streaming
-    continuation.  One ``lax.scan``: a K-frame series is a single device
-    dispatch.
+    continuation; with ``return_rejected=True`` a fourth (K, s) boolean
+    array marks the gated entries.  One ``lax.scan``: a K-frame series is
+    a single device dispatch.
     """
-    step = functools.partial(_kf_step, A, Q, H)
-    (aK, PK), (A_filt, var) = jax.lax.scan(step, (a0, P0), (Y0, R_diag))
+    g = jnp.inf if gate is None else gate
+    step = functools.partial(_kf_step, A, Q, H, g)
+    (aK, PK), (A_filt, var, rej) = jax.lax.scan(
+        step, (a0, P0), (Y0, R_diag))
+    if return_rejected:
+        return A_filt, var, (aK, PK), rej
     return A_filt, var, (aK, PK)
 
 
-@jax.jit
-def kalman_smoother(A, Q, H, a0, P0, Y0, R_diag
-                    ) -> Tuple[jax.Array, jax.Array,
-                               Tuple[jax.Array, jax.Array]]:
+@functools.partial(jax.jit, static_argnames=("return_rejected",))
+def kalman_smoother(A, Q, H, a0, P0, Y0, R_diag, gate=None,
+                    return_rejected: bool = False):
     """Rauch–Tung–Striebel smoothing of the full measurement series.
 
-    Same inputs/contract as :func:`kalman_filter`, but every returned mean
-    conditions on ALL K measurements (the filter conditions step k on
+    Same inputs/contract as :func:`kalman_filter` (including the optional
+    innovation ``gate``, applied on the forward pass), but every returned
+    mean conditions on ALL K measurements (the filter conditions step k on
     measurements 0..k only) — the right estimator for OFFLINE analysis of a
     recorded series.  Returns ``(A_smooth (K, r), var_diag (K, r),
     (a_K, P_K))`` where the carry is the FORWARD filter's final state (so a
@@ -178,8 +206,9 @@ def kalman_smoother(A, Q, H, a0, P0, Y0, R_diag
     explicit inverse.  Still two device dispatches' worth of work fused in
     one program: no Python loop, no (K, r, r) host round-trips.
     """
-    step = functools.partial(_kf_step_full, A, Q, H)
-    (aK, PK), (A_f, P_f, A_p, P_p) = jax.lax.scan(
+    g = jnp.inf if gate is None else gate
+    step = functools.partial(_kf_step_full, A, Q, H, g)
+    (aK, PK), (A_f, P_f, A_p, P_p, rej) = jax.lax.scan(
         step, (a0, P0), (Y0, R_diag))
 
     def back(carry, inputs):
@@ -199,4 +228,6 @@ def kalman_smoother(A, Q, H, a0, P0, Y0, R_diag
         back, (A_f[-1], P_f[-1]), inputs, reverse=True)
     A_smooth = jnp.concatenate([A_sm, A_f[-1:]], axis=0)
     var = jnp.concatenate([var_sm, jnp.diagonal(P_f[-1])[None, :]], axis=0)
+    if return_rejected:
+        return A_smooth, var, (aK, PK), rej
     return A_smooth, var, (aK, PK)

@@ -21,7 +21,7 @@ at batch 1 / 10 / 50.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax
@@ -918,9 +918,10 @@ def _kf_serve_series(state, Y_values, Y_sigma, a0, P0):
     compile-sharing convention of every serving kernel in this module."""
     from .dynamics.kalman import kalman_filter
     Y0, R = _kf_scale_inputs(state, Y_values, Y_sigma)
-    A_filt, var, carry = kalman_filter(
-        state["A"], state["Q"], state["Theta"], a0, P0, Y0, R)
-    return _kf_reconstruct(state, A_filt), A_filt, var, carry
+    A_filt, var, carry, rej = kalman_filter(
+        state["A"], state["Q"], state["Theta"], a0, P0, Y0, R,
+        gate=state["gate"], return_rejected=True)
+    return _kf_reconstruct(state, A_filt), A_filt, var, carry, rej
 
 
 @jax.jit
@@ -930,9 +931,10 @@ def _kf_smooth_series(state, Y_values, Y_sigma, a0, P0):
     run).  The returned carry is the forward filter's final state."""
     from .dynamics.kalman import kalman_smoother
     Y0, R = _kf_scale_inputs(state, Y_values, Y_sigma)
-    A_sm, var, carry = kalman_smoother(
-        state["A"], state["Q"], state["Theta"], a0, P0, Y0, R)
-    return _kf_reconstruct(state, A_sm), A_sm, var, carry
+    A_sm, var, carry, rej = kalman_smoother(
+        state["A"], state["Q"], state["Theta"], a0, P0, Y0, R,
+        gate=state["gate"], return_rejected=True)
+    return _kf_reconstruct(state, A_sm), A_sm, var, carry, rej
 
 
 class DynamicSensor:
@@ -957,15 +959,27 @@ class DynamicSensor:
     starts from the stored prior unless ``persist=True`` (then it both
     starts from and rolls forward the carry).  The filter runs in scaled
     space at HIGHEST precision with Joseph-form updates (fp32-stable).
+
+    Robustness knobs: ``NaN`` measurement entries mark dropped sensors
+    (masked to ~zero gain); ``gate=g`` enables innovation gating — an
+    entry whose innovation exceeds ``g`` predicted standard deviations
+    (3-5 is typical) is rejected as a gross outlier the same way, so a
+    stuck/failed sensor cannot drag the state estimate.  The most recent
+    call's rejection mask is ``last_rejected`` (see
+    :meth:`rejected_fraction`).
     """
 
     def __init__(self, Ur, Theta, cnt_sensors, scl_sensors, X_cnt, X_scl,
-                 A, Q, a0, P0, dtype=jnp.float32, r_floor: float = 1e-6):
+                 A, Q, a0, P0, dtype=jnp.float32, r_floor: float = 1e-6,
+                 gate: Optional[float] = None):
         self.Ur = jnp.asarray(Ur, dtype)
         self.Theta = jnp.asarray(Theta, dtype)
         self.r = int(self.Theta.shape[1])
         self.s = int(self.Theta.shape[0])
         self.n = int(self.Ur.shape[0])
+        if gate is not None and not float(gate) > 0:
+            raise ValueError(f"gate must be a positive number of predicted "
+                             f"standard deviations; got {gate}.")
         self._state = {
             "Ur": self.Ur, "Theta": self.Theta,
             "cnt_sensors": jnp.asarray(cnt_sensors, dtype),
@@ -975,10 +989,15 @@ class DynamicSensor:
             "A": jnp.asarray(A, dtype), "Q": jnp.asarray(Q, dtype),
             # squared: compared against variances
             "r_floor": jnp.asarray(float(r_floor) ** 2, dtype),
+            # innovation-gating threshold (inf = disabled); a state LEAF,
+            # so same-shape models with different gates share the compile
+            "gate": jnp.asarray(jnp.inf if gate is None else float(gate),
+                                dtype),
         }
         self._a0 = jnp.asarray(a0, dtype)
         self._P0 = jnp.asarray(P0, dtype)
         self._kf_kernel = _kf_serve_series
+        self.last_rejected = None
         self._rebind()
         self.reset()
 
@@ -991,8 +1010,8 @@ class DynamicSensor:
 
                 def fn(Yv, Ys, a0, P0,
                        _inner=functools.partial(kernel, self._state)):
-                    X, Af, var, carry = _inner(Yv, Ys, a0, P0)
-                    return X[..., :n], Af, var, carry
+                    X, Af, var, carry, rej = _inner(Yv, Ys, a0, P0)
+                    return X[..., :n], Af, var, carry, rej
             return fn
         self._filter = bind(_kf_serve_series)
         self._smooth = bind(_kf_smooth_series)
@@ -1002,7 +1021,8 @@ class DynamicSensor:
     @classmethod
     def from_spr(cls, spr, ridge: float = 0.0, q_floor: float = 1e-8,
                  feature_ids=None, dtype=jnp.float32,
-                 r_floor: float = 1e-6) -> "DynamicSensor":
+                 r_floor: float = 1e-6,
+                 gate: Optional[float] = None) -> "DynamicSensor":
         """Package a trained SPR whose snapshots were TIME-ORDERED with a
         uniform sampling interval (the dynamics are identified from the
         column order of the fitted ``Ar``).  The filter starts at the last
@@ -1029,19 +1049,20 @@ class DynamicSensor:
             spr.C, X_cnt, X_scl, spr.n_points, feature_ids)
         return cls(spr.Ur, spr.Theta, cnt_sensors, scl_sensors,
                    X_cnt, X_scl, A, Q, a0, P0, dtype=dtype,
-                   r_floor=r_floor)
+                   r_floor=r_floor, gate=gate)
 
     @classmethod
     def load(cls, path: str, ridge: float = 0.0, q_floor: float = 1e-8,
              feature_ids=None, dtype=jnp.float32,
-             r_floor: float = 1e-6) -> "DynamicSensor":
+             r_floor: float = 1e-6,
+             gate: Optional[float] = None) -> "DynamicSensor":
         """Build from a checkpoint written by
         :func:`openmeasure_tpu.utils.checkpoint.save_model` (the saved SPR
         carries ``Ar``, so the dynamics are re-identified on load)."""
         from .utils.checkpoint import load_model
         return cls.from_spr(load_model(path), ridge=ridge, q_floor=q_floor,
                             feature_ids=feature_ids, dtype=dtype,
-                            r_floor=r_floor)
+                            r_floor=r_floor, gate=gate)
 
     # ------------------------------------------------------------------ #
 
@@ -1066,7 +1087,8 @@ class DynamicSensor:
         the internal streaming carry instead of the stored prior."""
         Y_values, Y_sigma = self._coerce(Y_values, Y_sigma)
         a, P = (self._a, self._P) if persist else (self._a0, self._P0)
-        X, A_filt, var, carry = self._filter(Y_values, Y_sigma, a, P)
+        X, A_filt, var, carry, rej = self._filter(Y_values, Y_sigma, a, P)
+        self.last_rejected = rej
         if persist:
             self._a, self._P = carry
         return X, A_filt, var
@@ -1082,7 +1104,8 @@ class DynamicSensor:
         :meth:`step` continues exactly as if the series had been filtered."""
         Y_values, Y_sigma = self._coerce(Y_values, Y_sigma)
         a, P = (self._a, self._P) if persist else (self._a0, self._P0)
-        X, A_sm, var, carry = self._smooth(Y_values, Y_sigma, a, P)
+        X, A_sm, var, carry, rej = self._smooth(Y_values, Y_sigma, a, P)
+        self.last_rejected = rej
         if persist:
             self._a, self._P = carry
         return X, A_sm, var
@@ -1113,8 +1136,9 @@ class DynamicSensor:
         sig = jnp.zeros((1, self.s), self.Ur.dtype) if y_sigma is None \
             else jnp.broadcast_to(jnp.asarray(y_sigma, self.Ur.dtype),
                                   (1, self.s))
-        X, A_filt, var, carry = self._filter(y_values[None, :], sig,
-                                             self._a, self._P)
+        X, A_filt, var, carry, rej = self._filter(y_values[None, :], sig,
+                                                  self._a, self._P)
+        self.last_rejected = rej
         self._a, self._P = carry
         return X[0], A_filt[0], var[0]
 
@@ -1129,6 +1153,15 @@ class DynamicSensor:
         X, *_ = self._filter(Y, Y, self._a0, self._P0)
         jax.block_until_ready(X)
         return self
+
+    def rejected_fraction(self) -> float:
+        """Fraction of measurement entries gated as outliers in the most
+        recent filter/smooth/step call (0.0 when gating is disabled) — a
+        cheap sensor-health signal; ``last_rejected`` holds the full
+        (K, s) boolean mask."""
+        if getattr(self, "last_rejected", None) is None:
+            return 0.0
+        return float(jnp.mean(self.last_rejected.astype(jnp.float32)))
 
     def shard(self, mesh, axis_name: str = "state") -> "DynamicSensor":
         """Multi-chip serving: copy with the n-row state (Ur and the

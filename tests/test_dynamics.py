@@ -370,6 +370,75 @@ class TestKalmanSmoother:
         assert np.all(np.asarray(vs) <= np.asarray(vf) + 1e-12)
 
 
+class TestInnovationGating:
+    """gate=g rejects entries whose innovation exceeds g predicted std
+    devs (zero gain, like a missing reading); gate=None is bit-identical
+    to the ungated filter."""
+
+    def setup_method(self):
+        rng = np.random.default_rng(23)
+        self.r, self.s, self.K = 4, 6, 30
+        self.A = 0.9 * np.linalg.qr(rng.standard_normal((self.r,) * 2))[0]
+        M = rng.standard_normal((self.r, self.r))
+        self.Q = 0.05 * (M @ M.T) + 0.01 * np.eye(self.r)
+        self.H = rng.standard_normal((self.s, self.r))
+        self.a0 = rng.standard_normal(self.r)
+        self.P0 = np.eye(self.r)
+        # exact linear-Gaussian simulation
+        Lq = np.linalg.cholesky(self.Q)
+        a = self.a0.copy()
+        truth, Y = [], []
+        for _ in range(self.K):
+            a = self.A @ a + Lq @ rng.standard_normal(self.r)
+            truth.append(a.copy())
+            Y.append(self.H @ a + 0.2 * rng.standard_normal(self.s))
+        self.truth = np.array(truth)
+        self.Y = np.array(Y)
+        self.R = np.full((self.K, self.s), 0.04)
+
+    def _run(self, Y, gate, smoother=False):
+        fn = kalman_smoother if smoother else kalman_filter
+        return fn(*[jnp.asarray(v) for v in
+                    (self.A, self.Q, self.H, self.a0, self.P0, Y, self.R)],
+                  gate=gate, return_rejected=True)
+
+    def test_disabled_gate_is_bit_identical(self):
+        means0, var0, (aK0, _) = kalman_filter(
+            *[jnp.asarray(v) for v in
+              (self.A, self.Q, self.H, self.a0, self.P0, self.Y, self.R)])
+        means1, var1, (aK1, _), rej = self._run(self.Y, None)
+        assert not bool(jnp.any(rej))
+        np.testing.assert_array_equal(np.asarray(means1),
+                                      np.asarray(means0))
+        np.testing.assert_array_equal(np.asarray(var1), np.asarray(var0))
+        np.testing.assert_array_equal(np.asarray(aK1), np.asarray(aK0))
+
+    def test_gate_rejects_gross_outlier(self):
+        Y_bad = self.Y.copy()
+        Y_bad[12, 2] += 50.0                       # stuck-sensor spike
+        m_clean, _, _, _ = self._run(self.Y, 4.0)
+        m_gated, _, _, rej = self._run(Y_bad, 4.0)
+        m_open, _, _, _ = self._run(Y_bad, None)
+        rej = np.asarray(rej)
+        assert rej[12, 2]                          # the spike is caught
+        assert rej.sum() <= 3                      # ~no false rejections
+        e_gated = np.mean(np.square(np.asarray(m_gated) - self.truth))
+        e_clean = np.mean(np.square(np.asarray(m_clean) - self.truth))
+        e_open = np.mean(np.square(np.asarray(m_open) - self.truth))
+        assert e_gated < 1.1 * e_clean, (e_gated, e_clean)
+        assert e_open > 2.0 * e_gated, (e_open, e_gated)
+
+    def test_gate_applies_to_smoother_forward_pass(self):
+        Y_bad = self.Y.copy()
+        Y_bad[12, 2] += 50.0
+        s_gated, _, _, rej = self._run(Y_bad, 4.0, smoother=True)
+        s_open, _, _, _ = self._run(Y_bad, None, smoother=True)
+        assert np.asarray(rej)[12, 2]
+        e_gated = np.mean(np.square(np.asarray(s_gated) - self.truth))
+        e_open = np.mean(np.square(np.asarray(s_open) - self.truth))
+        assert e_open > 2.0 * e_gated, (e_open, e_gated)
+
+
 def _timeseries_dataset(seed=11, n_points=75, n_features=2, m=60, K=40,
                         noise=0.0):
     """Flame-like time series: oscillatory + slowly decaying reduced
@@ -556,6 +625,29 @@ class TestDynamicSensor:
         assert float(jnp.mean(Vf[-1])) > float(jnp.mean(V_meas[-1]))
         with pytest.raises(ValueError):
             self.dyn.forecast(0)
+
+    def test_gating_shields_against_stuck_sensor(self):
+        from openmeasure_tpu.serving import DynamicSensor
+        gated = DynamicSensor.from_spr(self.spr, gate=4.0)
+        # gate is a state leaf: same-shape models share the compiled kernel
+        self.dyn.filter_batch(self.Y[:10], self.Y_sigma[:10])
+        size = self.dyn._kf_kernel._cache_size()
+        Y_bad = np.asarray(self.Y[:10]).copy()
+        Y_bad[4, 1] += 100.0 * self.sigma[1]        # stuck-sensor spike
+        Xg, _, _ = gated.filter_batch(Y_bad, self.Y_sigma[:10])
+        assert gated._kf_kernel._cache_size() == size
+        rej = np.asarray(gated.last_rejected)
+        assert rej[4, 1] and rej.sum() <= 3
+        assert gated.rejected_fraction() > 0.0
+        self.dyn.reset()
+        X_open, _, _ = self.dyn.filter_batch(Y_bad, self.Y_sigma[:10])
+        assert self.dyn.rejected_fraction() == 0.0  # ungated never rejects
+        truth = jnp.asarray(self.X_test[:, :10])
+        err_g = float(nrmse(Xg.T, truth))
+        err_o = float(nrmse(X_open.T, truth))
+        assert err_g < err_o, (err_g, err_o)
+        with pytest.raises(ValueError):
+            DynamicSensor.from_spr(self.spr, gate=-1.0)
 
     def test_smooth_beats_filter_and_shares_carry(self):
         self.dyn.reset()
