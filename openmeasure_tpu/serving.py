@@ -885,11 +885,12 @@ _KF_MISSING_R = 1e12
 def _kf_scale_inputs(state, Y_values, Y_sigma):
     """Scale a measurement series + build the per-step noise variances.
 
-    NaN entries in ``Y_values`` mark MISSING readings (a dropped sensor or
+    NaN entries in ``Y_values`` — or in ``Y_sigma`` (an unknown noise level
+    is an unusable reading) — mark MISSING readings (a dropped sensor or
     a pure-prediction frame): the value is replaced by zero and its
     variance by :data:`_KF_MISSING_R`, so the filter ignores it exactly
     (gain ~1e-12) instead of propagating the NaN."""
-    miss = jnp.isnan(Y_values)
+    miss = jnp.isnan(Y_values) | jnp.isnan(Y_sigma)
     Yv = jnp.where(miss, jnp.zeros_like(Y_values), Y_values)
     Y0 = (Yv - state["cnt_sensors"][None, :]) \
         / state["scl_sensors"][None, :]
@@ -1110,20 +1111,38 @@ class DynamicSensor:
             self._a, self._P = carry
         return X, A_sm, var
 
-    def forecast(self, horizon: int, persist: bool = False
+    def forecast(self, horizon: int, persist: bool = False,
+                 from_carry: Optional[bool] = None
                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Predict the next ``horizon`` frames with NO measurements: pure
-        rollout of the identified dynamics ``a_{k+1} = A a_k`` from the
-        current carry (or the packaged prior), with the coefficient
-        variances growing by ``P -> A P A^T + Q`` per step — a
+        rollout of the identified dynamics ``a_{k+1} = A a_k``, with the
+        coefficient variances growing by ``P -> A P A^T + Q`` per step — a
         measurement-free gap-fill / lookahead with honest uncertainty.
+
+        Start state: ``from_carry=True`` reads the LIVE streaming carry,
+        ``from_carry=False`` the packaged prior; the default follows
+        ``persist`` (so the two legacy calls keep their meaning).
+        ``persist=True`` additionally writes the rolled-forward state back
+        to the carry — i.e. the stream itself advances by ``horizon``
+        measurement-free steps.  ``forecast(q, from_carry=True)`` is the
+        non-mutating lookahead during streaming: it forecasts from the
+        current state and leaves the carry untouched.
+
         Implemented as the filter over an all-missing series (NaN masking),
         so it shares the compiled kernel with :meth:`filter_batch`."""
         q = int(horizon)
         if q < 1:
             raise ValueError(f"horizon must be >= 1; got {horizon}.")
-        Y = jnp.full((q, self.s), jnp.nan, self.Ur.dtype)
-        return self.filter_batch(Y, None, persist=persist)
+        if from_carry is None:
+            from_carry = persist
+        Y, Ys = self._coerce(jnp.full((q, self.s), jnp.nan, self.Ur.dtype),
+                             None)
+        a, P = (self._a, self._P) if from_carry else (self._a0, self._P0)
+        X, A_f, var, carry, rej = self._filter(Y, Ys, a, P)
+        self.last_rejected = rej
+        if persist:
+            self._a, self._P = carry
+        return X, A_f, var
 
     def step(self, y_values, y_sigma=None
              ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -1148,10 +1167,12 @@ class DynamicSensor:
         return self
 
     def warmup(self, batch: int = 1) -> "DynamicSensor":
-        """Force compilation at the given series length."""
+        """Force compilation of BOTH serving kernels (filter and RTS
+        smoother) at the given series length."""
         Y = jnp.zeros((batch, self.s), self.Ur.dtype)
         X, *_ = self._filter(Y, Y, self._a0, self._P0)
-        jax.block_until_ready(X)
+        X2, *_ = self._smooth(Y, Y, self._a0, self._P0)
+        jax.block_until_ready((X, X2))
         return self
 
     def rejected_fraction(self) -> float:

@@ -626,6 +626,56 @@ class TestDynamicSensor:
         with pytest.raises(ValueError):
             self.dyn.forecast(0)
 
+    def test_forecast_from_carry_is_nonmutating_lookahead(self):
+        self.dyn.reset()
+        self.dyn.filter_batch(self.Y[:5], self.Y_sigma[:5], persist=True)
+        a_before = np.asarray(self.dyn._a).copy()
+        P_before = np.asarray(self.dyn._P).copy()
+        Xc, Ac, Vc = self.dyn.forecast(3, from_carry=True)
+        # lookahead starts from the LIVE carry...
+        A_op = np.asarray(self.dyn._state["A"], np.float64)
+        np.testing.assert_allclose(np.asarray(Ac[0], np.float64),
+                                   A_op @ np.asarray(a_before, np.float64),
+                                   atol=1e-5)
+        # ...and leaves it untouched
+        np.testing.assert_array_equal(np.asarray(self.dyn._a), a_before)
+        np.testing.assert_array_equal(np.asarray(self.dyn._P), P_before)
+        # persist=True produces the same outputs but advances the carry
+        Xp, Ap, Vp = self.dyn.forecast(3, persist=True)
+        np.testing.assert_allclose(np.asarray(Ap), np.asarray(Ac),
+                                   atol=1e-6)
+        assert not np.allclose(np.asarray(self.dyn._a), a_before)
+        # default (persist=False) forecasts from the packaged prior
+        self.dyn.reset()
+        X0, A0, _ = self.dyn.forecast(3)
+        a = np.asarray(self.dyn._a0, np.float64)
+        np.testing.assert_allclose(np.asarray(A0[0], np.float64),
+                                   A_op @ a, atol=1e-5)
+
+    def test_nan_sigma_is_treated_as_missing(self):
+        self.dyn.reset()
+        sig = np.asarray(self.Y_sigma[:4]).copy()
+        sig[2, 1] = np.nan          # unknown noise level, finite value
+        X1, A1, V1 = self.dyn.filter_batch(self.Y[:4], sig)
+        assert np.all(np.isfinite(np.asarray(X1)))
+        # identical to dropping the measurement itself
+        self.dyn.reset()
+        Y = np.asarray(self.Y[:4]).copy()
+        Y[2, 1] = np.nan
+        X2, A2, V2 = self.dyn.filter_batch(Y, self.Y_sigma[:4])
+        np.testing.assert_allclose(np.asarray(X1), np.asarray(X2),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(V1), np.asarray(V2),
+                                   atol=1e-6)
+
+    def test_warmup_compiles_both_kernels(self):
+        from openmeasure_tpu.serving import (_kf_serve_series,
+                                             _kf_smooth_series)
+        self.dyn.warmup(batch=2)
+        # both module-level kernels have a compiled entry for this shape
+        assert _kf_serve_series._cache_size() > 0
+        assert _kf_smooth_series._cache_size() > 0
+
     def test_gating_shields_against_stuck_sensor(self):
         from openmeasure_tpu.serving import DynamicSensor
         gated = DynamicSensor.from_spr(self.spr, gate=4.0)
