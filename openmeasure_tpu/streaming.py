@@ -29,18 +29,26 @@ Components
 
 Streaming fit algorithm (disk passes)
 -------------------------------------
-1. **Stats** (host float64): per-row means (``axis_cnt=1`` centering) and
-   per-feature-block power sums / extrema → ``X_cnt``, ``X_scl``.  All 14
-   scale types of ``core/scaling.py``; ``median`` is not a moment statistic
-   and adds its own exact histogram-refinement selection passes (usually 2
-   — see :func:`_block_medians`).
-2. **Gram**: ``G += x0_chunkᵀ x0_chunk`` per chunk, accumulated host
-   float64; ``eigh`` → full-width ``V``, explained variance → rank ``r``
-   (same :func:`linalg.svd.select_rank` as in-core).
-3. **U**: ``U[rows] = x0_chunk @ V[:, :r]``; final column norms give
+1. **Stats + raw Grams** (host float64): per-row means (``axis_cnt=1``
+   centering), per-feature-block power sums / extrema → ``X_cnt``,
+   ``X_scl`` — and, fused into the same pass on the host engine, the raw
+   per-block Grams ``G_f = X_fᵀX_f``.  The scaled-centered Gram of the
+   whole panel is then derived *algebraically* (per block:
+   ``G_f − (G_f11ᵀ + 11ᵀG_f)/m + (1ᵀG_f1/m²)11ᵀ``, scaled ``1/scl_f²`` —
+   all (m, m) host f64, :func:`_gram_from_block_stats`), so no Gram disk
+   pass is needed; ``eigh`` → full-width ``V``, explained variance → rank
+   ``r`` (same :func:`linalg.svd.select_rank` as in-core).  A cancellation
+   check guards the raw-minus-correction algebra: offset-dominated blocks
+   (|mean| ≫ spread, >6 digits lost) fall back to a streamed centered
+   Gram pass.  All 14 scale types of ``core/scaling.py``; ``median`` is
+   not a moment statistic and adds its own exact histogram-refinement
+   selection passes (usually 2 — see :func:`_block_medians`), though its
+   raw Grams stay fused (they are scale-independent).
+2. **U**: ``U[rows] = x0_chunk @ V[:, :r]``; final column norms give
    ``Sigma_r`` (the true-column-norm normalization of the in-core ``rank``
    path), then sign canonicalization matching
-   :func:`linalg.svd._sign_canonicalize`.
+   :func:`linalg.svd._sign_canonicalize`.  Moment-based scale types
+   therefore fit in **two** disk passes total (pass-count tested).
 
 Two ENGINES run passes 2-3 (``fit(engine=...)``):
 
@@ -293,11 +301,23 @@ _MEDIAN_COLLECT_LIMIT = 1 << 22      # gather-and-partition threshold
 _MEDIAN_EXACT_CAP = 64               # distinct-value counting threshold
 
 
+# the fused stats+Gram pass keeps one (n_features, m, m) f64 accumulator;
+# above this budget (4096 blocks at the reference's m=41) fall back to the
+# separate Gram pass rather than ballooning host memory
+_FUSED_GRAM_BYTES_CAP = 512 * 1024 * 1024
+
+
 def _block_stats_pass(store, n_features, dtype, chunk_rows, need_row_means,
-                      prefetch):
+                      prefetch, accumulate_gram=False):
     """One disk pass: per-row means (host n-vector) + per-block power sums /
     extrema in float64.  Blocks are the contiguous ``n_points``-row feature
-    slabs; chunks may straddle block boundaries."""
+    slabs; chunks may straddle block boundaries.
+
+    With ``accumulate_gram=True`` the same pass also accumulates the RAW
+    per-block Grams ``G_f = X_fᵀX_f`` and column sums ``t_f = X_fᵀ1`` (both
+    f64, (m, m)/(m,) per block) — the scaled-centered Gram of the whole
+    panel is then derivable algebraically (:func:`_gram_from_block_stats`),
+    folding the host engine's Gram disk pass into this one."""
     n, m = store.shape
     n_points = n // n_features
     row_means = np.empty(n, dtype=np.float64) if need_row_means else None
@@ -307,6 +327,10 @@ def _block_stats_pass(store, n_features, dtype, chunk_rows, need_row_means,
     s4 = np.zeros(n_features)
     bmin = np.full(n_features, np.inf)
     bmax = np.full(n_features, -np.inf)
+    G_blocks = t_blocks = None
+    if accumulate_gram:
+        G_blocks = np.zeros((n_features, m, m), dtype=np.float64)
+        t_blocks = np.zeros((n_features, m), dtype=np.float64)
 
     for row0, chunk in iter_chunks(store, chunk_rows, dtype, prefetch):
         c = chunk.astype(np.float64, copy=False)
@@ -325,10 +349,60 @@ def _block_stats_pass(store, n_features, dtype, chunk_rows, need_row_means,
             s4[f] += (sq * sq).sum()
             bmin[f] = min(bmin[f], seg.min())
             bmax[f] = max(bmax[f], seg.max())
+            if accumulate_gram:
+                G_blocks[f] += seg.T @ seg
+                t_blocks[f] += seg.sum(axis=0)
             r = r_stop
     cnt = float(n_points * m)
     return {"row_means": row_means, "s1": s1, "s2": s2, "s3": s3, "s4": s4,
-            "min": bmin, "max": bmax, "count": cnt}
+            "min": bmin, "max": bmax, "count": cnt,
+            "G_blocks": G_blocks, "t_blocks": t_blocks}
+
+
+def _gram_from_block_stats(stats, scl_blocks, axis_cnt, n_points):
+    """Scaled-centered Gram ``X0ᵀX0`` assembled algebraically from the raw
+    per-block Grams of the fused stats pass — no second disk pass.
+
+    Per feature block f (scale ``scl_f`` constant over its rows):
+
+    * ``axis_cnt=1`` (per-row centering ``c_i = x_iᵀ1/m``):
+      ``Gc_f = G_f − (G_f 1 1ᵀ + 1 1ᵀ G_f)/m + (1ᵀ G_f 1 / m²)·1 1ᵀ``
+    * ``axis_cnt=None`` (block-scalar centering ``μ_f = s1_f/(n_points·m)``):
+      ``Gc_f = G_f − μ_f (1 t_fᵀ + t_f 1ᵀ) + n_points·μ_f²·1 1ᵀ``
+
+    and ``G = Σ_f Gc_f / scl_f²`` — all (m, m) host f64.
+
+    The raw-minus-correction form cancels catastrophically when
+    ``|mean| ≫ spread`` (raw moments ~μ², centered ~σ²).  Returns
+    ``(G, digits_lost)`` where ``digits_lost`` is the worst base-10
+    cancellation across blocks (log10 of raw/centered diagonal magnitude);
+    callers fall back to the streamed two-sided Gram pass when it exceeds
+    their f64 headroom."""
+    G_blocks, t_blocks = stats["G_blocks"], stats["t_blocks"]
+    n_features, m, _ = G_blocks.shape
+    ones = np.ones(m)
+    G = np.zeros((m, m), dtype=np.float64)
+    worst = 0.0
+    for f in range(n_features):
+        Gf = G_blocks[f]
+        if axis_cnt == 1:
+            g1 = Gf @ ones / m
+            Gc = Gf - np.outer(g1, ones) - np.outer(ones, g1) \
+                + (g1.sum() / m) * np.outer(ones, ones)
+        else:
+            mu = stats["s1"][f] / stats["count"]
+            tf = t_blocks[f]
+            Gc = Gf - mu * (np.outer(ones, tf) + np.outer(tf, ones)) \
+                + n_points * mu * mu * np.outer(ones, ones)
+        raw_mag = float(np.abs(np.diag(Gf)).max())
+        cen_mag = float(np.abs(np.diag(Gc)).max())
+        if raw_mag > 0:
+            worst = max(worst, np.log10(
+                raw_mag / max(cen_mag, np.finfo(np.float64).tiny)))
+        # 0/0-scale blocks propagate inf/nan exactly like the two-sided
+        # Gram pass would — same failure surface, no silent flooring
+        G += Gc / float(scl_blocks[f]) ** 2
+    return G, worst
 
 
 def _distinct_vals(lo: float, hi_excl: float, dt: np.dtype,
@@ -647,19 +721,30 @@ class StreamingROM(ROM):
             "StreamingROM decomposes inside fit() (streamed Gram route); "
             "there is no in-core X0 to decompose.")
 
-    def _stream_scaling(self, scale_type, axis_cnt):
+    def _stream_scaling(self, scale_type, axis_cnt, want_gram=False):
+        """Stats pass → (cnt, scl, stats, scl_blocks).  With
+        ``want_gram=True`` the pass also accumulates the raw per-block
+        Grams (``stats['G_blocks']``) so the host engine can skip its Gram
+        disk pass (:func:`_gram_from_block_stats`); the accumulator is
+        skipped above :data:`_FUSED_GRAM_BYTES_CAP`."""
         if scale_type not in _scaling.SCALE_TYPES:
             raise NotImplementedError(
                 "The scaling method selected has not been implemented yet")
         if axis_cnt not in (1, None):
             raise ValueError("axis_cnt must be 1 or None")
+        m = self.store.shape[1]
+        want_gram = want_gram and (
+            self.n_features * m * m * 8 <= _FUSED_GRAM_BYTES_CAP)
         stats = _block_stats_pass(
             self.store, self.n_features, self.dtype, self.chunk_rows,
-            need_row_means=(axis_cnt == 1), prefetch=self.prefetch)
+            need_row_means=(axis_cnt == 1), prefetch=self.prefetch,
+            accumulate_gram=want_gram)
         if scale_type == "median":
             # not a moment statistic: exact selection via histogram-
             # refinement disk passes (np.median semantics, usually 2 more
-            # passes) — see _block_medians
+            # passes) — see _block_medians.  The fused raw Grams stay
+            # valid: they are scale-independent, only the final /scl_f²
+            # uses the medians.
             scl_blocks = _block_medians(
                 self.store, self.n_features, self.dtype, self.chunk_rows,
                 self.prefetch, stats["min"], stats["max"])
@@ -670,7 +755,8 @@ class StreamingROM(ROM):
         else:
             cnt = np.repeat(stats["s1"] / stats["count"], self.n_points)
         scl = np.repeat(scl_blocks, self.n_points)
-        return cnt.astype(self.dtype), scl.astype(self.dtype)
+        return (cnt.astype(self.dtype), scl.astype(self.dtype), stats,
+                scl_blocks)
 
     def fit(self, scale_type: str = "std", axis_cnt: Optional[int] = 1,
             select_modes: str = "variance", n_modes=99, basis=None,
@@ -717,8 +803,11 @@ class StreamingROM(ROM):
         self.scale_type = scale_type
         n, m = self.store.shape
 
-        # pass 1 — stats
-        cnt_h, scl_h = self._stream_scaling(scale_type, axis_cnt)
+        # pass 1 — stats (fused with the raw block Grams on the host
+        # engine, so the scaled-centered Gram needs no second disk pass)
+        cnt_h, scl_h, stats, scl_blocks = self._stream_scaling(
+            scale_type, axis_cnt,
+            want_gram=(engine == "host" and basis is None))
         self.X_cnt = jnp.asarray(cnt_h[:, None])
         self.X_scl = jnp.asarray(scl_h[:, None])
         self._cnt_vector_cache = None
@@ -732,7 +821,9 @@ class StreamingROM(ROM):
             return
 
         if engine == "host":
-            self._fit_host_spectral(cnt_h, scl_h, select_modes, n_modes)
+            self._fit_host_spectral(cnt_h, scl_h, select_modes, n_modes,
+                                    stats=stats, scl_blocks=scl_blocks,
+                                    axis_cnt=axis_cnt)
             self._fit_axis_cnt = axis_cnt
             return
 
@@ -783,22 +874,49 @@ class StreamingROM(ROM):
 
     # -------------------------------------------------------------- #
 
-    def _fit_host_spectral(self, cnt_h, scl_h, select_modes, n_modes):
+    # worst tolerable base-10 cancellation in the fused raw-Gram algebra:
+    # 6 lost digits still leave ~1e-10 relative in f64 — beyond the fp32
+    # parity bars; above this the engine falls back to the streamed
+    # two-sided (centered-then-multiplied) Gram pass, which is stable
+    _FUSED_MAX_DIGITS_LOST = 6.0
+
+    def _fit_host_spectral(self, cnt_h, scl_h, select_modes, n_modes,
+                           stats=None, scl_blocks=None, axis_cnt=1):
         """``engine='host'`` spectral passes: f64 BLAS Gram + U assembly on
         the host while chunks stream, one (n, r) device upload at the end.
         Post-fit attributes are identical to the device engine's
-        (same rank rule, eps·max·√n norm floor, sign canonicalization)."""
+        (same rank rule, eps·max·√n norm floor, sign canonicalization).
+
+        When the stats pass carried the fused raw block Grams, the
+        scaled-centered Gram is assembled algebraically
+        (:func:`_gram_from_block_stats`) and disk pass A is skipped —
+        the moment-based scale types fit in TWO disk passes total
+        (``median`` keeps its extra selection passes).  The fused algebra
+        is abandoned (streamed pass A runs instead) if its cancellation
+        check loses more than ``_FUSED_MAX_DIGITS_LOST`` digits
+        (offset-dominated data: |mean| ≫ spread)."""
         n, m = self.store.shape
         cnt64 = cnt_h.astype(np.float64)
         scl64 = scl_h.astype(np.float64)
 
-        # disk pass A — f64 Gram (exact: no refine needed)
-        G = np.zeros((m, m), dtype=np.float64)
-        for row0, chunk in self._chunks():
-            c = chunk.shape[0]
-            x0 = (chunk.astype(np.float64)
-                  - cnt64[row0:row0 + c, None]) / scl64[row0:row0 + c, None]
-            G += x0.T @ x0
+        G = None
+        self.gram_fused_ = False
+        if stats is not None and stats.get("G_blocks") is not None:
+            G, digits_lost = _gram_from_block_stats(
+                stats, scl_blocks, axis_cnt, self.n_points)
+            if digits_lost > self._FUSED_MAX_DIGITS_LOST \
+                    or not np.all(np.isfinite(G)):
+                G = None
+            else:
+                self.gram_fused_ = True
+        if G is None:
+            # disk pass A — f64 Gram (exact: no refine needed)
+            G = np.zeros((m, m), dtype=np.float64)
+            for row0, chunk in self._chunks():
+                c = chunk.shape[0]
+                x0 = (chunk.astype(np.float64) - cnt64[row0:row0 + c, None]
+                      ) / scl64[row0:row0 + c, None]
+                G += x0.T @ x0
         V, S2, r = self._rank_from_gram(G, select_modes, n_modes)
 
         # disk pass B — U = X0 V_r, column norms accumulated in f64,
@@ -1144,21 +1262,35 @@ class StreamingDMD(StreamingROM, _DMD_base):
         if m < 2:
             raise ValueError("DMD needs at least 2 time-ordered snapshots.")
 
-        # pass 1 — scaling stats
-        cnt_h, scl_h = self._stream_scaling(scale_type, axis_cnt)
+        # pass 1 — scaling stats, fused with the raw block Grams (the
+        # full-series scaled-centered Gram is then algebraic — no pass 2)
+        cnt_h, scl_h, stats, scl_blocks = self._stream_scaling(
+            scale_type, axis_cnt, want_gram=True)
         self.X_cnt = jnp.asarray(cnt_h[:, None])
         self.X_scl = jnp.asarray(scl_h[:, None])
         self._cnt_vector_cache = None
         cnt64 = cnt_h.astype(np.float64)
         scl64 = scl_h.astype(np.float64)
 
-        # pass 2 — f64 Gram of the FULL scaled series
-        G = np.zeros((m, m), dtype=np.float64)
-        for row0, chunk in self._chunks():
-            c = chunk.shape[0]
-            x0 = (chunk.astype(np.float64)
-                  - cnt64[row0:row0 + c, None]) / scl64[row0:row0 + c, None]
-            G += x0.T @ x0
+        G = None
+        self.gram_fused_ = False
+        if stats.get("G_blocks") is not None:
+            G, digits_lost = _gram_from_block_stats(
+                stats, scl_blocks, axis_cnt, self.n_points)
+            if digits_lost > self._FUSED_MAX_DIGITS_LOST \
+                    or not np.all(np.isfinite(G)):
+                G = None
+            else:
+                self.gram_fused_ = True
+        if G is None:
+            # fallback pass 2 — f64 Gram of the FULL scaled series
+            G = np.zeros((m, m), dtype=np.float64)
+            for row0, chunk in self._chunks():
+                c = chunk.shape[0]
+                x0 = (chunk.astype(np.float64)
+                      - cnt64[row0:row0 + c, None]
+                      ) / scl64[row0:row0 + c, None]
+                G += x0.T @ x0
 
         # host spectral step on the X1 block
         V, S2, r = self._rank_from_gram(G[:-1, :-1], select_modes, n_modes)
