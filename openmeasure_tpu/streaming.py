@@ -635,6 +635,15 @@ def _chunk_gram(chunk, cnt, scl, W=None):
     return jnp.matmul(x0.T, x0, precision=hp)
 
 
+def _floored_norms(xp, colnorm, n, storage_dtype, norm_dtype):
+    """The eps·max·√n rank-deficiency norm floor (single source — see
+    :func:`_finalize_basis` for the precision rationale)."""
+    eps = float(np.finfo(np.dtype(norm_dtype)).eps)
+    tiny = float(np.finfo(np.dtype(storage_dtype)).tiny)
+    return xp.maximum(
+        xp.maximum(colnorm, eps * xp.max(colnorm) * float(n) ** 0.5), tiny)
+
+
 def _finalize_basis(xp, U, colnorm, S2, V, r, n, norm_dtype=None):
     """Shared fit-engine epilogue — SINGLE SOURCE for the eps·max·√n
     rank-deficiency norm floor (√n is the growth rate of an n-entry norm's
@@ -651,10 +660,7 @@ def _finalize_basis(xp, U, colnorm, S2, V, r, n, norm_dtype=None):
     breaking downstream orthonormal-Ur math like the incremental basis
     update).  Defaults to ``U.dtype`` (the device engine's case).
     Returns ``(U, sr_f64, S_f64, V_f64)``."""
-    eps = float(np.finfo(np.dtype(norm_dtype or U.dtype)).eps)
-    tiny = float(np.finfo(np.dtype(U.dtype)).tiny)
-    safe = xp.maximum(
-        xp.maximum(colnorm, eps * xp.max(colnorm) * float(n) ** 0.5), tiny)
+    safe = _floored_norms(xp, colnorm, n, U.dtype, norm_dtype or U.dtype)
     U = U / xp.asarray(safe, dtype=U.dtype)[None, :]
     idx = xp.argmax(xp.abs(U), axis=0)
     signs = xp.sign(U[idx, xp.arange(r)])
@@ -665,6 +671,20 @@ def _finalize_basis(xp, U, colnorm, S2, V, r, n, norm_dtype=None):
     S[:r] = sr
     V[:, :r] *= np.asarray(signs, dtype=np.float64)[None, :]
     return U, sr, S, V
+
+
+@jax.jit
+def _finalize_sharded_u(U, safe):
+    """On-device twin of :func:`_finalize_basis`'s normalization + sign
+    canonicalization for a row-SHARDED raw U panel: the division is
+    shard-local, the per-column argmax is an (r,)-sized cross-shard
+    reduce.  ``safe`` is the host-f64 floored column norms.  Returns the
+    canonical U (sharding preserved) and the applied signs."""
+    U = U / safe[None, :].astype(U.dtype)
+    idx = jnp.argmax(jnp.abs(U), axis=0)
+    signs = jnp.sign(U[idx, jnp.arange(U.shape[1])])
+    signs = jnp.where(signs == 0, 1.0, signs).astype(U.dtype)
+    return U * signs[None, :], signs
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -761,9 +781,26 @@ class StreamingROM(ROM):
     def fit(self, scale_type: str = "std", axis_cnt: Optional[int] = 1,
             select_modes: str = "variance", n_modes=99, basis=None,
             refine: Optional[int] = None, width: Optional[int] = None,
-            config=None, engine: str = "host"):
+            config=None, engine: str = "host", mesh=None,
+            mesh_axis: str = "state"):
         """Streaming ``ROM.fit`` — see the module docstring for the pass
         structure.
+
+        ``mesh=...`` composes out-of-core with multi-chip (SURVEY §5's
+        scaling axis IS the tall state dimension): the U pass streams each
+        disk chunk's rows toward their state shard and uploads every shard
+        slice the moment its rows are complete (``jax.device_put`` is
+        async, so shard uploads overlap the remaining disk reads), then
+        assembles the global row-sharded ``Ur`` with
+        ``jax.make_array_from_single_device_arrays`` — no single-device
+        (n, r) hop.  Column normalization + sign canonicalization run as
+        one jitted program ON the sharded array (shard-local elementwise
+        work plus an (r,)-sized argmax reduce).  Everything else
+        (stats/Gram/eigh) is the identical host-f64 math, so the factors
+        match the unsharded fit bit-for-bit up to fp32 rounding (parity
+        tested on an 8-device mesh, and in the driver dryrun).  Requires
+        ``engine='host'`` (the device engine's chunk scatter assumes one
+        resident HBM buffer).
 
         ``engine='host'`` (default): the spectral passes run in host
         float64 BLAS while chunks stream from disk, and only the final
@@ -798,6 +835,15 @@ class StreamingROM(ROM):
                 "refine/width are device-engine knobs; the host engine's "
                 "float64 Gram does not use them — pass engine='device' "
                 "or drop them.")
+        if mesh is not None and engine != "host":
+            raise ValueError(
+                "mesh= composes with engine='host' only (the device "
+                "engine's chunk scatter assumes one resident HBM buffer).")
+        if mesh is not None and basis is not None:
+            raise ValueError(
+                "mesh= shards the streamed U pass; with basis= there is "
+                "no U pass — shard the injected basis yourself "
+                "(e.g. serving.shard_state_rows).")
         if refine is None:
             refine = _svd.default_refine()
         self.scale_type = scale_type
@@ -823,7 +869,8 @@ class StreamingROM(ROM):
         if engine == "host":
             self._fit_host_spectral(cnt_h, scl_h, select_modes, n_modes,
                                     stats=stats, scl_blocks=scl_blocks,
-                                    axis_cnt=axis_cnt)
+                                    axis_cnt=axis_cnt, mesh=mesh,
+                                    mesh_axis=mesh_axis)
             self._fit_axis_cnt = axis_cnt
             return
 
@@ -881,7 +928,8 @@ class StreamingROM(ROM):
     _FUSED_MAX_DIGITS_LOST = 6.0
 
     def _fit_host_spectral(self, cnt_h, scl_h, select_modes, n_modes,
-                           stats=None, scl_blocks=None, axis_cnt=1):
+                           stats=None, scl_blocks=None, axis_cnt=1,
+                           mesh=None, mesh_axis="state"):
         """``engine='host'`` spectral passes: f64 BLAS Gram + U assembly on
         the host while chunks stream, one (n, r) device upload at the end.
         Post-fit attributes are identical to the device engine's
@@ -921,7 +969,29 @@ class StreamingROM(ROM):
 
         # disk pass B — U = X0 V_r, column norms accumulated in f64,
         # entries stored fp32 (the only O(n) host buffer, size == the
-        # device engine's HBM buffer)
+        # device engine's HBM buffer).  With a mesh, every state shard's
+        # rows are device_put the moment the stream completes them
+        # (async — uploads overlap the remaining disk reads).
+        from jax.sharding import NamedSharding, PartitionSpec
+        pending, shards, sharding = [], [], None
+        if mesh is not None:
+            k = mesh.shape[mesh_axis]
+            if n % k != 0:
+                raise ValueError(
+                    f"sharded streaming fit needs the state dimension "
+                    f"(n={n}) divisible by the '{mesh_axis}' mesh axis "
+                    f"({k} devices) — pad the store upstream or pick a "
+                    f"divisor mesh (same convention as "
+                    f"parallel.shard_snapshots).")
+            sharding = NamedSharding(mesh, PartitionSpec(mesh_axis, None))
+            groups = {}
+            for dev, idx in \
+                    sharding.addressable_devices_indices_map((n, r)).items():
+                rs = idx[0]
+                key = (rs.start or 0, n if rs.stop is None else rs.stop)
+                groups.setdefault(key, []).append(dev)
+            pending = sorted(groups.items())          # ascending row ranges
+
         Vr_ = V[:, :r]
         U_h = np.empty((n, r), dtype=self.dtype)
         colnorm2 = np.zeros((r,), dtype=np.float64)
@@ -932,10 +1002,36 @@ class StreamingROM(ROM):
             u = x0 @ Vr_
             colnorm2 += np.sum(u * u, axis=0)
             U_h[row0:row0 + c] = u.astype(self.dtype)
+            while pending and pending[0][0][1] <= row0 + c:
+                (a, b), devs = pending.pop(0)
+                shards += [jax.device_put(U_h[a:b], d) for d in devs]
         colnorm = np.sqrt(colnorm2)
-        U_h, sr, S, V = _finalize_basis(np, U_h, colnorm, S2, V, r, n,
-                                        norm_dtype=np.float64)
-        self._set_spectral_attrs(jnp.asarray(U_h), sr, S, V)
+
+        if mesh is None:
+            U_h, sr, S, V = _finalize_basis(np, U_h, colnorm, S2, V, r, n,
+                                            norm_dtype=np.float64)
+            self._set_spectral_attrs(jnp.asarray(U_h), sr, S, V)
+            return
+
+        # sharded epilogue: assemble the global row-sharded panel, then
+        # normalize + sign-canonicalize ON the shards (host twin:
+        # _finalize_basis — same f64 norm floor, same canonical signs)
+        assert not pending, "stream ended before all shards were complete"
+        U_glob = jax.make_array_from_single_device_arrays(
+            (n, r), sharding, shards)
+        safe = _floored_norms(np, colnorm, n, self.dtype, np.float64)
+        U_canon, signs_dev = _finalize_sharded_u(U_glob, jnp.asarray(safe))
+        signs = np.asarray(signs_dev, dtype=np.float64)
+        sr = np.asarray(colnorm, dtype=np.float64)
+        S = np.sqrt(S2)
+        S[:r] = sr
+        V[:, :r] *= signs[None, :]
+        self._set_spectral_attrs(U_canon, sr, S, V)
+        # the n-row unscaling vectors ride the same row sharding so
+        # reconstruct() stays shard-local end to end
+        self.X_cnt = jax.device_put(self.X_cnt, sharding)
+        self.X_scl = jax.device_put(self.X_scl, sharding)
+        self.fit_mesh_ = mesh
 
     def _rank_from_gram(self, G, select_modes, n_modes):
         """Shared spectral step: host-f64 ``eigh`` of the accumulated

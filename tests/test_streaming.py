@@ -290,6 +290,71 @@ class TestStreamingFitParity:
         np.testing.assert_allclose(np.asarray(srom.Sigma_r),
                                    np.asarray(rom.Sigma_r), rtol=1e-6)
 
+    def test_sharded_fit_matches_unsharded(self):
+        """fit(mesh=...) — out-of-core × multi-chip composition: the U
+        pass streams shard slices to their devices; factors must equal the
+        single-device streaming fit exactly (same host-f64 math)."""
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        X = make_X()                       # n=120 rows, 8 devices → 15 each
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("state",))
+        s1 = StreamingROM(ArrayStore(X), 3, chunk_rows=17, dtype=np.float64)
+        s1.fit(n_modes=99.9)
+        s2 = StreamingROM(ArrayStore(X), 3, chunk_rows=17, dtype=np.float64)
+        s2.fit(n_modes=99.9, mesh=mesh)
+        assert s2.r == s1.r
+        assert s2.Ur.sharding == NamedSharding(mesh, P("state", None))
+        np.testing.assert_array_equal(np.asarray(s2.Ur), np.asarray(s1.Ur))
+        np.testing.assert_array_equal(np.asarray(s2.Sigma_r),
+                                      np.asarray(s1.Sigma_r))
+        np.testing.assert_array_equal(np.asarray(s2.Ar), np.asarray(s1.Ar))
+        # reconstruct stays shard-local end to end and matches
+        rec1 = np.asarray(s1.reconstruct(s1.Ar))
+        rec2 = np.asarray(s2.reconstruct(s2.Ar))
+        np.testing.assert_allclose(rec2, rec1, atol=1e-12 * np.abs(rec1).max())
+
+    def test_sharded_fit_spr_pipeline_matches(self, tmp_path):
+        """StreamingSPR on a mesh: placement pivots, Theta, and the gappy
+        prediction equal the unsharded streaming pipeline."""
+        import jax
+        from jax.sharding import Mesh
+        X = make_X()
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("state",))
+        sprs = []
+        for m_ in (None, mesh):
+            spr = StreamingSPR(ArrayStore(X), 3, chunk_rows=17,
+                               dtype=np.float64)
+            spr.fit(select_modes="number", n_modes=5, mesh=m_)
+            C = spr.optimal_placement()
+            spr.train(C)
+            sprs.append(spr)
+        a, b = sprs
+        np.testing.assert_array_equal(np.asarray(b.C), np.asarray(a.C))
+        np.testing.assert_allclose(np.asarray(b.Theta), np.asarray(a.Theta),
+                                   atol=1e-12)
+        y = np.column_stack([X[np.asarray(a.C).argmax(1), 2],
+                             np.zeros(5), np.zeros(5)])
+        Ya, _ = a.predict(y)
+        Yb, _ = b.predict(y)
+        np.testing.assert_allclose(np.asarray(Yb), np.asarray(Ya),
+                                   atol=1e-10)
+
+    def test_sharded_fit_validation(self):
+        import jax
+        from jax.sharding import Mesh
+        X = make_X(n_points=37)            # n=111: not divisible by 8
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("state",))
+        srom = StreamingROM(ArrayStore(X), 3, dtype=np.float64)
+        with pytest.raises(ValueError, match="divisible"):
+            srom.fit(mesh=mesh)
+        X2 = make_X()
+        srom2 = StreamingROM(ArrayStore(X2), 3, dtype=np.float64)
+        with pytest.raises(ValueError, match="engine='host'"):
+            srom2.fit(mesh=mesh, engine="device")
+        with pytest.raises(ValueError, match="basis"):
+            srom2.fit(mesh=mesh, basis=(np.zeros((120, 2)),
+                                        np.zeros((12, 2))))
+
     def test_unknown_engine_raises(self):
         X = make_X()
         srom = StreamingROM(ArrayStore(X.astype(np.float32)), 3)
