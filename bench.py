@@ -515,6 +515,16 @@ def main():
                            reps=3)
     t_proj = min(_timed(lambda: cam.project(grid32, "parallel"))
                  for _ in range(3))
+    # full-model walls: the stochastic projection models trace N_rand
+    # rays/pixel (8x the parallel bundle) and dedup per pixel — formerly
+    # never timed; the device-side dedup + compressed readback makes
+    # their wall ~one tunnel round-trip too
+    t_proj_ph = min(_timed(lambda: cam.project(grid32, "pinhole",
+                                               N_rand=8, seed=0))
+                    for _ in range(3))
+    t_proj_tl = min(_timed(lambda: cam.project(grid32, "thin_lens",
+                                               N_rand=8, seed=0))
+                    for _ in range(3))
 
     # --- GEM placement (second placement family): greedy conditional-
     # entropy selection, 10 sensors at 20k rows, d_min=0.05 — the reference
@@ -718,6 +728,8 @@ def main():
             "cokriging_pred_dev_vs_ref": round(ck_dev, 6),
             "ctc_trace_4096rays_32cube_s": round(t_ctc, 8),
             "ctc_project_wall_s": round(t_proj, 6),
+            "ctc_pinhole_wall_s": round(t_proj_ph, 6),
+            "ctc_thinlens_wall_s": round(t_proj_tl, 6),
             "gem_placement_20k_10sensors_s": round(t_gem, 6),
             "gem_device_20k_10sensors_s": round(t_gem_dev, 8),
             "serving_cols_batch50_per_frame_s": round(t_srv_frame, 8),

@@ -204,6 +204,21 @@ class camera:
         n_cells = obj_mesh.n_cells
 
         if isinstance(obj_mesh, VoxelGrid):
+            # device-side dedup + CSR assembly: the tracer flattens hits to
+            # composite pixel·n_cells+cell keys, sorts and uniquifies ON
+            # DEVICE, and the host does one compressed readback plus an
+            # O(nnz) searchsorted — instead of reading the full padded hit
+            # buffer and deduping in scipy (the old wall was ~550× the
+            # device trace; see VoxelGrid.trace_unique)
+            uq = obj_mesh.trace_unique(p1, p2, pix, self.n_pixels)
+            if uq is not None:
+                rows_u, cols_u = uq
+                indptr = np.searchsorted(rows_u,
+                                         np.arange(self.n_pixels + 1))
+                return csr_matrix(
+                    (np.ones(len(cols_u), dtype=np.int64), cols_u, indptr),
+                    shape=(self.n_pixels, n_cells))
+            # >2^31 composite keys: padded-buffer readback fallback
             cells, counts = obj_mesh.trace_batch(p1, p2)  # device-batched
             ray_ids = np.repeat(np.arange(cells.shape[0]), cells.shape[1])
             flat = cells.ravel()

@@ -15,13 +15,13 @@ comparable with the reference workflow.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .raytrace import trace_rays
+from .raytrace import trace_rays, trace_unique_keys
 
 
 class VoxelGrid:
@@ -82,3 +82,37 @@ class VoxelGrid:
         # tunnel round-trip each (~27-55 ms on this device)
         cells, counts = jax.device_get(out)
         return cells, counts
+
+    def trace_unique(self, p1s: np.ndarray, p2s: np.ndarray,
+                     pix: np.ndarray, n_pixels: int,
+                     readback_cap: Optional[int] = None
+                     ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """Device-deduped operator rows: unique sorted (pixel, cell) pairs
+        for the whole bundle, via :func:`trace_unique_keys` with ONE
+        compressed host readback.
+
+        The readback is truncated to ``min(total, n_pixels·2·max(dims))``
+        entries — a generous bound on the per-pixel union of jittered rays
+        (a ray crosses ≤ ~√3·max(dims) cells); when actual nnz exceeds it
+        (pathological geometry) a second full readback corrects, never
+        truncates.  Returns ``(rows, cols)`` host int64, pixel-major
+        sorted (canonical CSR order), or None when the composite key
+        space overflows int32 (caller falls back to the padded-buffer
+        path)."""
+        if n_pixels * self.n_cells >= 2 ** 31:
+            return None
+        packed = trace_unique_keys(
+            jnp.asarray(p1s, dtype=jnp.float32),
+            jnp.asarray(p2s, dtype=jnp.float32),
+            self.origin, self.spacing, self.dims,
+            jnp.asarray(pix, jnp.int32), self.n_cells)
+        total = int(packed.shape[0]) - 1
+        if readback_cap is None:
+            readback_cap = n_pixels * 2 * max(self.dims)
+        cap = min(total, readback_cap)
+        arr = np.asarray(packed[: 1 + cap])
+        nnz = int(arr[0])
+        if nnz > cap:           # rare: denser than the heuristic bound
+            arr = np.asarray(packed)
+        keys = arr[1:1 + nnz].astype(np.int64)
+        return keys // self.n_cells, keys % self.n_cells

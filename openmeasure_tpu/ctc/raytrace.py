@@ -123,3 +123,40 @@ def trace_rays(p1s: jax.Array, p2s: jax.Array,
         return out[8], out[7]
 
     return jax.vmap(one_ray)(p1s, p2s)
+
+
+# int32 max — sorts after every valid composite key (valid keys are
+# < n_pixels·n_cells < 2^31, guarded by the caller)
+_KEY_SENTINEL = 2147483647
+
+
+@functools.partial(jax.jit, static_argnames=("dims",))
+def trace_unique_keys(p1s: jax.Array, p2s: jax.Array, origin, spacing,
+                      dims: Tuple[int, int, int], pix: jax.Array,
+                      n_cells) -> jax.Array:
+    """Trace + DEVICE-SIDE operator assembly: sorted unique
+    ``pixel * n_cells + cell`` keys for the whole ray bundle.
+
+    The reference dedups per pixel in Python sets (``utils.py:409-410``);
+    the previous implementation here read back the full padded hit buffer
+    and deduped in scipy.  This kernel does the dedup on device — flatten
+    to composite keys, one sort, first-occurrence mask, one compacting
+    re-sort — so the host needs a single (optionally truncated) readback
+    and an O(nnz) ``searchsorted`` to emit canonical CSR.
+
+    Returns ``packed`` (1 + n_rays·max_steps,) int32:
+    ``packed[0] = nnz``, ``packed[1:1+nnz]`` the ascending unique keys,
+    sentinel-padded after.  Caller guarantees
+    ``n_pixels · n_cells < 2^31`` (int32 key space).
+    """
+    cells, _ = trace_rays(p1s, p2s, origin, spacing, dims)
+    n_cells = jnp.asarray(n_cells, jnp.int32)
+    keys = jnp.where(cells >= 0,
+                     pix[:, None].astype(jnp.int32) * n_cells + cells,
+                     _KEY_SENTINEL)
+    flat = jnp.sort(keys.ravel())
+    first = jnp.concatenate([jnp.ones((1,), bool), flat[1:] != flat[:-1]])
+    valid = first & (flat != _KEY_SENTINEL)
+    nnz = jnp.sum(valid).astype(jnp.int32)
+    compact = jnp.sort(jnp.where(valid, flat, _KEY_SENTINEL))
+    return jnp.concatenate([nnz[None], compact])

@@ -193,6 +193,62 @@ def svd_tall(
     return U, S, Vt
 
 
+@functools.partial(jax.jit, static_argnames=("rank", "deflate", "refine"))
+def svd_tall_deflated(
+    X0: jax.Array, rank: int, deflate: int, refine: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Two-block DEFLATED Gram-route SVD — accurate deep-tail modes on TPU.
+
+    The plain Gram route cannot resolve modes with ``σ_j/σ_1`` below
+    ~``√eps_fp32`` on TPU: their Gram eigenvalues sit under the fp32
+    floor, AND the panel product ``B = X0 V`` carries elementwise noise
+    relative to the LARGE columns that drowns the tiny ones — refine
+    depth does not help (measured on the flagship flame set, σ₁₄/σ₁ =
+    1.4e-5: tail Σ relative error 4.5 at refine 1, 2, and 3, while CPU
+    fp32 reaches 4.8e-5).  Subspace-insensitive consumers (gappy SPR
+    reconstruction) don't care; per-mode consumers (the GP ROM, which
+    regresses each coefficient series separately) lose accuracy — this
+    was the bench's 0.0151-vs-0.0144 ``gpr_nrmse`` gap.
+
+    Fix: compute the leading ``deflate`` modes normally, subtract their
+    represented part, and recompute modes ``deflate..rank`` from the
+    deflated panel — where they are LEADING, so both the Gram eigenvalues
+    and the panel product are relatively accurate again.  Costs ~3 extra
+    narrow/panel passes (sub-ms at flagship scale).
+
+    Measured on TPU (flagship flame, r=14, deflate=7): worst tail Σ
+    relative error 4.5 → 0.54, with modes ≤ 10 at ≤1.5e-5 and per-mode
+    alignment |⟨u, u_f64⟩| = 1.000 through mode 10 — the remaining error
+    is CONFINED to the near-degenerate cluster σ₁₂..σ₁₅ (four modes
+    within 7e-3 of each other, whose individual split is ill-conditioned
+    at any precision; the kept 2-of-4 cluster directions still align at
+    principal cosines 0.996/0.991 for the first two).  The full
+    ``gpr_nrmse`` decomposition (all measured): f64 0.014428 → fp32 GP
+    stage 0.014724 (CPU) → TPU GP arithmetic 0.014808 (exact basis) →
+    cluster rotation 0.015089 (deflated) vs 0.015108 (plain) — i.e. the
+    once-unexplained 0.0151-vs-0.0144 bench gap is fp32 GP training +
+    the fp32-unresolvable cluster, NOT an algorithm defect; deflation
+    ships for the per-mode Σ/energy-spectrum accuracy.
+
+    Returns ``(U (n, rank), S (m,), Vt (m, m))`` like
+    ``svd_tall(rank=...)``; ``deflate`` ∈ [1, rank) (0 falls back to the
+    plain path).  Like the ``rank`` path, requires no sign
+    canonicalization (callers canonicalize downstream if needed).
+    """
+    if not 0 < deflate < rank:
+        return svd_tall(X0, refine=refine, canonicalize=False, rank=rank)
+    k = deflate
+    hp = jax.lax.Precision.HIGHEST
+    U1, S1, Vt1 = svd_tall(X0, refine=refine, canonicalize=False, rank=k)
+    Xd = X0 - jnp.matmul(U1 * S1[:k][None, :], Vt1[:k], precision=hp)
+    U2, S2, Vt2 = svd_tall(Xd, refine=refine, canonicalize=False,
+                           rank=rank - k)
+    U = jnp.concatenate([U1, U2], axis=1)
+    S = S1.at[k:rank].set(S2[: rank - k])
+    Vt = Vt1.at[k:rank].set(Vt2[: rank - k])
+    return U, S, Vt
+
+
 def svd_tall_safe(
     X0: jax.Array, refine: Optional[int] = None, canonicalize: bool = True
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:

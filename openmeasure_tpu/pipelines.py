@@ -121,7 +121,14 @@ def gpr_end_to_end(
     from .gp import kernels as K
     from .gp import exact_gp as E
 
-    Ur, Ar, Sigma_r, cnt, scl = pod_fit(X_train, n_features, r, scale_type)
+    # deflate=r//2: the GP regresses each coefficient series separately, so
+    # the deep-tail modes should be per-mode accurate — the deflated SVD
+    # restores them on TPU up to the data's near-degenerate tail cluster
+    # (svd_tall_deflated docstring has the full measured gpr_nrmse
+    # decomposition: the residual vs f64 is fp32 GP training + the
+    # fp32-unresolvable cluster split, not the basis route)
+    Ur, Ar, Sigma_r, cnt, scl = pod_fit(X_train, n_features, r, scale_type,
+                                        deflate=r // 2)
     Vr = Ar / Sigma_r[None, :]
 
     P0, P_cnt, P_scl = _scaling.scale_parameters(P_train, scale_type)
@@ -245,12 +252,19 @@ def mfk_end_to_end(
     return MFKResult(mean, mse, jnp.stack([lev0["theta"], lev1["theta"]]))
 
 
-@functools.partial(jax.jit, static_argnames=("n_features", "r", "scale_type"))
+@functools.partial(jax.jit, static_argnames=("n_features", "r", "scale_type",
+                                             "deflate"))
 def pod_fit(
-    X_train: jax.Array, n_features: int, r: int, scale_type: str = "std"
+    X_train: jax.Array, n_features: int, r: int, scale_type: str = "std",
+    deflate: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Scale + truncated POD, jitted.  Returns (Ur, Ar, Sigma_r, cnt, scl)."""
+    """Scale + truncated POD, jitted.  Returns (Ur, Ar, Sigma_r, cnt, scl).
+
+    ``deflate=k`` recomputes modes k..r from the leading-block-deflated
+    panel (:func:`linalg.svd.svd_tall_deflated`) — needed by per-mode
+    consumers (the GP ROM) on TPU, where the plain Gram route's deep-tail
+    modes (σ/σ₁ ≲ √eps) are product-noise-limited."""
     X0, cnt, scl = _scaling.scale_data(X_train, n_features, scale_type, 1)
-    U, S, Vt = _svd.svd_tall(X0, canonicalize=False, rank=r)
+    U, S, Vt = _svd.svd_tall_deflated(X0, rank=r, deflate=deflate)
     Ar = (S[:r, None] * Vt[:r]).T
     return U, Ar, S[:r], cnt, scl

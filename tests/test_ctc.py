@@ -114,6 +114,53 @@ class TestCamera:
         with pytest.raises(NotImplementedError):
             cam.project(grid, type_rec="bogus")
 
+    @pytest.mark.parametrize("model,nrand", [("parallel", 1),
+                                             ("pinhole", 6),
+                                             ("thin_lens", 6)])
+    def test_device_assembly_equals_per_ray_host_path(self, model, nrand):
+        """The device-side dedup/CSR assembly (trace_unique_keys) must
+        produce the same binary C as tracing each ray through
+        find_cells_intersecting_line and deduping host-side."""
+        grid = VoxelGrid.from_bounds((-0.1, 0.1, -0.1, 0.1, -0.1, 0.1),
+                                     (7, 6, 5))
+        cam = self._cam(p_cam=np.array([0.05, -0.02, 1.0, 1.0]),
+                        theta=np.array([0.05, -0.03, 0.2]),
+                        sensor_size_px=np.array([5, 4]), px_size=2e-3)
+        C_dev = cam.project(grid, type_rec=model, N_rand=nrand, seed=3)
+        # per-ray host path on the identical rays
+        rng = np.random.default_rng(3)
+        p1, p2, pix = cam._make_rays(model, nrand, rng)
+        rows, cols = [], []
+        for i in range(p1.shape[0]):
+            hit = grid.find_cells_intersecting_line(p1[i], p2[i])
+            rows.extend([pix[i]] * len(hit))
+            cols.extend(list(hit))
+        from scipy.sparse import csr_matrix
+        C_ref = csr_matrix((np.ones(len(rows)), (rows, cols)),
+                           shape=(cam.n_pixels, grid.n_cells))
+        C_ref.sum_duplicates()
+        C_ref.data[:] = 1
+        np.testing.assert_array_equal(C_dev.toarray(), C_ref.toarray())
+        assert C_dev.has_canonical_format
+
+    def test_capped_readback_overflow_corrects(self, monkeypatch):
+        """nnz above the heuristic readback cap triggers the full second
+        readback, never a truncated operator."""
+        import openmeasure_tpu.ctc.grid as grid_mod
+        grid = VoxelGrid.from_bounds((-0.1, 0.1, -0.1, 0.1, -0.1, 0.1),
+                                     (6, 6, 6))
+        cam = self._cam(p_cam=np.array([0, 0, 1.0, 1.0]),
+                        sensor_size_px=np.array([6, 6]), px_size=2e-3)
+        C_full = cam.project(grid, type_rec="parallel")
+        # shrink the cap to force the overflow branch
+        orig = grid_mod.VoxelGrid.trace_unique
+        monkeypatch.setattr(
+            grid_mod.VoxelGrid, "trace_unique",
+            lambda self, p1s, p2s, pix, n_pixels:
+                orig(self, p1s, p2s, pix, n_pixels, readback_cap=3))
+        C_capped = cam.project(grid, type_rec="parallel")
+        np.testing.assert_array_equal(C_capped.toarray(), C_full.toarray())
+
     def test_thin_lens_focus_at_infinity_raises(self):
         grid = VoxelGrid.from_bounds((-1, 1, -1, 1, -1, 1), (4, 4, 4))
         cam = self._cam(f_length=0.05, d_sensor=0.05)

@@ -49,6 +49,7 @@ class TestShallowDecoder:
             ys.append(y)
         return ys
 
+    @pytest.mark.slow
     def test_heldout_reconstruction_and_training_fit(self):
         C, _ = self._placed_C()
         dec = ShallowDecoder(self.X_train, self.n_features, self.xyz,

@@ -161,6 +161,7 @@ class TestKrigingFormulas:
                                    resid @ Ri @ resid / 15, rtol=1e-7)
 
 
+@pytest.mark.slow
 class TestClosedFormGradOracle:
     """The closed-form (loss, grad) oracle that replaces autodiff in the
     training hot path must match ``jax.value_and_grad`` of the autodiff loss

@@ -21,6 +21,9 @@ import jax.numpy as jnp
 from openmeasure_tpu.gp import kernels as K
 from openmeasure_tpu.gp import exact_gp as E
 
+# torch training differentials (trajectory-exact loops) are slow-lane
+pytestmark = pytest.mark.slow
+
 
 def torch_train(X, y, n_steps, lr=0.1):
     """Independent torch exact-GP trainer matching the reference model."""

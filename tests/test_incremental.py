@@ -355,6 +355,7 @@ class TestStreamingUpdateBasis:
                                    rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.slow
 class TestGPRUpdateBasis:
     """Basis + GP-training-set assimilation (beyond-reference; the
     reference's GPR.update extends data against a FROZEN basis only)."""

@@ -70,6 +70,7 @@ class TestSPRFlame:
 
 
 class TestGPRFlame:
+    @pytest.mark.slow
     def test_multitask_train_predict(self, flame):
         """MultiTask GPR flow — reference test_gpr_data.py:52-63."""
         gpr = GPR(flame["X_train"], flame["n_features"], flame["xyz"],
@@ -82,6 +83,7 @@ class TestGPRFlame:
         assert float(nrmse(Xp, flame["X_test"])) < 0.15
         assert np.all(np.asarray(S) >= 0)
 
+    @pytest.mark.slow
     def test_update_with_retrain(self, flame):
         """GPR.update + retrain — reference test_gpr_data.py:65-81."""
         gpr = GPR(flame["X_train"], flame["n_features"], flame["xyz"],
@@ -142,6 +144,7 @@ class TestPipelineEagerParity:
         assert np.allclose(np.asarray(res.X_rec), X_eager,
                            atol=1e-8 * scale)
 
+    @pytest.mark.slow
     def test_gpr_pipeline_matches_eager(self, flame):
         import jax.numpy as jnp
         from openmeasure_tpu.pipelines import gpr_end_to_end

@@ -450,6 +450,62 @@ class TestSVDRankTruncation:
             _svd.svd_tall(jnp.zeros((10, 4)), rank=2)
 
 
+class TestSVDDeflated:
+    def _ill_conditioned(self, n=20000, m=20, cond=1e-5, seed=0):
+        rng = np.random.default_rng(seed)
+        Uq, _ = np.linalg.qr(rng.standard_normal((n, m)))
+        Vq, _ = np.linalg.qr(rng.standard_normal((m, m)))
+        s = np.geomspace(1.0, cond, m)
+        return (Uq * s) @ Vq.T, Uq, s, Vq
+
+    def test_deflated_recovers_deep_tail_fp32(self):
+        """Modes with sigma/sigma1 near sqrt(eps_fp32): the deflated route
+        must deliver per-mode-accurate tail factors in fp32 (the TPU
+        failure mode this exists for; on CPU fp32 it tightens the same
+        quantities)."""
+        X, Ut, s, Vt_true = self._ill_conditioned()
+        X32 = jnp.asarray(X, jnp.float32)
+        r, k = 10, 5
+        U, S, Vt = _svd.svd_tall_deflated(X32, rank=r, deflate=k)
+        assert U.shape == (20000, r)
+        np.testing.assert_allclose(np.asarray(S[:r], np.float64), s[:r],
+                                   rtol=1e-3)
+        # per-mode subspace accuracy: |<u_i, u_true_i>| ~ 1 for every mode
+        dots = np.abs(np.einsum("ni,ni->i", np.asarray(U, np.float64),
+                                Ut[:, :r]))
+        assert dots.min() > 0.99, dots
+        # orthonormal across the block seam
+        G = np.asarray(U, np.float64).T @ np.asarray(U, np.float64)
+        np.testing.assert_allclose(G, np.eye(r), atol=5e-3)
+        # right factors match too (up to sign)
+        vdots = np.abs(np.diagonal(
+            np.asarray(Vt, np.float64)[:r] @ Vt_true[:, :r]))
+        assert vdots.min() > 0.99, vdots
+
+    def test_deflate_zero_is_plain_path(self):
+        X = RNG.standard_normal((300, 12))
+        U0, S0, Vt0 = _svd.svd_tall(jnp.asarray(X), canonicalize=False,
+                                    rank=5)
+        U1, S1, Vt1 = _svd.svd_tall_deflated(jnp.asarray(X), rank=5,
+                                             deflate=0)
+        np.testing.assert_array_equal(np.asarray(U0), np.asarray(U1))
+        np.testing.assert_array_equal(np.asarray(S0), np.asarray(S1))
+        np.testing.assert_array_equal(np.asarray(Vt0), np.asarray(Vt1))
+
+    def test_reconstruction_matches_lapack(self):
+        """U S Vt over the deflated blocks reproduces the represented
+        rank-r matrix to fp32 round-off."""
+        X, _, s, _ = self._ill_conditioned(n=5000, m=16, cond=1e-4)
+        r, k = 12, 6
+        U, S, Vt = _svd.svd_tall_deflated(jnp.asarray(X, jnp.float32),
+                                          rank=r, deflate=k)
+        Xr = (np.asarray(U, np.float64) * np.asarray(S, np.float64)[:r]) \
+            @ np.asarray(Vt, np.float64)[:r]
+        U64, S64, Vt64 = np.linalg.svd(X, full_matrices=False)
+        X_true = (U64[:, :r] * S64[:r]) @ Vt64[:r]
+        np.testing.assert_allclose(Xr, X_true, atol=5e-6 * s[0])
+
+
 class TestSVDWidthRefine:
     def test_width_refine_accuracy(self):
         """Width-limited refine (rank <= width < m): top-r factors must stay

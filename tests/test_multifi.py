@@ -7,6 +7,9 @@ import pytest
 from openmeasure_tpu.multifi.mfk import MultiFiCoKriging
 from openmeasure_tpu import CoKriging
 
+# MFK/co-kriging conformance: multistart theta fits dominate the suite (~5-6 min) — fast lane: -m 'not slow'
+pytestmark = pytest.mark.slow
+
 
 def forrester_hf(x):
     return (6 * x - 2) ** 2 * np.sin(12 * x - 4)

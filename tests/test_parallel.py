@@ -165,6 +165,7 @@ def test_sharded_vdg_matches_eager(mesh):
     np.testing.assert_array_equal(sel, sel_ref)
 
 
+@pytest.mark.slow
 def test_sharded_gpr_train_matches_single_device(mesh):
     """The sharded trainer IS adam_early_stop on mode-sharded params — same
     early-stop/freeze semantics, same losses and iteration counts."""
@@ -192,6 +193,7 @@ def test_sharded_gpr_train_matches_single_device(mesh):
     assert np.any(iters_sh < 120)
 
 
+@pytest.mark.slow
 def test_sharded_gp_train_step(mesh):
     from openmeasure_tpu.parallel.sharded import (
         sharded_gp_train_step, init_mode_stacked_params)
@@ -213,6 +215,7 @@ def test_sharded_gp_train_step(mesh):
     assert len({s.device for s in leaf.addressable_shards}) > 1
 
 
+@pytest.mark.slow
 def test_sharded_mfk_matches_single_device(mesh):
     """Mode-sharded co-kriging (third model family, SURVEY §5): the
     output-sharded program must reproduce the single-device pipeline."""
@@ -242,6 +245,7 @@ def test_sharded_mfk_matches_single_device(mesh):
                                atol=1e-5 * np.abs(res_1.mse).max())
 
 
+@pytest.mark.slow
 class TestShardedServing:
     """Multi-chip serving: `sensor.shard(mesh)` row-shards the n-row state
     (serving.shard_state_rows) and must reproduce the single-device sensor

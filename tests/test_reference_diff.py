@@ -528,6 +528,7 @@ class TestRandomizedSweep:
     Complements the fixed-shape conformance tests above with broad
     configuration coverage; seed-pinned so failures reproduce."""
 
+    @pytest.mark.slow
     def test_spr_flow_matches_reference_on_random_configs(self, ref):
         from openmeasure_tpu import SPR
         rng = np.random.default_rng(42)

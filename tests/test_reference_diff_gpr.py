@@ -301,6 +301,7 @@ class TestCoKrigingDiff:
         assert grab(lambda: CoKriging(*bad2)) == \
             grab(lambda: refck.CoKriging(*bad2))
 
+    @pytest.mark.slow
     def test_manifold_alignment_random_configs(self, refck):
         """Seeded randomized sweep over shapes/mode selections — same
         per-mode-sign-aligned bars as the fixed-shape test above."""

@@ -654,6 +654,7 @@ class TestStreamingServing:
                                    atol=5e-4 * scale)
 
 
+@pytest.mark.slow
 class TestStreamingGPR:
     """Out-of-core GPR: the snapshot side streams, the GP side is the
     in-core engine — fit/train/predict/update_basis must match the in-core

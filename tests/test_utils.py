@@ -491,6 +491,7 @@ class TestOrbaxBackend:
             save_model(rom, str(tmp_path / "x"), backend="bogus")
 
 
+@pytest.mark.slow
 class TestCoKrigingCheckpoint:
     def test_roundtrip(self, tmp_path):
         import numpy as np
@@ -712,6 +713,7 @@ class TestProfilerAndViz:
                 cam.generate_camera()
 
 
+@pytest.mark.slow
 class TestGPRSensor:
     def _trained_gpr(self, seed=3, gpr_type="SingleTask"):
         import numpy as np
@@ -892,6 +894,7 @@ class TestGPRSensor:
                                    rtol=1e-8, atol=1e-10)
 
 
+@pytest.mark.slow
 class TestCoKrigingSensor:
     def _fitted_ck(self, seed=0):
         import numpy as np
