@@ -205,16 +205,15 @@ class camera:
 
         if isinstance(obj_mesh, VoxelGrid):
             # device-side dedup + CSR assembly: the tracer flattens hits to
-            # composite pixel·n_cells+cell keys, sorts and uniquifies ON
-            # DEVICE, and the host does one compressed readback plus an
-            # O(nnz) searchsorted — instead of reading the full padded hit
-            # buffer and deduping in scipy (the old wall was ~550× the
-            # device trace; see VoxelGrid.trace_unique)
-            uq = obj_mesh.trace_unique(p1, p2, pix, self.n_pixels)
-            if uq is not None:
-                rows_u, cols_u = uq
-                indptr = np.searchsorted(rows_u,
-                                         np.arange(self.n_pixels + 1))
+            # composite pixel·n_cells+cell keys, sorts/uniquifies/compacts
+            # ON DEVICE, and the host makes one compressed readback
+            # (per-pixel counts + uint16 columns) that IS the CSR skeleton
+            # — instead of reading the full padded hit buffer and deduping
+            # in scipy (the old wall was ~550× the device trace; see
+            # VoxelGrid.trace_csr)
+            skel = obj_mesh.trace_csr(p1, p2, pix, self.n_pixels)
+            if skel is not None:
+                indptr, cols_u = skel
                 return csr_matrix(
                     (np.ones(len(cols_u), dtype=np.int64), cols_u, indptr),
                     shape=(self.n_pixels, n_cells))

