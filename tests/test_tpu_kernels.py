@@ -44,6 +44,21 @@ def test_streamed_kernel_matches_jnp(shape, bn):
     np.testing.assert_array_equal(piv_s, piv_j)
 
 
+def test_streamed_kernel_row_scale_matches_prescaled_jnp():
+    """In-kernel row scaling (the SPR pipeline's folded basis
+    normalization) must pivot exactly like the explicitly prescaled
+    panel."""
+    from openmeasure_tpu.linalg import qrcp as Q, qrcp_pallas as QP
+    rng = np.random.default_rng(2)
+    A = rng.standard_normal((14, 50000)).astype(np.float32)
+    # decades-spread row scales, like 1/sigma of an ill-conditioned basis
+    dinv = np.geomspace(1.0, 1e4, 14).astype(np.float32)
+    piv_s = np.asarray(QP.qrcp_pivots_streamed(
+        jnp.asarray(A), 14, block_cols=8192, row_scale=jnp.asarray(dinv)))
+    piv_j = np.asarray(Q.qrcp_pivots(jnp.asarray(A * dinv[:, None]), 14))
+    np.testing.assert_array_equal(piv_s, piv_j)
+
+
 def test_weighted_solve_accuracy_on_tpu():
     """The device fp32 SVD-route pinv loses ~1% of the coefficients when the
     scaled per-feature sigmas make cond(WΘ) ~1e5; both eager SPR.predict
