@@ -87,4 +87,19 @@ dev = float(np.max(np.abs(np.asarray(fields) - np.asarray(f_single))))
 print(f"sharded serving field sharding: {fields.sharding.spec}; "
       f"max |sharded - single| = {dev:.2e}")
 assert dev <= 1e-4 * float(np.max(np.abs(np.asarray(f_single))))
+
+# ---- out-of-core x multi-chip: the STREAMED fit on the same mesh --------
+# (each disk chunk's rows upload to their state shard as the stream
+# completes them; factors equal the single-device streaming fit exactly)
+from openmeasure_tpu.streaming import ArrayStore, StreamingROM
+
+s_plain = StreamingROM(ArrayStore(np.asarray(X)), 9, chunk_rows=4096)
+s_plain.fit(select_modes="number", n_modes=R)
+s_mesh = StreamingROM(ArrayStore(np.asarray(X)), 9, chunk_rows=4096)
+s_mesh.fit(select_modes="number", n_modes=R, mesh=mesh)
+d_stream = float(np.max(np.abs(np.asarray(s_mesh.Ur)
+                               - np.asarray(s_plain.Ur))))
+print(f"streamed sharded fit: Ur sharding {s_mesh.Ur.sharding.spec}, "
+      f"max |mesh - plain| = {d_stream:.1e} (exact)")
+assert d_stream == 0.0
 print("OK")

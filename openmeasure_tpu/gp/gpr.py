@@ -59,6 +59,7 @@ import jax.numpy as jnp
 from ..rom.rom import ROM, _as_device
 from ..core import scaling as _scaling
 from ..linalg import boxls as _boxls
+from ..linalg import svd as _svd
 from . import kernels as K
 from . import exact_gp as E
 
@@ -127,10 +128,21 @@ class GPR(ROM):
 
     def fit(self, scaleX_type: str = "std", scaleP_type: str = "std",
             axis_cnt: Optional[int] = 1, select_modes: str = "variance",
-            n_modes=99, verbose: bool = False, basis=None, config=None):
+            n_modes=99, verbose: bool = False, basis=None, config=None,
+            deflate=False):
         """``config`` (:class:`openmeasure_tpu.core.config.FitConfig`)
         overrides the individual kwargs (its ``scale_type`` applies to both
-        X and P)."""
+        X and P).
+
+        ``deflate=True`` (or an explicit split index k) recomputes the
+        selected basis with the two-block deflated Gram route
+        (:func:`openmeasure_tpu.linalg.svd.svd_tall_deflated`) after rank
+        selection — a TPU-native accuracy knob: the GP regresses each
+        coefficient series separately, and on TPU the plain fp32 Gram
+        route's deep-tail modes (σ/σ₁ ≲ √eps) are product-noise-limited
+        (measured flagship: worst tail Σ rel err 4.5 → 0.54; see the
+        deflated-SVD docstring).  Off by default (exact reference-flow
+        parity; on CPU x64 both routes agree to round-off, tested)."""
         if config is not None:
             scaleX_type = config.scale_type
             scaleP_type = config.scale_type
@@ -146,6 +158,14 @@ class GPR(ROM):
         self.X0 = self.scale_data(scaleX_type, axis_cnt)
         if basis is None:
             Ur, Ar, _ = self.decomposition(self.X0, select_modes, n_modes)
+            if deflate:
+                k = self.r // 2 if deflate is True else int(deflate)
+                if 0 < k < self.r:
+                    U2, S2, Vt2 = _svd.svd_tall_deflated(
+                        _as_device(self.X0), rank=self.r, deflate=k)
+                    U2, Vt2r = _svd._sign_canonicalize(U2, Vt2[:self.r])
+                    Ur = U2
+                    Ar = (S2[:self.r, None] * Vt2r).T
         else:
             Ur, Ar = _as_device(basis[0]), _as_device(basis[1])
 

@@ -59,6 +59,30 @@ class TestGPRSingleTask:
                                    np.abs(np.asarray(self.gpr.Ur)),
                                    atol=1e-5)
 
+    def test_fit_deflate_knob_agrees_with_plain(self):
+        """The TPU accuracy knob (deflated Gram-route basis) must agree
+        with the plain fit to round-off where both are exact (CPU x64) —
+        same rank, same factors up to sign, and the GP still trains."""
+        g1 = GPR(self.d["X_train"], self.d["n_features"], self.d["xyz"],
+                 self.d["P_train"])
+        g1.fit(select_modes="number", n_modes=2)
+        g2 = GPR(self.d["X_train"], self.d["n_features"], self.d["xyz"],
+                 self.d["P_train"])
+        g2.fit(select_modes="number", n_modes=2, deflate=True)
+        assert g2.r == g1.r
+        # rank-1 data: mode 2's sigma is machine noise (~1e-15) — compare
+        # with an eps*sigma1 absolute floor
+        s1 = float(np.asarray(g1.Sigma_r)[0])
+        np.testing.assert_allclose(np.asarray(g2.Sigma_r),
+                                   np.asarray(g1.Sigma_r), rtol=1e-8,
+                                   atol=1e-12 * s1)
+        np.testing.assert_allclose(np.abs(np.asarray(g2.Ur[:, :1])),
+                                   np.abs(np.asarray(g1.Ur[:, :1])),
+                                   atol=1e-8)
+        g2.train(max_iter=30)
+        A_pred, _ = g2.predict(self.d["P_test"])
+        assert np.all(np.isfinite(np.asarray(A_pred)))
+
     def test_predict_reconstructs_heldout(self):
         self.gpr.fit(scaleX_type="none")
         self.gpr.train()
