@@ -316,6 +316,28 @@ class TestProjectionUtils:
         np.testing.assert_array_equal(E.toarray()[:, 3:6], C.toarray())
         assert E[:, :3].nnz == 0 and E[:, 6:].nnz == 0
 
+    @pytest.mark.parametrize("model,nrand", [("parallel", 1),
+                                             ("thin_lens", 4)])
+    def test_stack_cameras_batched_equals_per_view(self, model, nrand):
+        """The one-dispatch multi-camera rig path must produce exactly
+        the operator the per-view vstack path does (same spawned
+        generators, same rays)."""
+        import scipy.sparse as sp
+        from openmeasure_tpu.ctc import stack_cameras
+        grid = VoxelGrid.from_bounds((-0.1, 0.1, -0.1, 0.1, -0.1, 0.1),
+                                     (6, 5, 7))
+        cams = [camera(np.array([0, 0, 1.0, 1.0]), np.zeros(3), 0.05, 2.8,
+                       0.06, np.array([5, 4]), 2e-3),
+                camera(np.array([0.3, -0.2, 0.8, 1.0]),
+                       np.array([0.3, -0.5, 1.1]), 0.05, 2.8, 0.06,
+                       np.array([4, 4]), 2e-3)]
+        C_b = stack_cameras(cams, grid, model, N_rand=nrand, seed=11)
+        rngs = np.random.default_rng(11).spawn(len(cams))
+        C_l = sp.vstack([c.project(grid, model, nrand, seed=rng)
+                         for c, rng in zip(cams, rngs)]).tocsr()
+        assert C_b.shape == C_l.shape == (36, grid.n_cells)
+        np.testing.assert_array_equal(C_b.toarray(), C_l.toarray())
+
     def test_stack_cameras_embedded_spr_flow(self):
         from openmeasure_tpu.ctc import stack_cameras
         grid = VoxelGrid.from_bounds((-0.1, 0.1, -0.1, 0.1, -0.1, 0.1),
