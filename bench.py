@@ -525,6 +525,17 @@ def main():
     t_proj_tl = min(_timed(lambda: cam.project(grid32, "thin_lens",
                                                N_rand=8, seed=0))
                     for _ in range(3))
+    # 4-view rig in ONE device dispatch (stack_cameras batches every
+    # view's bundle through a single trace+assembly; per-view
+    # project+vstack measured ~2.7x slower at this shape)
+    from openmeasure_tpu.ctc.projection import stack_cameras
+    cams_rig = [ctc_camera(np.array([0.3 * np.sin(i), 0.0, 1.0, 1.0]),
+                           np.array([0.0, 0.0, i * np.pi / 4]), 0.05,
+                           2.8, 0.06, np.array([64, 64]), 0.25 / 64)
+                for i in range(4)]
+    t_rig = min(_timed(lambda: stack_cameras(cams_rig, grid32, "parallel",
+                                             seed=0))
+                for _ in range(3))
 
     # --- GEM placement (second placement family): greedy conditional-
     # entropy selection, 10 sensors at 20k rows, d_min=0.05 — the reference
@@ -730,6 +741,7 @@ def main():
             "ctc_project_wall_s": round(t_proj, 6),
             "ctc_pinhole_wall_s": round(t_proj_ph, 6),
             "ctc_thinlens_wall_s": round(t_proj_tl, 6),
+            "ctc_rig4_wall_s": round(t_rig, 6),
             "gem_placement_20k_10sensors_s": round(t_gem, 6),
             "gem_device_20k_10sensors_s": round(t_gem_dev, 8),
             "serving_cols_batch50_per_frame_s": round(t_srv_frame, 8),
