@@ -284,14 +284,20 @@ class TestCTCWorkflow:
         cams = [
             camera(np.array([0, 0, 1.0, 1.0]), np.zeros(3), 0.05, 2.8,
                    0.06, np.array([8, 8]), 0.25 / 8 / 1.0),
+            # theta_y = -pi/2 so the view axis points AT the origin
+            # (+pi/2 looks away: its rays miss the whole grid)
             camera(np.array([1.0, 0, 0.0, 1.0]),
-                   np.array([0.0, np.pi / 2, 0.0]), 0.05, 2.8, 0.06,
+                   np.array([0.0, -np.pi / 2, 0.0]), 0.05, 2.8, 0.06,
                    np.array([8, 8]), 0.25 / 8 / 1.0),
         ]
         import scipy.sparse as sp
         C = sp.vstack([c.project(grid, "parallel") for c in cams]).tocsr()
         C = C.astype(float)
         assert C.shape == (128, n_cells)
+        # BOTH views contribute measurements (a camera looking away from
+        # the volume would silently produce all-zero rows)
+        assert (np.diff(C.indptr)[:64] > 0).any()
+        assert (np.diff(C.indptr)[64:] > 0).any()
 
         spr = SPR(X[:, :10], 1, xyz)
         spr.fit(select_modes="number", n_modes=5)
@@ -304,6 +310,49 @@ class TestCTCWorkflow:
         x_rec = np.asarray(spr.reconstruct(a))[:, 0]
         nrmse = np.sqrt(np.mean((x_rec - X[:, 11]) ** 2)) / X[:, 11].max()
         assert nrmse < 0.05
+
+    def test_tomographic_reconstruction_thin_lens(self):
+        """The STOCHASTIC projection model drives the same tomography flow
+        to a numeric bar (the ray geometry itself is reference-diff-tested
+        in test_reference_diff_ctc.py; this closes the loop end-to-end):
+        thin-lens cameras focused ON the object volume, batched through
+        stack_cameras."""
+        from openmeasure_tpu.ctc import stack_cameras
+        grid = VoxelGrid.from_bounds((-0.1, 0.1, -0.1, 0.1, -0.1, 0.1),
+                                     (8, 8, 8))
+        xyz = grid.cell_centers()
+        params = np.linspace(0.3, 1.0, 12)
+        X = np.stack([np.exp(-np.sum(xyz ** 2, 1) / (2 * (0.05 * a) ** 2))
+                      for a in params], axis=1)
+
+        # focus the lens on the volume: d_object ~ camera distance (0.94)
+        # -> f = 1/(1/d_sensor + 1/d_object); magnification m ~ 0.064, so
+        # an 8-px sensor of half-width 0.1*m images the whole cube
+        d_sensor, d_obj = 0.06, 0.94
+        f = 1.0 / (1.0 / d_sensor + 1.0 / d_obj)
+        m = d_sensor / f - 1.0
+        px = 2 * 0.1 * m / 8
+        cams = [
+            camera(np.array([0, 0, 1.0, 1.0]), np.zeros(3), f, 2.8,
+                   d_sensor, np.array([8, 8]), px),
+            camera(np.array([1.0, 0, 0.0, 1.0]),
+                   np.array([0.0, -np.pi / 2, 0.0]), f, 2.8, d_sensor,
+                   np.array([8, 8]), px),
+        ]
+        C = stack_cameras(cams, grid, "thin_lens", N_rand=6, seed=7)
+        assert C.shape == (128, grid.n_cells)
+        # the rig must actually see the volume: most pixels hit cells
+        assert (np.diff(C.indptr) > 0).mean() > 0.8
+
+        spr = SPR(X[:, :10], 1, xyz)
+        spr.fit(select_modes="number", n_modes=5)
+        spr.train(C, is_Theta=False)
+        y = np.zeros((C.shape[0], 3))
+        y[:, 0] = C @ X[:, 11]
+        a, _ = spr.predict(y)
+        x_rec = np.asarray(spr.reconstruct(a))[:, 0]
+        nrmse = np.sqrt(np.mean((x_rec - X[:, 11]) ** 2)) / X[:, 11].max()
+        assert nrmse < 0.05, nrmse
 
 
 class TestProjectionUtils:
