@@ -298,9 +298,19 @@ def qrcp_pivots_auto(A: jax.Array, k: int, row_scale=None) -> jax.Array:
     ``row_scale`` pivots ``diag(row_scale) @ A``.  On the streamed path
     the scaling happens IN the kernel (no materialization); on the other
     paths it fuses into the panel copy/read XLA makes anyway (the panel
-    fits on-chip or the sweep re-reads it regardless)."""
+    fits on-chip or the sweep re-reads it regardless).
+
+    Operands committed ACROSS a multi-device mesh (e.g. the row-sharded
+    basis of a ``StreamingROM.fit(mesh=...)`` / ``parallel.sharded``
+    pipeline) take the jnp sweep: Pallas custom calls are not
+    SPMD-partitionable, while the sweep's per-step column-norm argmax
+    lowers to shard-local partials + an argmax-allreduce — the layout
+    SURVEY §5 prescribes."""
     r, n = A.shape
-    if (A.dtype == jnp.float32 and k <= _K_PAD
+    multi_device = (not isinstance(A, jax.core.Tracer)
+                    and hasattr(A, "sharding")
+                    and len(getattr(A.sharding, "device_set", ())) > 1)
+    if (A.dtype == jnp.float32 and k <= _K_PAD and not multi_device
             and jax.default_backend() == "tpu"):
         if qrcp_fits_vmem(r, n):
             if row_scale is not None:

@@ -59,13 +59,22 @@ import jax
 import jax.numpy as jnp
 
 
+def canonical_signs(U, xp=jnp):
+    """Per-column canonical sign flips: the largest-|.| entry of each
+    column made positive (zero sign → +1).  SINGLE SOURCE for the sign
+    convention — the streaming/sharded finalizers share it so the
+    exact-parity contracts between paths cannot drift.  ``xp`` is numpy
+    for host-side callers."""
+    idx = xp.argmax(xp.abs(U), axis=0)
+    signs = xp.sign(U[idx, xp.arange(U.shape[1])])
+    return xp.where(signs == 0, 1.0, signs).astype(U.dtype)
+
+
 def _sign_canonicalize(U: jax.Array, Vt: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Deterministic sign convention: the largest-|.| entry of each left
     singular vector is made positive.  LAPACK's sign choice is arbitrary;
     conformance tests compare up to per-mode sign."""
-    idx = jnp.argmax(jnp.abs(U), axis=0)
-    signs = jnp.sign(U[idx, jnp.arange(U.shape[1])])
-    signs = jnp.where(signs == 0, 1.0, signs).astype(U.dtype)
+    signs = canonical_signs(U)
     return U * signs[None, :], Vt * signs[:, None]
 
 

@@ -50,7 +50,7 @@ Streaming fit algorithm (disk passes)
    :func:`linalg.svd._sign_canonicalize`.  Moment-based scale types
    therefore fit in **two** disk passes total (pass-count tested).
 
-Two ENGINES run passes 2-3 (``fit(engine=...)``):
+Two ENGINES run the spectral work (``fit(engine=...)``):
 
 * ``'host'`` (default): both products in host float64 BLAS while chunks
   stream — ~18 flops/byte, far below host-BLAS throughput at disk
@@ -317,7 +317,13 @@ def _block_stats_pass(store, n_features, dtype, chunk_rows, need_row_means,
     per-block Grams ``G_f = X_fᵀX_f`` and column sums ``t_f = X_fᵀ1`` (both
     f64, (m, m)/(m,) per block) — the scaled-centered Gram of the whole
     panel is then derivable algebraically (:func:`_gram_from_block_stats`),
-    folding the host engine's Gram disk pass into this one."""
+    folding the host engine's Gram disk pass into this one.  The row-mean
+    cross terms (``t2_f = Σ c̃_i x_i``, ``sc2_f = Σ c̃_i²``) accumulate
+    with the centers ROUNDED to the store dtype — the exact values the U
+    pass and ``X_cnt`` will use — so the fused Gram matches the streamed
+    centered-Gram pass to f64 round-off even for fp32 stores with large
+    offsets (an exact-f64-mean identity would center a *different* matrix
+    than the one actually projected downstream)."""
     n, m = store.shape
     n_points = n // n_features
     row_means = np.empty(n, dtype=np.float64) if need_row_means else None
@@ -327,10 +333,12 @@ def _block_stats_pass(store, n_features, dtype, chunk_rows, need_row_means,
     s4 = np.zeros(n_features)
     bmin = np.full(n_features, np.inf)
     bmax = np.full(n_features, -np.inf)
-    G_blocks = t_blocks = None
+    G_blocks = t_blocks = t2_blocks = sc2_blocks = None
     if accumulate_gram:
         G_blocks = np.zeros((n_features, m, m), dtype=np.float64)
         t_blocks = np.zeros((n_features, m), dtype=np.float64)
+        t2_blocks = np.zeros((n_features, m), dtype=np.float64)
+        sc2_blocks = np.zeros(n_features, dtype=np.float64)
 
     for row0, chunk in iter_chunks(store, chunk_rows, dtype, prefetch):
         c = chunk.astype(np.float64, copy=False)
@@ -352,25 +360,37 @@ def _block_stats_pass(store, n_features, dtype, chunk_rows, need_row_means,
             if accumulate_gram:
                 G_blocks[f] += seg.T @ seg
                 t_blocks[f] += seg.sum(axis=0)
+                if need_row_means:
+                    # store-dtype-rounded row means — identical to the
+                    # cnt the U pass will subtract
+                    cr = seg.mean(axis=1).astype(dtype).astype(np.float64)
+                    t2_blocks[f] += cr @ seg
+                    sc2_blocks[f] += float(cr @ cr)
             r = r_stop
     cnt = float(n_points * m)
     return {"row_means": row_means, "s1": s1, "s2": s2, "s3": s3, "s4": s4,
             "min": bmin, "max": bmax, "count": cnt,
-            "G_blocks": G_blocks, "t_blocks": t_blocks}
+            "G_blocks": G_blocks, "t_blocks": t_blocks,
+            "t2_blocks": t2_blocks, "sc2_blocks": sc2_blocks}
 
 
-def _gram_from_block_stats(stats, scl_blocks, axis_cnt, n_points):
+def _gram_from_block_stats(stats, scl_blocks, axis_cnt, n_points, dtype):
     """Scaled-centered Gram ``X0ᵀX0`` assembled algebraically from the raw
     per-block Grams of the fused stats pass — no second disk pass.
 
-    Per feature block f (scale ``scl_f`` constant over its rows):
+    Per feature block f (scale ``scl_f`` constant over its rows), with
+    ``c̃``/``μ̃``/``scl̃`` the STORE-DTYPE-ROUNDED statistics — the exact
+    values the U pass subtracts/divides, so the fused Gram describes the
+    same matrix the panel pass projects:
 
-    * ``axis_cnt=1`` (per-row centering ``c_i = x_iᵀ1/m``):
-      ``Gc_f = G_f − (G_f 1 1ᵀ + 1 1ᵀ G_f)/m + (1ᵀ G_f 1 / m²)·1 1ᵀ``
-    * ``axis_cnt=None`` (block-scalar centering ``μ_f = s1_f/(n_points·m)``):
-      ``Gc_f = G_f − μ_f (1 t_fᵀ + t_f 1ᵀ) + n_points·μ_f²·1 1ᵀ``
+    * ``axis_cnt=1`` (per-row centering): with the rounded-mean cross
+      terms ``t2_f = Σ c̃_i x_i`` and ``sc2_f = Σ c̃_i²`` accumulated in
+      the stats pass,
+      ``Gc_f = G_f − (1 t2_fᵀ + t2_f 1ᵀ) + sc2_f·1 1ᵀ``
+    * ``axis_cnt=None`` (block-scalar centering):
+      ``Gc_f = G_f − μ̃_f (1 t_fᵀ + t_f 1ᵀ) + n_points·μ̃_f²·1 1ᵀ``
 
-    and ``G = Σ_f Gc_f / scl_f²`` — all (m, m) host f64.
+    and ``G = Σ_f Gc_f / scl̃_f²`` — all (m, m) host f64.
 
     The raw-minus-correction form cancels catastrophically when
     ``|mean| ≫ spread`` (raw moments ~μ², centered ~σ²).  Returns
@@ -386,11 +406,12 @@ def _gram_from_block_stats(stats, scl_blocks, axis_cnt, n_points):
     for f in range(n_features):
         Gf = G_blocks[f]
         if axis_cnt == 1:
-            g1 = Gf @ ones / m
-            Gc = Gf - np.outer(g1, ones) - np.outer(ones, g1) \
-                + (g1.sum() / m) * np.outer(ones, ones)
+            t2 = stats["t2_blocks"][f]
+            Gc = Gf - np.outer(t2, ones) - np.outer(ones, t2) \
+                + stats["sc2_blocks"][f] * np.outer(ones, ones)
         else:
-            mu = stats["s1"][f] / stats["count"]
+            mu = float(np.asarray(stats["s1"][f] / stats["count"],
+                                  dtype=dtype))
             tf = t_blocks[f]
             Gc = Gf - mu * (np.outer(ones, tf) + np.outer(tf, ones)) \
                 + n_points * mu * mu * np.outer(ones, ones)
@@ -401,7 +422,7 @@ def _gram_from_block_stats(stats, scl_blocks, axis_cnt, n_points):
                 raw_mag / max(cen_mag, np.finfo(np.float64).tiny)))
         # 0/0-scale blocks propagate inf/nan exactly like the two-sided
         # Gram pass would — same failure surface, no silent flooring
-        G += Gc / float(scl_blocks[f]) ** 2
+        G += Gc / float(np.asarray(scl_blocks[f], dtype=dtype)) ** 2
     return G, worst
 
 
@@ -662,9 +683,7 @@ def _finalize_basis(xp, U, colnorm, S2, V, r, n, norm_dtype=None):
     Returns ``(U, sr_f64, S_f64, V_f64)``."""
     safe = _floored_norms(xp, colnorm, n, U.dtype, norm_dtype or U.dtype)
     U = U / xp.asarray(safe, dtype=U.dtype)[None, :]
-    idx = xp.argmax(xp.abs(U), axis=0)
-    signs = xp.sign(U[idx, xp.arange(r)])
-    signs = xp.where(signs == 0, 1.0, signs).astype(U.dtype)
+    signs = _svd.canonical_signs(U, xp)
     U = U * signs[None, :]
     sr = np.asarray(colnorm, dtype=np.float64)
     S = np.sqrt(S2)
@@ -681,9 +700,7 @@ def _finalize_sharded_u(U, safe):
     reduce.  ``safe`` is the host-f64 floored column norms.  Returns the
     canonical U (sharding preserved) and the applied signs."""
     U = U / safe[None, :].astype(U.dtype)
-    idx = jnp.argmax(jnp.abs(U), axis=0)
-    signs = jnp.sign(U[idx, jnp.arange(U.shape[1])])
-    signs = jnp.where(signs == 0, 1.0, signs).astype(U.dtype)
+    signs = _svd.canonical_signs(U)
     return U * signs[None, :], signs
 
 
@@ -847,6 +864,10 @@ class StreamingROM(ROM):
         if refine is None:
             refine = _svd.default_refine()
         self.scale_type = scale_type
+        # fit-path observability, reset every fit (the device/basis paths
+        # never fuse; a later unsharded fit must not report a stale mesh)
+        self.gram_fused_ = False
+        self.fit_mesh_ = None
         n, m = self.store.shape
 
         # pass 1 — stats (fused with the raw block Grams on the host
@@ -947,24 +968,7 @@ class StreamingROM(ROM):
         cnt64 = cnt_h.astype(np.float64)
         scl64 = scl_h.astype(np.float64)
 
-        G = None
-        self.gram_fused_ = False
-        if stats is not None and stats.get("G_blocks") is not None:
-            G, digits_lost = _gram_from_block_stats(
-                stats, scl_blocks, axis_cnt, self.n_points)
-            if digits_lost > self._FUSED_MAX_DIGITS_LOST \
-                    or not np.all(np.isfinite(G)):
-                G = None
-            else:
-                self.gram_fused_ = True
-        if G is None:
-            # disk pass A — f64 Gram (exact: no refine needed)
-            G = np.zeros((m, m), dtype=np.float64)
-            for row0, chunk in self._chunks():
-                c = chunk.shape[0]
-                x0 = (chunk.astype(np.float64) - cnt64[row0:row0 + c, None]
-                      ) / scl64[row0:row0 + c, None]
-                G += x0.T @ x0
+        G = self._assemble_gram(stats, scl_blocks, axis_cnt, cnt64, scl64)
         V, S2, r = self._rank_from_gram(G, select_modes, n_modes)
 
         # disk pass B — U = X0 V_r, column norms accumulated in f64,
@@ -1032,6 +1036,34 @@ class StreamingROM(ROM):
         self.X_cnt = jax.device_put(self.X_cnt, sharding)
         self.X_scl = jax.device_put(self.X_scl, sharding)
         self.fit_mesh_ = mesh
+
+    def _assemble_gram(self, stats, scl_blocks, axis_cnt, cnt64, scl64):
+        """Scaled-centered f64 Gram of the whole panel: the fused algebra
+        from the stats pass when available and well-conditioned
+        (:func:`_gram_from_block_stats`), else ONE streamed centered Gram
+        pass.  Sets ``self.gram_fused_``.  SINGLE SOURCE for the
+        cancellation fallback — shared by the ROM fit and StreamingDMD."""
+        self.gram_fused_ = False
+        if stats is not None and stats.get("G_blocks") is not None:
+            G, digits_lost = _gram_from_block_stats(
+                stats, scl_blocks, axis_cnt, self.n_points, self.dtype)
+            # A NON-FINITE fused Gram (a 0-scale block dividing by scl²)
+            # is not a fallback case: the streamed pass divides by the
+            # same zero and deterministically reproduces the inf/nan —
+            # keep the identical failure surface without paying an extra
+            # full disk sweep.
+            if digits_lost <= self._FUSED_MAX_DIGITS_LOST \
+                    or not np.all(np.isfinite(G)):
+                self.gram_fused_ = True
+                return G
+        m = self.store.shape[1]
+        G = np.zeros((m, m), dtype=np.float64)
+        for row0, chunk in self._chunks():
+            c = chunk.shape[0]
+            x0 = (chunk.astype(np.float64) - cnt64[row0:row0 + c, None]
+                  ) / scl64[row0:row0 + c, None]
+            G += x0.T @ x0
+        return G
 
     def _rank_from_gram(self, G, select_modes, n_modes):
         """Shared spectral step: host-f64 ``eigh`` of the accumulated
@@ -1368,25 +1400,7 @@ class StreamingDMD(StreamingROM, _DMD_base):
         cnt64 = cnt_h.astype(np.float64)
         scl64 = scl_h.astype(np.float64)
 
-        G = None
-        self.gram_fused_ = False
-        if stats.get("G_blocks") is not None:
-            G, digits_lost = _gram_from_block_stats(
-                stats, scl_blocks, axis_cnt, self.n_points)
-            if digits_lost > self._FUSED_MAX_DIGITS_LOST \
-                    or not np.all(np.isfinite(G)):
-                G = None
-            else:
-                self.gram_fused_ = True
-        if G is None:
-            # fallback pass 2 — f64 Gram of the FULL scaled series
-            G = np.zeros((m, m), dtype=np.float64)
-            for row0, chunk in self._chunks():
-                c = chunk.shape[0]
-                x0 = (chunk.astype(np.float64)
-                      - cnt64[row0:row0 + c, None]
-                      ) / scl64[row0:row0 + c, None]
-                G += x0.T @ x0
+        G = self._assemble_gram(stats, scl_blocks, axis_cnt, cnt64, scl64)
 
         # host spectral step on the X1 block
         V, S2, r = self._rank_from_gram(G[:-1, :-1], select_modes, n_modes)

@@ -272,6 +272,60 @@ class TestStreamingFitParity:
             np.testing.assert_allclose(np.asarray(srom.Ur),
                                        np.asarray(rom.Ur), atol=1e-6)
 
+    def test_fused_gram_matches_fallback_on_fp32_store_with_offsets(self):
+        """The fused algebra must center/scale with the STORE-DTYPE-
+        ROUNDED statistics (what the U pass actually subtracts), so fused
+        and streamed Grams describe the same matrix even for fp32 stores
+        with large offsets."""
+        X = (make_X() + 300.0).astype(np.float32)   # ~3 offset decades
+        s_fused = StreamingROM(ArrayStore(X), 3, chunk_rows=17)
+        s_fused.fit(n_modes=99.9)
+        assert s_fused.gram_fused_ is True
+        s_fall = StreamingROM(ArrayStore(X), 3, chunk_rows=17)
+        import openmeasure_tpu.streaming as sm
+        orig = sm.StreamingROM._FUSED_MAX_DIGITS_LOST
+        try:
+            sm.StreamingROM._FUSED_MAX_DIGITS_LOST = -1.0  # force fallback
+            s_fall.fit(n_modes=99.9)
+        finally:
+            sm.StreamingROM._FUSED_MAX_DIGITS_LOST = orig
+        assert s_fall.gram_fused_ is False
+        assert s_fused.r == s_fall.r
+        np.testing.assert_allclose(np.asarray(s_fused.Sigma_r),
+                                   np.asarray(s_fall.Sigma_r), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(s_fused.Ur),
+                                   np.asarray(s_fall.Ur), atol=2e-6)
+
+    def test_fit_path_attributes_reset(self):
+        """gram_fused_/fit_mesh_ exist on every fit path and never go
+        stale across refits."""
+        import jax
+        from jax.sharding import Mesh
+        X = make_X()
+        srom = StreamingROM(ArrayStore(X), 3, chunk_rows=17,
+                            dtype=np.float64)
+        srom.fit(engine="device", refine=1)
+        assert srom.gram_fused_ is False and srom.fit_mesh_ is None
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("state",))
+        srom.fit(mesh=mesh)
+        assert srom.fit_mesh_ is mesh
+        srom.fit()                       # unsharded refit
+        assert srom.fit_mesh_ is None and srom.gram_fused_ is True
+        srom.fit(basis=(np.zeros((120, 2)), np.zeros((12, 2))))
+        assert srom.gram_fused_ is False
+
+    def test_zero_scale_block_fails_without_extra_pass(self):
+        """A constant block under 'std' (scl=0) must fail the same way the
+        streamed pass would — but WITHOUT paying a wasted full disk sweep
+        that deterministically recomputes the same non-finite Gram."""
+        X = make_X()
+        X[40:80] = 7.5                   # block 1 constant -> std 0
+        st = CountingStore(X)
+        srom = StreamingROM(st, 3, chunk_rows=17, dtype=np.float64)
+        with pytest.raises(Exception):
+            srom.fit(n_modes=99.9)
+        assert st.passes == 1            # stats only; no fallback sweep
+
     def test_offset_dominated_data_falls_back_to_streamed_gram(self):
         """|mean| >> spread defeats the raw-minus-correction algebra
         (catastrophic cancellation); the engine must detect it and run the
