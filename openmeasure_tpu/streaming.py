@@ -1283,12 +1283,15 @@ class StreamingGPR(StreamingROM, GPR):
             axis_cnt: Optional[int] = 1, select_modes: str = "variance",
             n_modes=99, verbose: bool = False, basis=None,
             refine: Optional[int] = None, width: Optional[int] = None,
-            config=None, engine: str = "host"):
+            config=None, engine: str = "host", mesh=None,
+            mesh_axis: str = "state"):
         """Streaming ``GPR.fit``: :meth:`StreamingROM.fit` for the X side
         (scaling stats + spectral passes over the store; ``engine`` /
-        ``refine`` / ``width`` as there), then the standard parameter
-        scaling.  ``config`` overrides kwargs like :meth:`GPR.fit` (its
-        ``scale_type`` applies to both X and P)."""
+        ``refine`` / ``width`` / ``mesh`` as there — with ``mesh=`` the
+        streamed basis lands row-sharded and the GP side trains on the
+        replicated (m, r) coefficients unchanged), then the standard
+        parameter scaling.  ``config`` overrides kwargs like
+        :meth:`GPR.fit` (its ``scale_type`` applies to both X and P)."""
         if config is not None:
             scaleX_type = config.scale_type
             scaleP_type = config.scale_type
@@ -1303,7 +1306,7 @@ class StreamingGPR(StreamingROM, GPR):
         StreamingROM.fit(self, scale_type=scaleX_type, axis_cnt=axis_cnt,
                          select_modes=select_modes, n_modes=n_modes,
                          basis=basis, refine=refine, width=width,
-                         engine=engine)
+                         engine=engine, mesh=mesh, mesh_axis=mesh_axis)
         self.d = self.P.shape[1]
         self.P0 = self.scale_GPR_data(self.P, scaleP_type)
 

@@ -761,6 +761,35 @@ class TestStreamingGPR:
         # the reference's held-out bar (test_gpr.py:62-68 there)
         np.testing.assert_allclose(X[:, te], X_s, atol=5e-1)
 
+    def test_fit_with_mesh_matches_unsharded(self):
+        """StreamingGPR.fit(mesh=...): the streamed basis lands row-
+        sharded, the GP trains on the replicated coefficients, and
+        predictions equal the unsharded streaming fit."""
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P_
+        from openmeasure_tpu import StreamingGPR
+        P, X, xyz = self._make(n_points=32)          # n=32... 8 | 32
+        tr, te = np.arange(0, 20, 2), np.arange(1, 20, 2)
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("state",))
+        a = StreamingGPR(ArrayStore(X[:, tr]), 1, xyz, P[tr],
+                         chunk_rows=7, dtype=np.float64)
+        a.fit(scaleX_type="none", select_modes="number", n_modes=1)
+        b = StreamingGPR(ArrayStore(X[:, tr]), 1, xyz, P[tr],
+                         chunk_rows=7, dtype=np.float64)
+        b.fit(scaleX_type="none", select_modes="number", n_modes=1,
+              mesh=mesh)
+        assert b.Ur.sharding == NamedSharding(mesh, P_("state", None))
+        np.testing.assert_array_equal(np.asarray(b.Ur), np.asarray(a.Ur))
+        a.train(max_iter=100)
+        b.train(max_iter=100)
+        A_a, _ = a.predict(P[te])
+        A_b, _ = b.predict(P[te])
+        np.testing.assert_allclose(np.asarray(A_b), np.asarray(A_a),
+                                   rtol=1e-6, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(b.reconstruct(A_b)),
+                                   np.asarray(a.reconstruct(A_a)),
+                                   rtol=1e-6)
+
     def test_update_basis_matches_incore(self, tmp_path):
         from openmeasure_tpu import GPR, StreamingGPR
         P, X, xyz = self._make()
