@@ -106,6 +106,12 @@ def _predict_math(state, y_values, y_sigma, method, admm_iters, over_relax):
     w_max = jnp.max(inv_sigma)
     w = jnp.where(use_w, jnp.where(sig0 > 0, inv_sigma, w_max),
                   jnp.ones_like(sig0))
+    # NaN sigma propagates (reference W=diag(1/sig0) semantics,
+    # sparse_sensing.py:873) rather than silently taking the max weight —
+    # the two paths must agree even on malformed input.  (DynamicSensor
+    # masks non-finite sigmas as MISSING instead — documented difference:
+    # a filter has a prior to fall back on, a memoryless solve does not.)
+    w = jnp.where(jnp.isnan(sig0), jnp.nan, w)
     # Weighted LS via QR + ONE iterative-refinement step, not pinv: the
     # scaled per-feature sigmas make the weights span decades, so
     # cond(WΘ) reaches ~1e5 even for a well-conditioned Θ, and the
@@ -142,7 +148,8 @@ def _predict_math(state, y_values, y_sigma, method, admm_iters, over_relax):
         return x + jax.scipy.linalg.solve_triangular(
             R, jnp.matmul(Q.T, resid, precision=hp), lower=False)
 
-    a_ols = jnp.where(use_w, wsolve(w * y0), state["pinv"] @ y0)
+    a_ols = jnp.where(use_w, wsolve(w * y0),
+                      jnp.matmul(state["pinv"], y0, precision=hp))
     if method == "COLS":
         # tol=0 → the while_loop runs the full fixed budget: every
         # request compiles to the same instruction count (deterministic
@@ -176,6 +183,12 @@ def _predict_many(state, Y_values, Y_sigma, *, method, admm_iters,
         state, yv, ys, method, admm_iters, over_relax))(Y_values, Y_sigma)
 
 
+def _sp_coo(dat_idx, shape):
+    import scipy.sparse as sp
+    dat, idx = dat_idx
+    return sp.coo_matrix((dat, (idx[:, 0], idx[:, 1])), shape=shape).tocsr()
+
+
 def _measurement_scaling(C, X_cnt, X_scl, n_points, feature_ids=None):
     """Per-measurement centering (always ``C @ X_cnt``, reference
     ``sparse_sensing.py:573``) and scaling from a dense / scipy-sparse /
@@ -192,10 +205,14 @@ def _measurement_scaling(C, X_cnt, X_scl, n_points, feature_ids=None):
         # BCOO analog of the CSR branch: SPR.train accepts BCOO measurement
         # operators (rom.py apply_sampling), so a BCOO-trained model must
         # package too.  Row-nnz / one-hot detection runs on the COO
-        # triplets host-side.
-        cnt_sensors = np.asarray(C @ jnp.asarray(X_cnt))
+        # triplets host-side — as does the center product, in float64
+        # like the dense/scipy branches (a device matvec would run at the
+        # ambient matmul precision on fp32-cast centers).
         idx = np.asarray(C.indices).reshape(-1, 2)
         dat = np.asarray(C.data).ravel()
+        cnt_sensors = np.asarray(
+            _sp_coo((dat, idx), C.shape).dot(np.asarray(X_cnt,
+                                                        np.float64))).ravel()
         nz = dat != 0
         rows_nz, cols_nz, dat_nz = idx[nz, 0], idx[nz, 1], dat[nz]
         row_nnz = np.bincount(rows_nz, minlength=C.shape[0])
@@ -207,9 +224,14 @@ def _measurement_scaling(C, X_cnt, X_scl, n_points, feature_ids=None):
             argmax_rows[rows_nz] = cols_nz
     elif sp.issparse(C):
         cnt_sensors = np.asarray(C.dot(X_cnt)).ravel()
-        row_nnz = np.diff(C.tocsr().indptr)
-        one_hot = bool(np.all(row_nnz == 1) and np.all(C.data == 1.0))
-        argmax_rows = np.asarray(C.tocsr().argmax(axis=1)).ravel()
+        # detect one-hot on the DUPLICATE-SUMMED canonical form: raw COO
+        # triplets can hold two (i, j) ones whose effective row value is
+        # 2.0 — checking raw .data would mis-scale that row silently
+        Cc = C.tocsr().copy()
+        Cc.sum_duplicates()
+        row_nnz = np.diff(Cc.indptr)
+        one_hot = bool(np.all(row_nnz == 1) and np.all(Cc.data == 1.0))
+        argmax_rows = np.asarray(Cc.argmax(axis=1)).ravel()
     else:
         Cd = np.asarray(C)
         cnt_sensors = Cd @ X_cnt
@@ -249,6 +271,10 @@ class SoftSensor:
         self.X_scl = jnp.asarray(X_scl, dtype).reshape(-1)
         self.r = self.Theta.shape[1]
         self.s = self.Theta.shape[0]
+        # original (unpadded) state row count — shard() slices outputs
+        # back to this, and re-sharding an already-sharded sensor onto a
+        # different mesh must not inherit the previous padding
+        self.n = int(self.Ur.shape[0])
         self.method = method
         # normalized so equal values hash equally across models (they key
         # the shared jitted kernels' static arguments)
@@ -371,10 +397,15 @@ class SoftSensor:
                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Returns (field (n,), coefficients (r,), coefficient σ (r,))."""
         y_values = jnp.asarray(y_values, self.Ur.dtype)
+        if y_values.shape != (self.s,):
+            raise ValueError(
+                f"y_values must be (s={self.s},); got {y_values.shape}. "
+                "Use predict_batch for (batch, s) frames.")
         if y_sigma is None:
             y_sigma = jnp.zeros_like(y_values)
         else:
-            y_sigma = jnp.asarray(y_sigma, self.Ur.dtype)
+            y_sigma = jnp.broadcast_to(
+                jnp.asarray(y_sigma, self.Ur.dtype), y_values.shape)
         return self._predict(y_values, y_sigma)
 
     def __call__(self, y_values, y_sigma=None) -> jax.Array:
@@ -426,7 +457,7 @@ class SoftSensor:
             new._A_c, new._lo, new._hi = (new._state["A_c"],
                                           new._state["lo"],
                                           new._state["hi"])
-        new._rebind_predicts(n_serve=self.Ur.shape[0])
+        new._rebind_predicts(n_serve=self.n)
         return new
 
 
@@ -885,12 +916,13 @@ _KF_MISSING_R = 1e12
 def _kf_scale_inputs(state, Y_values, Y_sigma):
     """Scale a measurement series + build the per-step noise variances.
 
-    NaN entries in ``Y_values`` — or in ``Y_sigma`` (an unknown noise level
-    is an unusable reading) — mark MISSING readings (a dropped sensor or
-    a pure-prediction frame): the value is replaced by zero and its
-    variance by :data:`_KF_MISSING_R`, so the filter ignores it exactly
-    (gain ~1e-12) instead of propagating the NaN."""
-    miss = jnp.isnan(Y_values) | jnp.isnan(Y_sigma)
+    Non-finite entries in ``Y_values`` or ``Y_sigma`` (NaN, or ±inf — an
+    infinite uncertainty is the natural 'ignore me') mark MISSING
+    readings (a dropped sensor or a pure-prediction frame): the value is
+    replaced by zero and its variance by :data:`_KF_MISSING_R`, so the
+    filter ignores it exactly (gain ~1e-12) instead of letting the
+    NaN/inf poison the SPD solve and the whole filtered series."""
+    miss = ~(jnp.isfinite(Y_values) & jnp.isfinite(Y_sigma))
     Yv = jnp.where(miss, jnp.zeros_like(Y_values), Y_values)
     Y0 = (Yv - state["cnt_sensors"][None, :]) \
         / state["scl_sensors"][None, :]
@@ -1138,8 +1170,10 @@ class DynamicSensor:
         Y, Ys = self._coerce(jnp.full((q, self.s), jnp.nan, self.Ur.dtype),
                              None)
         a, P = (self._a, self._P) if from_carry else (self._a0, self._P0)
-        X, A_f, var, carry, rej = self._filter(Y, Ys, a, P)
-        self.last_rejected = rej
+        X, A_f, var, carry, _rej = self._filter(Y, Ys, a, P)
+        # NOT written to last_rejected: the synthetic all-missing series
+        # never gates, and overwriting would blank the sensor-health
+        # signal from the last real filter/smooth/step call
         if persist:
             self._a, self._P = carry
         return X, A_f, var

@@ -631,7 +631,11 @@ class TestDynamicSensor:
         self.dyn.filter_batch(self.Y[:5], self.Y_sigma[:5], persist=True)
         a_before = np.asarray(self.dyn._a).copy()
         P_before = np.asarray(self.dyn._P).copy()
+        rej_before = self.dyn.last_rejected
         Xc, Ac, Vc = self.dyn.forecast(3, from_carry=True)
+        # the synthetic all-missing series must not clobber the
+        # sensor-health mask of the last REAL filter call
+        assert self.dyn.last_rejected is rej_before
         # lookahead starts from the LIVE carry...
         A_op = np.asarray(self.dyn._state["A"], np.float64)
         np.testing.assert_allclose(np.asarray(Ac[0], np.float64),
@@ -658,6 +662,15 @@ class TestDynamicSensor:
         sig[2, 1] = np.nan          # unknown noise level, finite value
         X1, A1, V1 = self.dyn.filter_batch(self.Y[:4], sig)
         assert np.all(np.isfinite(np.asarray(X1)))
+        # inf sigma (the natural 'ignore me') must behave identically —
+        # an unmasked inf would NaN-poison the SPD solve for the series
+        self.dyn.reset()
+        sig_inf = np.asarray(self.Y_sigma[:4]).copy()
+        sig_inf[2, 1] = np.inf
+        Xi, Ai, Vi = self.dyn.filter_batch(self.Y[:4], sig_inf)
+        np.testing.assert_allclose(np.asarray(Xi), np.asarray(X1),
+                                   atol=1e-6)
+        self.dyn.reset()
         # identical to dropping the measurement itself
         self.dyn.reset()
         Y = np.asarray(self.Y[:4]).copy()

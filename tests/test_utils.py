@@ -246,6 +246,70 @@ class TestServing:
         np.testing.assert_allclose(np.asarray(sensor2(y[:, 0])), x_ref,
                                    rtol=1e-8, atol=1e-10)
 
+    def _small_sensor(self, seed=2):
+        import numpy as np
+        from openmeasure_tpu import SPR
+        from openmeasure_tpu.serving import SoftSensor
+        rng = np.random.default_rng(seed)
+        X = rng.random((30, 6))
+        xyz = rng.random((15, 3))
+        spr = SPR(X, 2, xyz)
+        spr.fit(select_modes="number", n_modes=4)
+        C = np.asarray(spr.optimal_placement())
+        spr.train(C)
+        rows = np.argmax(C, axis=1)
+        return SoftSensor.from_spr(spr, dtype=np.float64), X, rows
+
+    def test_predict_full_validates_shape(self):
+        import numpy as np
+        import pytest as _pt
+        sensor, X, rows = self._small_sensor()
+        with _pt.raises(ValueError, match="y_values must be"):
+            sensor(3.7)                       # scalar must not broadcast
+        with _pt.raises(ValueError, match="y_values must be"):
+            sensor(np.array([3.7]))           # nor a length-1 vector
+        # scalar sigma broadcast is fine (documented convenience)
+        x, a, s = sensor.predict_full(X[rows, 1], 0.1)
+        assert np.all(np.isfinite(np.asarray(x)))
+
+    def test_nan_sigma_propagates_like_eager(self):
+        """A NaN sigma must propagate (reference W=1/sig semantics), not
+        silently take the maximum weight."""
+        import numpy as np
+        sensor, X, rows = self._small_sensor()
+        sig = np.array([np.nan, 0.1, 0.1, 0.1])
+        x, a, s = sensor.predict_full(X[rows, 1], sig)
+        assert np.all(np.isnan(np.asarray(a)))
+
+    def test_double_shard_keeps_original_n(self):
+        """Re-sharding an already-sharded sensor must slice outputs to the
+        ORIGINAL n, not the first shard's padded row count."""
+        import numpy as np
+        import jax
+        from jax.sharding import Mesh
+        sensor, X, rows = self._small_sensor()
+        mesh_a = Mesh(np.array(jax.devices()[:4]).reshape(4), ("state",))
+        mesh_b = Mesh(np.array(jax.devices()[:8]).reshape(8), ("state",))
+        twice = sensor.shard(mesh_a).shard(mesh_b)   # n=30: pads both times
+        x0 = np.asarray(sensor(X[rows, 1]))
+        x2 = np.asarray(twice(X[rows, 1]))
+        assert x2.shape == x0.shape == (30,)
+        np.testing.assert_allclose(x2, x0, rtol=1e-6)
+
+    def test_duplicate_coo_entries_not_treated_as_one_hot(self):
+        """Raw COO duplicates that SUM to a non-unit row value must not
+        pass the one-hot detection (silently wrong scaling); they require
+        feature_ids like any general C."""
+        import numpy as np
+        import scipy.sparse as sp
+        import pytest as _pt
+        from openmeasure_tpu.serving import _measurement_scaling
+        C = sp.coo_matrix((np.ones(2), ([0, 0], [3, 3])), shape=(1, 30))
+        X_cnt = np.arange(30.0)
+        X_scl = np.ones(30)
+        with _pt.raises(ValueError, match="feature_ids"):
+            _measurement_scaling(C, X_cnt, X_scl, 15)
+
     def test_soft_sensor_weighted_zero_sigma_matches_spr(self):
         """A σ=0 entry inside an otherwise-weighted vector must get the same
         (largest-finite) weight in serving as in SPR.predict — the served
