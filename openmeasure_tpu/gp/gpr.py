@@ -155,17 +155,26 @@ class GPR(ROM):
         self.n_modes = n_modes
         self.verbose = verbose
 
+        if deflate and basis is not None:
+            raise ValueError(
+                "deflate= has no effect with basis= (there is no "
+                "decomposition to deflate); drop one of them.")
         self.X0 = self.scale_data(scaleX_type, axis_cnt)
         if basis is None:
             Ur, Ar, _ = self.decomposition(self.X0, select_modes, n_modes)
             if deflate:
                 k = self.r // 2 if deflate is True else int(deflate)
-                if 0 < k < self.r:
-                    U2, S2, Vt2 = _svd.svd_tall_deflated(
-                        _as_device(self.X0), rank=self.r, deflate=k)
-                    U2, Vt2r = _svd._sign_canonicalize(U2, Vt2[:self.r])
-                    Ur = U2
-                    Ar = (S2[:self.r, None] * Vt2r).T
+                if not 0 < k < self.r:
+                    raise ValueError(
+                        f"deflate split must satisfy 0 < k < r={self.r} "
+                        f"(got k={k}; deflate=True needs r >= 2) — the "
+                        "requested tail-accuracy knob cannot silently "
+                        "no-op.")
+                U2, S2, Vt2 = _svd.svd_tall_deflated(
+                    _as_device(self.X0), rank=self.r, deflate=k)
+                U2, Vt2r = _svd._sign_canonicalize(U2, Vt2[:self.r])
+                Ur = U2
+                Ar = (S2[:self.r, None] * Vt2r).T
         else:
             Ur, Ar = _as_device(basis[0]), _as_device(basis[1])
 
@@ -219,6 +228,18 @@ class GPR(ROM):
 
         mean, kernel, likelihood = self._default_specs(mean, kernel,
                                                        likelihood)
+        # fail at the API boundary, not with a KeyError/rank error deep in
+        # tracing: each gpr_type supports exactly one likelihood family
+        # (FixedNoiseGaussianLikelihood arises only via update(retrain))
+        if self.gpr_type == "MultiTask":
+            if not isinstance(likelihood, K.MultitaskGaussianLikelihood):
+                raise TypeError(
+                    "MultiTask training needs a MultitaskGaussian"
+                    f"Likelihood; got {type(likelihood).__name__}.")
+        elif not isinstance(likelihood, K.GaussianLikelihood):
+            raise TypeError(
+                "SingleTask training needs a GaussianLikelihood; got "
+                f"{type(likelihood).__name__}.")
         self.mean = mean
         self.kernel = kernel
         self.likelihood = likelihood
@@ -234,28 +255,8 @@ class GPR(ROM):
                     self._init_task_params(mean, kernel, likelihood), self.r),
                 "likelihood": likelihood.init_params(),
             }
-            loss_raw = E.make_multitask_loss(mean, kernel, likelihood,
-                                             P0, Vr)
-            params0_b = jax.tree_util.tree_map(lambda x: x[None], params0)
-
-            def loss_fn(pb):
-                return loss_raw(
-                    jax.tree_util.tree_map(lambda x: x[0], pb))
-
-            vag_raw = E.make_multitask_value_and_grad(mean, kernel,
-                                                      likelihood, P0, Vr)
-            if vag_raw is not None:
-                def vag(pb):
-                    losses, grads = vag_raw(
-                        jax.tree_util.tree_map(lambda x: x[0], pb))
-                    return losses, jax.tree_util.tree_map(
-                        lambda g: g[None], grads)
-            else:
-                vag = None
-            res = E.adam_early_stop(loss_fn, params0_b, lr=lr,
-                                    max_iter=max_iter, rel_error=rel_error,
-                                    verbose=verbose, value_and_grad=vag)
-            self.params = jax.tree_util.tree_map(lambda x: x[0], res.params)
+            self.params, res = self._multitask_adam(params0, P0, Vr,
+                                                    verbose)
             self._final_loss = res.loss
             # train-mode output.stddev == prior stddev per task
             Vr_sigma = jax.vmap(
@@ -287,15 +288,73 @@ class GPR(ROM):
                   f"{_np.asarray(res.loss)}; iterations: "
                   f"{_np.asarray(res.iterations)}")
         # API-compat return: per-mode parameter pytrees + likelihood specs
+        self._refresh_api_compat()
+        return self.models, self.likelihoods
+
+    def _multitask_adam(self, params, P0, Vr, verbose):
+        """One MultiTask Adam/early-stop run from ``params`` on (P0, Vr):
+        the [None]-batch wrap + closed-form-gradient-oracle boilerplate,
+        SINGLE SOURCE for train()/update()/_assimilate (the retrain sites
+        previously omitted the oracle and ran ~2x slower per iteration).
+        Returns (unbatched params, TrainResult)."""
+        loss_raw = E.make_multitask_loss(self.mean, self.kernel,
+                                         self.likelihood, P0, Vr)
+        params_b = jax.tree_util.tree_map(lambda x: x[None], params)
+
+        def loss_fn(pb):
+            return loss_raw(jax.tree_util.tree_map(lambda x: x[0], pb))
+
+        vag_raw = E.make_multitask_value_and_grad(self.mean, self.kernel,
+                                                  self.likelihood, P0, Vr)
+        vag = None
+        if vag_raw is not None:
+            def vag(pb):
+                losses, grads = vag_raw(
+                    jax.tree_util.tree_map(lambda x: x[0], pb))
+                return losses, jax.tree_util.tree_map(
+                    lambda g: g[None], grads)
+        res = E.adam_early_stop(loss_fn, params_b, lr=self.lr,
+                                max_iter=self.max_iter,
+                                rel_error=self.rel_error,
+                                verbose=verbose, value_and_grad=vag)
+        return jax.tree_util.tree_map(lambda x: x[0], res.params), res
+
+    def _refresh_api_compat(self):
+        """Rebuild the reference-parity ``models``/``likelihoods`` views
+        from the CURRENT params/likelihood — every (re)training site must
+        call this (the reference refreshes both, gpr.py:662,674-675)."""
         if self.gpr_type == "MultiTask":
             self.models = [self.params]
-            self.likelihoods = [likelihood]
+            self.likelihoods = [self.likelihood]
         else:
             self.models = [
                 jax.tree_util.tree_map(lambda x: x[i], self.params)
                 for i in range(self.r)]
-            self.likelihoods = [likelihood] * self.r
-        return self.models, self.likelihoods
+            self.likelihoods = [self.likelihood] * self.r
+
+    def _guard_pigpr_retrain(self, retrain):
+        """The standard retrain loop would silently drop PIGPR's
+        added-loss term — reject BEFORE any state mutation (shared by
+        update/update_basis incl. the streaming classes)."""
+        if retrain and isinstance(self, PIGPR):
+            raise ValueError(
+                "PIGPR cannot retrain with the standard loop (it would "
+                "drop the added-loss term); update with retrain=False "
+                "and call train() again.")
+
+    def _guard_no_orphaned_updates(self):
+        """update_basis re-derives the GP training set from the fitted
+        coefficients only; (P, A) pairs previously assimilated via
+        update() have no raw snapshots to rotate and would silently
+        vanish — reject instead."""
+        if hasattr(self, "_train_X") and int(self._train_X.shape[0]) >                 int(np.asarray(self.P0).shape[0]):
+            raise ValueError(
+                "update_basis would silently discard the extra (P, A) "
+                "pairs previously assimilated via update() (their raw "
+                "snapshots are not retained, so the basis rotation "
+                "cannot re-derive their targets). Run update_basis "
+                "first and update() after, or refit from the extended "
+                "snapshot set.")
 
     # ------------------------------------------------------------------ #
     # Posterior helpers
@@ -308,6 +367,34 @@ class GPR(ROM):
             self.params, self._train_X, self._train_Y, P0_star)
         return MultitaskPosterior(mean=means.T,
                                   stddev=jnp.sqrt(variances).T)
+
+    def _state_constraint_parts(self, limits, bc):
+        """State-space constraint parts for the constrained MAP: the
+        physical ``limits`` box on ``S = Ur·diag(Σ_r)`` and the ``bc``
+        equality pins, scaled with the model's own stats.  SINGLE SOURCE
+        shared by :meth:`predict` and ``serving.GPRSensor.from_gpr``
+        (previously near-duplicated and already drifting).  ``bc`` values
+        may be (n_bc,) fixed or (n_bc, n_p) per-point; callers validate
+        shape policy (serving rejects batched pins).  The (n, r) ``S``
+        product is only computed when a part needs it."""
+        parts = []
+        if limits is None and bc is None:
+            return parts
+        S = self.Ur * self.Sigma_r[None, :]
+        if limits is not None:
+            lo_b, hi_b = self.scale_limits(limits)
+            parts.append(_boxls.LinearConstraints(S, lo_b, hi_b))
+        if bc is not None:
+            rows = np.asarray(bc[0], dtype=int)
+            values = np.asarray(bc[1], dtype=float)
+            cnt = np.asarray(self.X_cnt)[rows, 0]
+            scl = np.asarray(self.X_scl)[rows, 0]
+            if values.ndim == 1:
+                v0 = jnp.asarray((values - cnt) / scl)
+            else:
+                v0 = jnp.asarray((values - cnt[:, None]) / scl[:, None]).T
+            parts.append(_boxls.LinearConstraints(S[rows, :], v0, v0))
+        return parts
 
     # ------------------------------------------------------------------ #
     # Predict (reference gpr.py:517-601)
@@ -361,13 +448,7 @@ class GPR(ROM):
             bc = bc if bc is not None else problem_dict.get("bc")
             constraints = constraints if constraints is not None else \
                 problem_dict.get("constraints")
-        parts = []
-        S = self.Ur * self.Sigma_r[None, :]
-        if limits is not None:
-            lo_b, hi_b = self.scale_limits(limits)
-            parts.append(_boxls.LinearConstraints(S, lo_b, hi_b))
         if bc is not None:
-            rows = np.asarray(bc[0], dtype=int)
             values = np.asarray(bc[1], dtype=float)
             if values.ndim == 1:
                 values = values[:, None]
@@ -375,10 +456,8 @@ class GPR(ROM):
                 raise ValueError(
                     f"bc values must be (n_bc, n_p={n_p}); got "
                     f"{values.shape}")
-            cnt = np.asarray(self.X_cnt)[rows, 0]
-            scl = np.asarray(self.X_scl)[rows, 0]
-            v0 = jnp.asarray((values - cnt[:, None]) / scl[:, None]).T
-            parts.append(_boxls.LinearConstraints(S[rows, :], v0, v0))
+            bc = (bc[0], values)
+        parts = self._state_constraint_parts(limits, bc)
         if constraints is not None:
             # shared normalization (single contract with CPOD/SPR/serving)
             cs_user, _ = _boxls.build_constraint_set(constraints, None)
@@ -415,6 +494,7 @@ class GPR(ROM):
 
     def update(self, P_new, A_new, A_sigma_new=None, retrain: bool = False,
                verbose: bool = False):
+        self._guard_pigpr_retrain(retrain)
         self.verbose = verbose
 
         P0_new = (jnp.asarray(P_new) - self.P_cnt[0][None, :]) \
@@ -447,22 +527,22 @@ class GPR(ROM):
         # (the reference zeroes these, gpr.py:654; we keep actual values)
         self.Vr_sigma = Vr_sigma_tot
 
+        # an installed fixed-noise likelihood (from a prior fixed-noise
+        # retrain) must stay length-consistent with the extended training
+        # set, or the next posterior solve breaks on a (p_tot,p_tot) vs
+        # (p_old,) broadcast — extend it with the new variances
+        if self.gpr_type != "MultiTask" and \
+                isinstance(self.likelihood, K.FixedNoiseGaussianLikelihood):
+            params = dict(self.params)
+            params["likelihood"] = {"fixed_noise": (Vr_sigma_tot ** 2).T}
+            self.params = params
+
         if not retrain:
             return
 
         if self.gpr_type == "MultiTask":
-            loss_raw = E.make_multitask_loss(self.mean, self.kernel,
-                                             self.likelihood, P0_tot, Vr_tot)
-            params0_b = jax.tree_util.tree_map(lambda x: x[None], self.params)
-
-            def loss_fn(pb):
-                return loss_raw(jax.tree_util.tree_map(lambda x: x[0], pb))
-
-            res = E.adam_early_stop(loss_fn, params0_b, lr=self.lr,
-                                    max_iter=self.max_iter,
-                                    rel_error=self.rel_error,
-                                    verbose=verbose)
-            self.params = jax.tree_util.tree_map(lambda x: x[0], res.params)
+            self.params, _ = self._multitask_adam(self.params, P0_tot,
+                                                  Vr_tot, verbose)
             self.Vr_sigma = jax.vmap(
                 lambda tp: E.gp_prior_stddev(self.mean, self.kernel, tp,
                                              P0_tot)
@@ -492,7 +572,10 @@ class GPR(ROM):
                 lambda tp: E.gp_prior_stddev(self.mean, self.kernel, tp,
                                              P0_tot)
             )(self.params).T
-
+        # the API-compat views (models/likelihoods) must track the
+        # re-optimized params and the possibly-swapped likelihood, like
+        # the reference does (gpr.py:662,674-675)
+        self._refresh_api_compat()
 
     def update_basis(self, X_new, P_new, select_modes: str = "number",
                      n_modes=None, reorth: bool = True,
@@ -522,6 +605,8 @@ class GPR(ROM):
         hyperparameters (warm start — a basis update perturbs targets
         slightly, so convergence is typically a few iterations).
         """
+        self._guard_pigpr_retrain(retrain)
+        self._guard_no_orphaned_updates()
         X_arr = np.asarray(X_new)
         q = 1 if X_arr.ndim == 1 else X_arr.shape[1]
         P_new = self._validate_update_params(P_new, q)
@@ -579,6 +664,15 @@ class GPR(ROM):
                            likelihood=likelihood, max_iter=self.max_iter,
                            rel_error=self.rel_error, lr=self.lr,
                            verbose=verbose)
+            elif retrain:
+                # never-trained model: there are no hyperparameters (or
+                # max_iter/lr) to warm-start from — refuse loudly instead
+                # of returning an untrained model the caller believes is
+                # trained
+                raise ValueError(
+                    "update_basis(retrain=True) needs a trained model — "
+                    "call train() first, or retrain=False and train() "
+                    "after the update.")
             return
 
         P0_tot = _as_device(self.P0)
@@ -587,22 +681,10 @@ class GPR(ROM):
         self._train_Y = Vr_tot
 
         if retrain:
+            self._guard_pigpr_retrain(retrain)   # streaming path defense
             if self.gpr_type == "MultiTask":
-                loss_raw = E.make_multitask_loss(
-                    self.mean, self.kernel, self.likelihood, P0_tot, Vr_tot)
-                params0_b = jax.tree_util.tree_map(lambda x: x[None],
-                                                   self.params)
-
-                def loss_fn(pb):
-                    return loss_raw(
-                        jax.tree_util.tree_map(lambda x: x[0], pb))
-
-                res = E.adam_early_stop(loss_fn, params0_b, lr=self.lr,
-                                        max_iter=self.max_iter,
-                                        rel_error=self.rel_error,
-                                        verbose=verbose)
-                self.params = jax.tree_util.tree_map(lambda x: x[0],
-                                                     res.params)
+                self.params, _ = self._multitask_adam(self.params, P0_tot,
+                                                      Vr_tot, verbose)
             else:
                 loss_fn = E.make_single_task_loss(
                     self.mean, self.kernel, self.likelihood, P0_tot,
@@ -626,12 +708,7 @@ class GPR(ROM):
         self.Vr_sigma = jax.vmap(
             lambda tp: E.gp_prior_stddev(self.mean, self.kernel, tp,
                                          P0_tot))(task_params).T
-        if self.gpr_type == "MultiTask":
-            self.models = [self.params]
-        else:
-            self.models = [
-                jax.tree_util.tree_map(lambda x: x[i], self.params)
-                for i in range(self.r)]
+        self._refresh_api_compat()
 
 
 class PIGPR(GPR):

@@ -591,25 +591,16 @@ class GPRSensor:
                 raise NotImplementedError(
                     "Constrained prediction only works for MultiTask "
                     "models.")
-            # same constraint-space construction as GPR.predict: the MAP
-            # variable is the normalized coefficient vector v, the physical
-            # operator is Ur diag(Sigma_r)
-            S = state["Ur"] * state["Sigma_r"][None, :]
-            if limits is not None:
-                lo_b, hi_b = gpr.scale_limits(limits)
-                parts.append(_boxls.LinearConstraints(S, lo_b, hi_b))
-            if bc is not None:
-                rows = np.asarray(bc[0], dtype=int)
-                values = np.asarray(bc[1], dtype=float)
-                if values.ndim != 1:
-                    raise ValueError(
-                        "serving bc values must be a fixed (n_bc,) vector "
-                        "(per-request batched pins cannot be baked into a "
-                        "compiled model).")
-                cnt = np.asarray(gpr.X_cnt)[rows, 0]
-                scl = np.asarray(gpr.X_scl)[rows, 0]
-                v0 = jnp.asarray((values - cnt) / scl)
-                parts.append(_boxls.LinearConstraints(S[rows, :], v0, v0))
+            if bc is not None and np.asarray(bc[1]).ndim != 1:
+                raise ValueError(
+                    "serving bc values must be a fixed (n_bc,) vector "
+                    "(per-request batched pins cannot be baked into a "
+                    "compiled model).")
+            # constraint-space construction shared with GPR.predict
+            # (gpr._state_constraint_parts — the MAP variable is the
+            # normalized coefficient vector v, the physical operator is
+            # Ur diag(Sigma_r))
+            parts = gpr._state_constraint_parts(limits, bc)
             if constraints is not None:
                 cs_user, _ = _boxls.build_constraint_set(constraints, None)
                 parts.append(cs_user)

@@ -1319,6 +1319,8 @@ class StreamingGPR(StreamingROM, GPR):
         read), then the :meth:`GPR.update_basis` bookkeeping (frozen
         parameter stats, re-set training set, optional warm-start
         retrain)."""
+        self._guard_pigpr_retrain(retrain)
+        self._guard_no_orphaned_updates()
         if isinstance(X_new, (np.ndarray, jax.Array)):
             q = 1 if np.ndim(X_new) == 1 else np.shape(X_new)[1]
         else:

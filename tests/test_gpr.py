@@ -121,6 +121,63 @@ class TestGPRSingleTask:
             self.gpr.update(self.d["P_test"][:2], np.asarray(A_new),
                             retrain=True)
 
+    def test_update_after_fixed_noise_retrain_predicts(self):
+        """Assimilating more data onto a fixed-noise-retrained model must
+        keep the installed fixed-noise vector length-consistent with the
+        training set (previously a shape-broadcast crash at predict)."""
+        self.gpr.fit()
+        self.gpr.train(max_iter=30)
+        P1 = np.array([[0.21], [0.43]])
+        A1 = np.asarray(self.gpr.predict(P1)[0])
+        S1 = 0.05 * np.abs(A1) + 1e-3
+        self.gpr.update(P1, A1, S1, retrain=True)   # installs fixed noise
+        P2 = np.array([[0.61]])
+        A2 = np.asarray(self.gpr.predict(P2)[0])
+        self.gpr.update(P2, A2)                     # NO retrain
+        A_pred, A_sig = self.gpr.predict(self.d["P_test"])
+        assert np.all(np.isfinite(np.asarray(A_pred)))
+        # ... and the API-compat views track the swapped likelihood
+        from openmeasure_tpu.gp import kernels as K
+        assert isinstance(self.gpr.likelihoods[0],
+                          K.FixedNoiseGaussianLikelihood)
+
+    def test_update_basis_rejects_orphaned_update_pairs(self):
+        """update_basis cannot rotate targets for update()-assimilated
+        pairs (no raw snapshots) — it must refuse, not silently drop
+        them."""
+        self.gpr.fit(select_modes="number", n_modes=2)
+        self.gpr.train(max_iter=20)
+        P1 = np.array([[0.33]])
+        A1 = np.asarray(self.gpr.predict(P1)[0])
+        self.gpr.update(P1, A1)
+        X_new = np.asarray(self.d["X_train"])[:, :1] * 1.01
+        with pytest.raises(ValueError, match="assimilated via update"):
+            self.gpr.update_basis(X_new, np.array([[0.77]]))
+
+    def test_update_basis_retrain_requires_trained_model(self):
+        self.gpr.fit(select_modes="number", n_modes=2)
+        X_new = np.asarray(self.d["X_train"])[:, :1] * 1.01
+        with pytest.raises(ValueError, match="needs a trained model"):
+            self.gpr.update_basis(X_new, np.array([[0.77]]), retrain=True)
+
+    def test_train_rejects_mismatched_likelihood(self):
+        from openmeasure_tpu.gp import kernels as K
+        self.gpr.fit()
+        with pytest.raises(TypeError, match="GaussianLikelihood"):
+            self.gpr.train(likelihood=K.FixedNoiseGaussianLikelihood())
+
+    def test_fit_deflate_validation(self):
+        from openmeasure_tpu import GPR
+        g = GPR(self.d["X_train"], self.d["n_features"], self.d["xyz"],
+                self.d["P_train"])
+        with pytest.raises(ValueError, match="deflate"):
+            g.fit(select_modes="number", n_modes=1, deflate=True)  # r=1
+        with pytest.raises(ValueError, match="deflate"):
+            g.fit(select_modes="number", n_modes=2, deflate=5)     # k>=r
+        with pytest.raises(ValueError, match="basis"):
+            g.fit(basis=(np.zeros((150, 2)), np.zeros((10, 2))),
+                  deflate=True)
+
     def test_update_retrain_fixed_noise(self):
         # Reference semantics (gpr.py:671-674): retrain swaps in
         # FixedNoiseGaussianLikelihood(Vr_sigma²) where Vr_sigma on the
@@ -266,6 +323,44 @@ class TestPIGPR:
         X_pred = pig.reconstruct(A_pred)
         np.testing.assert_allclose(d["X_test"], np.asarray(X_pred),
                                    rtol=1e-10, atol=1.0)
+
+
+class TestPIGPRRetrainGuards:
+    def _pigpr(self):
+        d = make_rank1()
+        pig = PIGPR(d["X_train"], d["n_features"], d["xyz"], d["P_train"],
+                    np.linspace(0, 1, 5)[:, None],
+                    lambda ctx: -jnp.sum(jnp.maximum(
+                        jnp.abs(ctx["output"].mean) - 1.0, 0.0) ** 2))
+        pig.fit(scaleX_type="none")
+        pig.train(max_iter=20)
+        return pig, d
+
+    def test_update_retrain_rejected(self):
+        """The standard retrain loop would silently drop the added-loss
+        term — every retrain entry point must refuse."""
+        pig, d = self._pigpr()
+        A1, _ = pig.predict(d["P_test"][:1])
+        with pytest.raises(ValueError, match="added-loss"):
+            pig.update(d["P_test"][:1], np.asarray(A1), retrain=True)
+        # non-retrain assimilation stays allowed
+        pig.update(d["P_test"][:1], np.asarray(A1))
+
+    def test_streaming_pigpr_update_basis_retrain_rejected(self):
+        from openmeasure_tpu import StreamingPIGPR
+        from openmeasure_tpu.streaming import ArrayStore
+        d = make_rank1()
+        spig = StreamingPIGPR(
+            ArrayStore(np.asarray(d["X_train"], np.float64)),
+            d["n_features"], d["xyz"], d["P_train"],
+            np.linspace(0, 1, 5)[:, None],
+            lambda ctx: -jnp.sum(ctx["output"].mean ** 2),
+            dtype=np.float64)
+        spig.fit(scaleX_type="none")
+        spig.train(max_iter=10)
+        X_new = np.asarray(d["X_train"])[:, :1] * 1.01
+        with pytest.raises(ValueError, match="added-loss"):
+            spig.update_basis(X_new, d["P_test"][:1], retrain=True)
 
 
 class TestUpdateBookkeeping:
