@@ -38,6 +38,17 @@ Prediction is the standard recursive form:
               + σ_l² (1 − r_lᵀR_l⁻¹r_l + u_lᵀ(F_lᵀR_l⁻¹F_l)⁻¹u_l)
 
 Everything device-side except the tiny hyperparameter search loop.
+
+
+Documented deviation (knob defaults): unset theta search bounds
+default to ``thetaL=1e-6, thetaU=100`` here — a wider box than
+openmdao's MultiFiCoKriging defaults (~1e-5..50).  The optimizer
+already differs by design (vmapped damped Newton vs serial COBYLA),
+and the wider box never *excludes* an openmdao-feasible optimum;
+external ground-truth fixtures (OpenMDAO doctest, analytic Forrester
+rho, nested-design property) pass under these bounds
+(tests/test_multifi.py).  Pass thetaL/thetaU explicitly for
+bit-comparable search boxes.
 """
 
 from __future__ import annotations
@@ -177,7 +188,7 @@ def _multistart_opt_batch(starts: jax.Array, X, F_batch, Y, lo, hi,
         f0 = nll(lt0)
 
         def cond(carry):
-            _, _, _, _, _, done, j = carry
+            _, _, _, _, done, j = carry
             return jnp.logical_and(j < n_steps, jnp.logical_not(done))
 
         def g_with_aux(lt_):
@@ -185,7 +196,7 @@ def _multistart_opt_batch(starts: jax.Array, X, F_batch, Y, lo, hi,
             return g_, (fv_, g_)
 
         def body(carry):
-            lt, lam, f, best_lt, best_f, done, j = carry
+            lt, lam, best_lt, best_f, done, j = carry
             # one forward-over-reverse pass yields (f, g, H) together —
             # jacfwd over the gradient costs the same d forward passes as
             # jax.hessian but the aux returns value+gradient for free,
@@ -207,12 +218,11 @@ def _multistart_opt_batch(starts: jax.Array, X, F_batch, Y, lo, hi,
             best_lt = jnp.where(improved, cand, best_lt)
             best_f = jnp.where(improved, f_new, best_f)
             done = done | (ok & (jnp.abs(f_new - fv) < tol)) | (lam > 1e8)
-            return (lt, lam, jnp.where(ok, f_new, fv), best_lt, best_f,
-                    done, j + 1)
+            return (lt, lam, best_lt, best_f, done, j + 1)
 
-        _, _, _, best_lt, best_f, _, _ = jax.lax.while_loop(
+        _, _, best_lt, best_f, _, _ = jax.lax.while_loop(
             cond, body,
-            (lt0, jnp.asarray(1e-2, lt0.dtype), f0, lt0, f0,
+            (lt0, jnp.asarray(1e-2, lt0.dtype), lt0, f0,
              jnp.asarray(False), jnp.asarray(0, jnp.int32)))
         return best_lt, best_f
 
@@ -264,6 +274,12 @@ def _multistart_opt_batch(starts: jax.Array, X, F_batch, Y, lo, hi,
     per_output = jax.vmap(
         lambda sts, F, y: jax.vmap(lambda s: run_one(s, F, y))(sts))
     best_lts, best_fs = per_output(starts_k, F_batch, Y)  # (K, S, d), (K, S)
+    # A lane whose INITIAL NLL was NaN (failed factorization at its start)
+    # never updates best_f: `f_new < NaN` is always False, so best_f stays
+    # NaN — and jnp.argmin returns the first NaN lane, hijacking the
+    # selection with the UNOPTIMIZED start (the forced θ0 launch slot makes
+    # this reachable whenever θ0 itself fails to factor).  Rank NaN last.
+    best_fs = jnp.where(jnp.isnan(best_fs), jnp.inf, best_fs)
     idx = jnp.argmin(best_fs, axis=1)
     return jnp.take_along_axis(best_lts, idx[:, None, None], axis=1)[:, 0]
 
@@ -327,6 +343,37 @@ def predict_levels_batch(levels, rho_cols_seq, regr, rho_regr,
     return mean, var
 
 
+def predict_levels_mean_batch(levels, rho_cols_seq, regr, rho_regr,
+                              l: int, Xs: jax.Array):
+    """Mean-only twin of :func:`predict_levels_batch`: fitting level
+    ``l+1`` needs only the previous level's posterior MEAN for its F
+    matrix, so this skips the variance branch entirely — no
+    (n_prev, n_l) ``cho_solve`` and no per-output GLS solves at fit
+    time."""
+    lev = levels[l]
+    K = lev["Y"].shape[0]
+    if l == 0:
+        m_prev = jnp.zeros((K, Xs.shape[0]), dtype=Xs.dtype)
+    else:
+        m_prev = predict_levels_mean_batch(levels, rho_cols_seq, regr,
+                                           rho_regr, l - 1, Xs)
+    Fr = _regr(regr, Xs)
+    if l == 0:
+        f_tilde = jnp.broadcast_to(Fr, (K,) + Fr.shape)
+    else:
+        G = _regr(rho_regr, Xs)
+        f_tilde = jnp.concatenate(
+            [G[None] * m_prev[:, :, None],
+             jnp.broadcast_to(Fr, (K,) + Fr.shape)], axis=2)
+
+    def one(theta, beta, gamma, ft):
+        with jax.default_matmul_precision("highest"):
+            r = _corr(theta, Xs, lev["X"])
+            return ft @ beta + r @ gamma
+
+    return jax.vmap(one)(lev["theta"], lev["beta"], lev["gamma"], f_tilde)
+
+
 class BatchedMFK:
     """K independent recursive co-kriging models sharing the SAME input
     sites — the CoKriging workload shape (one model per latent POD
@@ -342,15 +389,42 @@ class BatchedMFK:
                  normalize: bool = True):
         self._proto = MultiFiCoKriging(regr, rho_regr, theta, theta0,
                                        thetaL, thetaU, normalize)
-        self.regr = regr
-        self.rho_regr = rho_regr
-        self.normalize = normalize
+
+    # knob SINGLE SOURCE is the proto — these views keep the reference's
+    # mutable-public-attribute surface without a second copy that fit/
+    # predict/checkpoint could desynchronize
+    @property
+    def regr(self):
+        return self._proto.regr
+
+    @regr.setter
+    def regr(self, v):
+        self._proto.regr = v
+
+    @property
+    def rho_regr(self):
+        return self._proto.rho_regr
+
+    @rho_regr.setter
+    def rho_regr(self, v):
+        self._proto.rho_regr = v
+
+    @property
+    def normalize(self):
+        return self._proto.normalize
+
+    @normalize.setter
+    def normalize(self, v):
+        self._proto.normalize = v
 
     def fit(self, X: Sequence, Y: Sequence, initial_range: float = 0.3,
             tol: float = 1e-6) -> "BatchedMFK":
         """X: level inputs (lowest fidelity first); Y: per-level (K, n_l)
         stacked outputs."""
         p = self._proto
+        # refitting invalidates any _BatchedMFKView predictions cached on
+        # this object (the cache is keyed on X only)
+        self._predict_cache = None
         X = [np.atleast_2d(np.asarray(Xi, dtype=float)) for Xi in X]
         Y = [np.atleast_2d(np.asarray(Yi, dtype=float)) for Yi in Y]
         self.n_levels = len(X)
@@ -390,7 +464,10 @@ class BatchedMFK:
                 F_batch = jnp.broadcast_to(F1, (K,) + F1.shape)
                 rho_cols = 0
             else:
-                m_prev, _ = self._predict_level_batch(l - 1, Xl)  # (K, n_l)
+                rho_seq = tuple(lv["rho_cols"] for lv in self.levels)
+                m_prev = predict_levels_mean_batch(
+                    self.levels, rho_seq, p.regr, p.rho_regr, l - 1,
+                    Xl)                                       # (K, n_l)
                 G = _regr(p.rho_regr, Xl)                    # (n_l, q)
                 Fr = _regr(p.regr, Xl)
                 F_batch = jnp.concatenate(

@@ -427,6 +427,49 @@ class TestBatchedMFK:
             np.testing.assert_allclose(s_b[k], s_i.ravel(), rtol=1e-2,
                                        atol=1e-6 * np.abs(s_i).max())
 
+    def test_nan_theta0_start_does_not_hijack_selection(self):
+        """A theta0 whose correlation matrix fails to factor (NaN NLL at
+        the forced launch slot) must not win the multistart argmin with
+        its unoptimized value — NaN best-NLL lanes rank last."""
+        from openmeasure_tpu.multifi.mfk import BatchedMFK
+        X_lf = np.linspace(0, 1, 11)[:, None]
+        X_hf = np.array([0.0, 0.3, 0.55, 0.8, 1.0])[:, None]
+        Y_lf = forrester_lf(X_lf[:, 0])[None]
+        Y_hf = forrester_hf(X_hf[:, 0])[None]
+        # theta0 at the lower bound: R -> all-ones -> singular -> NaN NLL
+        good = BatchedMFK().fit([X_lf, X_hf], [Y_lf, Y_hf])
+        bad0 = BatchedMFK(theta0=1e-6).fit([X_lf, X_hf], [Y_lf, Y_hf])
+        X_t = np.linspace(0, 1, 31)[:, None]
+        m_good, _ = good.predict(X_t)
+        m_bad0, _ = bad0.predict(X_t)
+        ref = forrester_hf(X_t[:, 0])
+        err_good = np.sqrt(np.mean((m_good[0] - ref) ** 2))
+        err_bad0 = np.sqrt(np.mean((m_bad0[0] - ref) ** 2))
+        assert np.isfinite(err_bad0)
+        # the degenerate start must not degrade the fit materially: the
+        # other (screened) starts still win the argmin
+        assert err_bad0 < 3 * max(err_good, 1e-3), (err_bad0, err_good)
+
+    def test_view_cache_invalidated_on_refit(self):
+        from openmeasure_tpu.multifi.mfk import BatchedMFK, _BatchedMFKView
+        X_lf = np.linspace(0, 1, 11)[:, None]
+        X_hf = np.array([0.0, 0.3, 0.55, 0.8, 1.0])[:, None]
+        Y_lf = forrester_lf(X_lf[:, 0])[None]
+        Y_hf = forrester_hf(X_hf[:, 0])[None]
+        b = BatchedMFK().fit([X_lf, X_hf], [Y_lf, Y_hf])
+        v = _BatchedMFKView(b, 0)
+        X_t = np.linspace(0, 1, 7)[:, None]
+        m1, _ = v.predict(X_t)
+        b.fit([X_lf, X_hf], [Y_lf * 2.0, Y_hf * 2.0])   # refit, new data
+        m2, _ = v.predict(X_t)
+        np.testing.assert_allclose(m2, 2.0 * m1, rtol=1e-3)
+
+    def test_knob_views_single_source(self):
+        from openmeasure_tpu.multifi.mfk import BatchedMFK
+        b = BatchedMFK(regr="constant")
+        b.regr = "linear"
+        assert b._proto.regr == "linear" and b.regr == "linear"
+
     def test_batch_view_api(self):
         from openmeasure_tpu.multifi.mfk import BatchedMFK, _BatchedMFKView
         X_lf = np.linspace(0, 1, 9)[:, None]
