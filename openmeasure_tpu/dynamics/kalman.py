@@ -20,7 +20,6 @@ a K-frame series is ONE device program instead of K solves).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import numpy as np
 import jax
@@ -80,8 +79,7 @@ def estimate_process_noise(A, Ar, floor_rel: float = 1e-8) -> np.ndarray:
         * np.eye(r)
 
 
-def stationary_covariance(A, Q, max_iter: int = 10_000,
-                          tol: float = 1e-12) -> np.ndarray:
+def stationary_covariance(A, Q) -> np.ndarray:
     """Stationary state covariance ``P = A P A^T + Q`` (discrete Lyapunov).
 
     Solved by scipy when the dynamics are stable; an unstable A (spectral
@@ -104,6 +102,10 @@ def stationary_covariance(A, Q, max_iter: int = 10_000,
 # SPD innovation solve stays well-conditioned in fp32
 _GATED_R = 1e12
 
+# relative floor on each measurement's effective variance vs its own
+# predicted innovation variance (see _kf_core) — ~10x fp32 eps
+_R_FLOOR_REL = 1e-6
+
 
 def _kf_core(A, Q, H, a, P, y0, r_diag, gate):
     """One predict + Joseph-form update.  All matmuls HIGHEST (fp32 device:
@@ -125,12 +127,26 @@ def _kf_core(A, Q, H, a, P, y0, r_diag, gate):
                         precision=_HP) + Q
     PHt = jnp.matmul(P_pred, H.T, precision=_HP)               # (r, s)
     innov = y0 - jnp.matmul(H, a_pred, precision=_HP)
-    S_diag = jnp.sum(H * PHt.T, axis=1) + r_diag               # (s,)
+    hpht_diag = jnp.sum(H * PHt.T, axis=1)                     # (s,)
+    S_diag = hpht_diag + r_diag
     rej = jnp.square(innov) > jnp.square(gate) * S_diag
-    r_eff = jnp.where(rej, jnp.full_like(r_diag, _GATED_R), r_diag)
+    # RELATIVE variance floor: with more sensors than modes, H P H^T has
+    # rank <= r < s, so an (near-)exact-measurement R (0, or an absolute
+    # floor below fp32 eps * ||S||) leaves S singular and the fp32 SPD
+    # solve NaN-poisons the whole series.  Flooring at 1e-6 of each
+    # entry's own predicted variance keeps the solve well-posed at every
+    # scale while leaving any realistic R (> 1e-6 relative) bit-unchanged.
+    r_eff = jnp.maximum(r_diag, _R_FLOOR_REL * hpht_diag)
+    r_eff = jnp.where(rej, jnp.full_like(r_diag, _GATED_R), r_eff)
     S = jnp.matmul(H, PHt, precision=_HP) + jnp.diag(r_eff)    # (s, s) SPD
     K = jax.scipy.linalg.solve(S, PHt.T, assume_a="pos").T     # (r, s)
-    a_new = a_pred + jnp.matmul(K, innov, precision=_HP)
+    # a REJECTED entry's innovation is zeroed outright: the gated gain is
+    # ~1e-12 but not exactly 0, and a large finite garbage reading (e.g.
+    # a 1e36 DAQ fill value, which passes upstream isfinite masks) times
+    # a 1e-12 leak still drags or overflows the state — zeroing makes
+    # gating EXACTLY equivalent to a missing reading
+    innov_eff = jnp.where(rej, jnp.zeros_like(innov), innov)
+    a_new = a_pred + jnp.matmul(K, innov_eff, precision=_HP)
     IKH = jnp.eye(a.shape[0], dtype=P.dtype) \
         - jnp.matmul(K, H, precision=_HP)
     P_new = jnp.matmul(jnp.matmul(IKH, P_pred, precision=_HP), IKH.T,
@@ -206,6 +222,10 @@ def kalman_smoother(A, Q, H, a0, P0, Y0, R_diag, gate=None,
     explicit inverse.  Still two device dispatches' worth of work fused in
     one program: no Python loop, no (K, r, r) host round-trips.
     """
+    if Y0.shape[0] == 0:
+        raise ValueError(
+            "kalman_smoother needs at least one frame (K >= 1); an empty "
+            "series has no last filtered state to smooth from.")
     g = jnp.inf if gate is None else gate
     step = functools.partial(_kf_step_full, A, Q, H, g)
     (aK, PK), (A_f, P_f, A_p, P_p, rej) = jax.lax.scan(

@@ -689,6 +689,54 @@ class TestDynamicSensor:
         assert _kf_serve_series._cache_size() > 0
         assert _kf_smooth_series._cache_size() > 0
 
+    def test_more_sensors_than_modes_with_zero_sigma_stays_finite(self):
+        """s > r makes H P H^T rank-deficient; near-zero measurement
+        variances then need the RELATIVE innovation floor or the fp32 SPD
+        solve NaN-poisons the series (review-verified failure)."""
+        from openmeasure_tpu import SPR
+        from openmeasure_tpu.serving import DynamicSensor
+        from openmeasure_tpu.sensing import dg as _dg
+        spr = SPR(self.X_train, 2, np.zeros((75, 3)))
+        spr.fit(select_modes="number", n_modes=4)
+        sel = np.asarray(_dg.dg_select(spr.Ur, 12))     # s=12 > r=4
+        C = np.zeros((12, 150))
+        C[np.arange(12), sel] = 1.0
+        spr.train(C)
+        dyn = DynamicSensor.from_spr(spr)
+        Y = (C @ self.X_test).T[:6]
+        X, A_f, V = dyn.filter_batch(Y, None)           # sigma=None
+        assert np.all(np.isfinite(np.asarray(X)))
+        assert np.all(np.isfinite(np.asarray(V)))
+
+    def test_gated_large_finite_spike_equals_missing(self):
+        """A finite garbage reading (e.g. a 1e36 DAQ fill value, which
+        passes the isfinite mask) that trips the gate must perturb the
+        state EXACTLY like a missing reading — the old ~1e-12 gain leak
+        times 1e36 dragged the state by orders of magnitude."""
+        from openmeasure_tpu.serving import DynamicSensor
+        dyn = DynamicSensor.from_spr(self.spr, gate=4.0)
+        Y_spike = np.asarray(self.Y[:6]).copy()
+        Y_spike[3, 2] = 9.97e36                        # netCDF fill value
+        Xs, As, _ = dyn.filter_batch(Y_spike, self.Y_sigma[:6])
+        assert float(jnp.mean(dyn.last_rejected.astype(jnp.float32))) > 0
+        dyn.reset()
+        Y_miss = np.asarray(self.Y[:6]).copy()
+        Y_miss[3, 2] = np.nan
+        Xm, Am, _ = dyn.filter_batch(Y_miss, self.Y_sigma[:6])
+        np.testing.assert_allclose(np.asarray(As), np.asarray(Am),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(Xs), np.asarray(Xm),
+                                   atol=1e-3)
+
+    def test_smoother_rejects_empty_series(self):
+        from openmeasure_tpu.dynamics.kalman import kalman_smoother
+        r, s = 3, 4
+        A = 0.9 * np.eye(r); Q = 0.01 * np.eye(r)
+        H = np.random.default_rng(0).standard_normal((s, r))
+        with pytest.raises(ValueError, match="at least one frame"):
+            kalman_smoother(A, Q, H, np.zeros(r), np.eye(r),
+                            np.zeros((0, s)), np.zeros((0, s)))
+
     def test_gating_shields_against_stuck_sensor(self):
         from openmeasure_tpu.serving import DynamicSensor
         gated = DynamicSensor.from_spr(self.spr, gate=4.0)
