@@ -84,8 +84,17 @@ def concat_constraints(parts) -> LinearConstraints:
                               (b, jnp.atleast_2d(p.A).shape[0]))
              for p in parts], axis=1)
     else:
-        lo = jnp.concatenate([jnp.atleast_1d(p.lo) for p in parts])
-        hi = jnp.concatenate([jnp.atleast_1d(p.hi) for p in parts])
+        # broadcast scalar / length-1 bounds to each part's row count,
+        # like the batched branch — a mismatch would otherwise surface
+        # only as an opaque broadcast error inside the jitted solver
+        lo = jnp.concatenate(
+            [jnp.broadcast_to(jnp.atleast_1d(p.lo),
+                              (jnp.atleast_2d(p.A).shape[0],))
+             for p in parts])
+        hi = jnp.concatenate(
+            [jnp.broadcast_to(jnp.atleast_1d(p.hi),
+                              (jnp.atleast_2d(p.A).shape[0],))
+             for p in parts])
     return LinearConstraints(A=A, lo=lo, hi=hi)
 
 
@@ -102,19 +111,38 @@ def build_constraint_set(constraints=None, box=None):
     already-computed operator Gram), or ``(None, False)`` when neither
     argument was given.
     """
+    def as_part(c):
+        return c if isinstance(c, LinearConstraints) else \
+            LinearConstraints(*c)
+
     parts = []
     if constraints is not None:
-        if isinstance(constraints, (list, tuple)) and not isinstance(
-                constraints, LinearConstraints):
-            parts.extend(LinearConstraints(*c) for c in constraints)
+        if isinstance(constraints, LinearConstraints):
+            parts.append(constraints)
+        elif isinstance(constraints, (list, tuple)):
+            # disambiguate the documented RAW (A, lo, hi) triple from a
+            # list of constraint sets: a triple's first element is the
+            # 2-D operator itself, a list's elements are sets/tuples
+            # (previously a raw triple was unpacked ROW-WISE as
+            # constructor args — garbage constraints for q == 3, a
+            # confusing TypeError otherwise)
+            if (len(constraints) == 3
+                    and not isinstance(constraints[0],
+                                       (LinearConstraints, list, tuple))
+                    and jnp.ndim(constraints[0]) == 2):
+                parts.append(LinearConstraints(*constraints))
+            else:
+                parts.extend(as_part(c) for c in constraints)
         else:
             parts.append(LinearConstraints(*constraints))
+    n_user = len(parts)
     if box is not None:
         parts.append(LinearConstraints(*box))
     if not parts:
         return None, False
     cs = parts[0] if len(parts) == 1 else concat_constraints(parts)
-    return cs, constraints is None
+    # exactly-the-box also when `constraints` was an EMPTY list
+    return cs, n_user == 0
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter",))
@@ -152,48 +180,77 @@ def admm_box_qp(
         rho = jnp.maximum(rho, jnp.asarray(1e-8, dtype))
 
     rho0 = rho
-    g0 = cho_solve(cho_factor(H + rho * AtA), c)  # ρ-regularized warm start
+    eye_r = jnp.eye(r, dtype=dtype)
+    # eps-level ridge on the g-update factor: when BOTH H and AtA are
+    # rank-deficient (fewer sensors than modes AND a thin constraint set)
+    # H + rho*AtA is singular and cho_factor would silently return NaN —
+    # the 64·eps·(tr/r) shift keeps the factor finite at a perturbation
+    # far below the solver tolerance, and is invisible for any
+    # full-rank combination
+    eps = jnp.finfo(dtype).eps
+    # relative convergence floor: the residuals of an O(scale) problem
+    # stall at rounding level ~eps·scale, which a purely absolute tol
+    # (1e-8 default) never reaches in fp32 — every on-TPU solve would
+    # burn the full max_iter.  tol==0 keeps the exact fixed-budget
+    # semantics (the serving kernels' deterministic-latency contract).
+    eps_rel = 10.0 * eps
+    normA = jnp.sqrt(jnp.trace(AtA))
+
+    def factor(rho):
+        M = H + rho * AtA
+        return cho_factor(M + (64.0 * eps * (jnp.trace(M) / r)) * eye_r)
+
+    g0 = cho_solve(factor(rho), c)                # ρ-regularized warm start
     z0 = jnp.clip(jnp.matmul(A, g0, precision=hp), lo, hi)
     w0 = jnp.zeros_like(z0)
     alpha = jnp.asarray(over_relax, dtype)
 
     def cond(state):
-        _, _, _, _, k, pri, dua = state
-        return jnp.logical_and(k < max_iter,
-                               jnp.logical_or(pri > tol, dua > tol))
+        _, _, _, _, k, _, _, conv = state
+        return jnp.logical_and(k < max_iter, jnp.logical_not(conv))
 
     def body(state):
-        g, z, w, rho, k, _, _ = state
+        g, z, w, rho, k, _, _, _ = state
         # The (r, r) factorization is trivial next to the (n, r) matvecs, so
         # refactorizing every step lets ρ adapt freely.
-        chol = cho_factor(H + rho * AtA)
-        g = cho_solve(chol, c + rho * jnp.matmul(A.T, z - w, precision=hp))
+        g = cho_solve(factor(rho),
+                      c + rho * jnp.matmul(A.T, z - w, precision=hp))
         Ag = jnp.matmul(A, g, precision=hp)
         Ag_relaxed = alpha * Ag + (1.0 - alpha) * z
         z_new = jnp.clip(Ag_relaxed + w, lo, hi)
         w = w + Ag_relaxed - z_new
-        pri = jnp.linalg.norm(Ag - z_new) / jnp.sqrt(jnp.asarray(A.shape[0], dtype))
+        sqrt_n = jnp.sqrt(jnp.asarray(A.shape[0], dtype))
+        sqrt_r = jnp.sqrt(jnp.asarray(r, dtype))
+        pri = jnp.linalg.norm(Ag - z_new) / sqrt_n
         dua = rho * jnp.linalg.norm(
-            jnp.matmul(A.T, z_new - z, precision=hp)) / jnp.sqrt(
-            jnp.asarray(r, dtype))
+            jnp.matmul(A.T, z_new - z, precision=hp)) / sqrt_r
+        z_scale = jnp.linalg.norm(z_new) / sqrt_n
+        has_tol = jnp.asarray(tol, dtype) > 0
+        pri_thr = tol + jnp.where(
+            has_tol,
+            eps_rel * jnp.maximum(jnp.linalg.norm(Ag) / sqrt_n, z_scale),
+            0.0)
+        dua_thr = tol + jnp.where(
+            has_tol, eps_rel * rho * normA * z_scale / sqrt_r, 0.0)
+        conv = jnp.logical_and(pri <= pri_thr, dua <= dua_thr)
         # Residual balancing (Boyd et al. §3.4.1): grow ρ when the primal
         # residual dominates, shrink when the dual does; rescale the scaled
         # dual variable accordingly.  Dramatically tightens box feasibility
         # on ill-scaled problems vs a fixed penalty.
         grow = pri > 10.0 * dua
         shrink = dua > 10.0 * pri
-        factor = jnp.where(grow, 2.0, jnp.where(shrink, 0.5, 1.0))
-        # clamp: with singular H (e.g. fewer sensors than modes) the rho
-        # term alone keeps H + rho*AtA positive definite, so rho must not
-        # shrink to zero (nor blow up) under repeated rebalancing
-        rho_new = jnp.clip(rho * factor, rho0 * 1e-6, rho0 * 1e6)
+        factor_rho = jnp.where(grow, 2.0, jnp.where(shrink, 0.5, 1.0))
+        # clamp: rho must not shrink to zero (nor blow up) under repeated
+        # rebalancing — the factor's conditioning tracks rho
+        rho_new = jnp.clip(rho * factor_rho, rho0 * 1e-6, rho0 * 1e6)
         w = w * (rho / rho_new)
-        return g, z_new, w, rho_new, k + 1, pri, dua
+        return g, z_new, w, rho_new, k + 1, pri, dua, conv
 
     big = jnp.asarray(jnp.inf, dtype)
-    g, z, w, rho, k, pri, dua = jax.lax.while_loop(
+    g, z, w, rho, k, pri, dua, _ = jax.lax.while_loop(
         cond, body, (g0, z0, w0, jnp.asarray(rho, dtype),
-                     jnp.asarray(0, jnp.int32), big, big))
+                     jnp.asarray(0, jnp.int32), big, big,
+                     jnp.asarray(False)))
 
     info = ADMMInfo(iterations=k, primal_residual=pri, dual_residual=dua)
     return g, info

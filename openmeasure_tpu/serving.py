@@ -605,8 +605,7 @@ class GPRSensor:
                 cs_user, _ = _boxls.build_constraint_set(constraints, None)
                 parts.append(cs_user)
             cs = _boxls.concat_constraints(parts)
-            if np.ndim(np.asarray(cs.lo)) == 2 or \
-                    np.ndim(np.asarray(cs.hi)) == 2:
+            if cs.batched:
                 raise ValueError(
                     "per-request batched constraint bounds cannot be baked "
                     "into a serving model; use unbatched bounds.")

@@ -406,6 +406,75 @@ class TestBoxQP:
                                          np.ones((3, 6))),
                 _boxls.LinearConstraints(A2, vals, vals)])
 
+    def test_concat_constraints_unbatched_scalar_bounds_broadcast(self):
+        A1 = RNG.standard_normal((5, 3))
+        A2 = RNG.standard_normal((3, 3))
+        cs = _boxls.concat_constraints([
+            _boxls.LinearConstraints(A1, -1.0, 1.0),     # scalar bounds
+            _boxls.LinearConstraints(A2, -np.ones(3), np.ones(3)),
+        ])
+        assert cs.lo.shape == (8,) and cs.hi.shape == (8,)
+        np.testing.assert_allclose(np.asarray(cs.lo[:5]), -1.0)
+
+    def test_build_constraint_set_raw_triple(self):
+        """The documented raw (A, lo, hi) tuple form — including the
+        ambiguous q == 3 case that previously unpacked A's ROWS as
+        constructor args and built garbage constraints silently."""
+        for q in (3, 5):
+            A = RNG.standard_normal((q, 4))
+            lo, hi = -np.ones(q), np.ones(q)
+            cs, box_only = _boxls.build_constraint_set((A, lo, hi), None)
+            assert cs.A.shape == (q, 4), cs.A.shape
+            np.testing.assert_allclose(np.asarray(cs.A), A)
+            assert not box_only
+        # list-of-sets form still works (3 sets — the other ambiguity arm)
+        sets = [_boxls.LinearConstraints(RNG.standard_normal((2, 4)),
+                                         -np.ones(2), np.ones(2))
+                for _ in range(3)]
+        cs, _ = _boxls.build_constraint_set(sets, None)
+        assert cs.A.shape == (6, 4)
+
+    def test_build_constraint_set_empty_list_is_box_only(self):
+        A = RNG.standard_normal((4, 2))
+        cs, box_only = _boxls.build_constraint_set(
+            [], (A, -np.ones(4), np.ones(4)))
+        assert box_only is True and cs.A.shape == (4, 2)
+
+    def test_admm_singular_hessian_and_thin_constraints_finite(self):
+        """H rank-deficient AND AtA rank-deficient (fewer sensors than
+        modes with a thin pin set): the eps-ridge keeps the factor finite
+        instead of silently returning all-NaN coefficients."""
+        r = 5
+        Theta = RNG.standard_normal((3, r))     # 3 sensors < 5 modes
+        y = RNG.standard_normal(3)
+        w = np.ones(3)
+        A = RNG.standard_normal((2, r))         # 2 pin rows < 5
+        v = A @ RNG.standard_normal(r) * 0.1
+        g, info = _boxls.box_constrained_lstsq(
+            Theta, y, w, A, v, v, max_iter=500)
+        assert np.all(np.isfinite(np.asarray(g)))
+        np.testing.assert_allclose(np.asarray(A @ g), np.asarray(v),
+                                   atol=1e-4)
+
+    def test_admm_fp32_relative_tolerance_converges(self):
+        """An O(1) fp32 problem with an active box must converge in far
+        fewer than max_iter iterations (the absolute 1e-9 tol alone is
+        below fp32 resolution and previously burned the full budget);
+        tol=0 must still run the exact fixed budget (serving contract)."""
+        r = 6
+        Theta = RNG.standard_normal((8, r)).astype(np.float32)
+        y = (Theta @ RNG.standard_normal(r) + 2.0).astype(np.float32)
+        w = np.ones(8, np.float32)
+        A = np.eye(r, dtype=np.float32)
+        lo, hi = -0.5 * np.ones(r, np.float32), 0.5 * np.ones(r, np.float32)
+        g, info = _boxls.box_constrained_lstsq(
+            Theta, y, w, A, lo, hi, max_iter=4000, tol=1e-9)
+        assert np.all(np.abs(np.asarray(g)) <= 0.5 + 1e-5)
+        assert int(info.iterations) < 2000, int(info.iterations)
+        _, info0 = _boxls.box_constrained_lstsq(
+            Theta, y, w, A, lo, hi, max_iter=300, tol=0.0)
+        assert int(info0.iterations) == 300
+
 
 class TestPodFit:
     def test_pod_fit_matches_rom_fit(self):
