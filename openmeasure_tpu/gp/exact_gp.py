@@ -18,9 +18,9 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from .kernels import (GaussianLikelihood, FixedNoiseGaussianLikelihood,
-                      MultitaskGaussianLikelihood)
-from ..linalg.chol_pallas import chol_inv_logdet, kernel_path_wanted
+from .kernels import MultitaskGaussianLikelihood
+from ..linalg.chol_pallas import (chol_inv_logdet, chol_fits_vmem,
+                                  kernel_path_wanted)
 
 
 def _jitter(dtype) -> float:
@@ -34,6 +34,41 @@ def _chol_with_jitter(K: jax.Array) -> jax.Array:
         K + _jitter(K.dtype) * jnp.eye(n, dtype=K.dtype))
 
 
+def _use_kernel_path(n: int, dtype) -> bool:
+    """Gate for the Pallas explicit-inverse formulation: backend/dtype
+    want it AND the batched kernel actually accepts size n — otherwise
+    the auto dispatcher would fall back to forming the full inverse via
+    an n-RHS cho_solve where the plain single-RHS branch is strictly
+    cheaper and better conditioned."""
+    return kernel_path_wanted(dtype) and chol_fits_vmem(1, n)
+
+
+def _lp_alpha_kinv(Kn: jax.Array, resid: jax.Array, need_kinv: bool):
+    """Jittered Gaussian log-prob core — SINGLE SOURCE for the
+    Pallas-inverse/cho_solve branch pair (previously triplicated across
+    gp_log_prob / gp_posterior / the closed-form oracle).  Returns
+    ``(lp, alpha, Kinv)`` with ``Kinv`` None when ``need_kinv`` is False
+    on the cho_solve path."""
+    n = Kn.shape[0]
+    eye = jnp.eye(n, dtype=Kn.dtype)
+    Kj = Kn + _jitter(Kn.dtype) * eye
+    hp = jax.lax.Precision.HIGHEST
+    if _use_kernel_path(n, Kn.dtype):
+        Kinv, logdet = chol_inv_logdet(Kj)
+        alpha = jnp.matmul(Kinv, resid, precision=hp)
+        lp = (-0.5 * resid @ alpha - 0.5 * logdet
+              - 0.5 * n * jnp.log(2.0 * jnp.pi))
+        return lp, alpha, Kinv
+    L = jnp.linalg.cholesky(Kj)
+    alpha = jax.scipy.linalg.cho_solve((L, True), resid)
+    lp = (-0.5 * resid @ alpha
+          - jnp.sum(jnp.log(jnp.diagonal(L)))
+          - 0.5 * n * jnp.log(2.0 * jnp.pi))
+    Kinv = jax.scipy.linalg.cho_solve((L, True), eye) if need_kinv \
+        else None
+    return lp, alpha, Kinv
+
+
 def gp_log_prob(mean_spec, kernel_spec, params: Dict, noise: jax.Array,
                 X: jax.Array, y: jax.Array) -> jax.Array:
     """log N(y | μ(X), K(X,X) + diag(noise)).  ``noise`` is a scalar or a
@@ -44,26 +79,16 @@ def gp_log_prob(mean_spec, kernel_spec, params: Dict, noise: jax.Array,
         K = K + jnp.eye(n, dtype=K.dtype) * noise
         mu = mean_spec(params["mean"], X)
         resid = y - mu
-        if kernel_path_wanted(K.dtype):
-            # Pallas batched inverse (chol_pallas.py): PIGPR's added-loss
-            # iteration autodiffs through this log-prob every step — the
-            # kernel's analytic JVP (dK⁻¹ = −K⁻¹ dK K⁻¹) replaces autodiff
-            # through XLA's While-loop cholesky.  Measured on the PIGPR
-            # loss+grad step (14 modes, p=41, 9 constraint pts, v5e,
-            # slope-timed): 111.2 → 27.4 µs (4.1×), loss agreement 2e-6
-            # (A/B via OMTPU_NO_CHOL_KERNEL=1).  CPU/f64 bit-identical
-            # via the fallback below.
-            Kinv, logdet = chol_inv_logdet(
-                K + _jitter(K.dtype) * jnp.eye(n, dtype=K.dtype))
-            alpha = jnp.matmul(Kinv, resid,
-                               precision=jax.lax.Precision.HIGHEST)
-            return (-0.5 * resid @ alpha - 0.5 * logdet
-                    - 0.5 * n * jnp.log(2.0 * jnp.pi))
-        L = _chol_with_jitter(K)
-        alpha = jax.scipy.linalg.cho_solve((L, True), resid)
-        return (-0.5 * resid @ alpha
-                - jnp.sum(jnp.log(jnp.diagonal(L)))
-                - 0.5 * n * jnp.log(2.0 * jnp.pi))
+        # Pallas batched inverse on the TPU path (chol_pallas.py): PIGPR's
+        # added-loss iteration autodiffs through this log-prob every step
+        # — the kernel's analytic JVP (dK⁻¹ = −K⁻¹ dK K⁻¹) replaces
+        # autodiff through XLA's While-loop cholesky.  Measured on the
+        # PIGPR loss+grad step (14 modes, p=41, 9 constraint pts, v5e,
+        # slope-timed): 111.2 → 27.4 µs (4.1×), loss agreement 2e-6
+        # (A/B via OMTPU_NO_CHOL_KERNEL=1).  CPU/f64 bit-identical via
+        # the cho_solve branch.
+        lp, _, _ = _lp_alpha_kinv(K, resid, need_kinv=False)
+        return lp
 
 
 def gp_posterior(mean_spec, kernel_spec, params: Dict, noise: jax.Array,
@@ -79,12 +104,18 @@ def gp_posterior(mean_spec, kernel_spec, params: Dict, noise: jax.Array,
     the test points (defaults to the training noise)."""
     with jax.default_matmul_precision("highest"):
         n = X.shape[0]
-        K = kernel_spec(params["kernel"], X, X) + jnp.eye(n) * noise
+        Kxx = kernel_spec(params["kernel"], X, X)
+        K = Kxx + jnp.eye(n, dtype=Kxx.dtype) * noise
         Ks = kernel_spec(params["kernel"], Xs, X)              # (s, n)
-        kss = jnp.diagonal(kernel_spec(params["kernel"], Xs, Xs))
+        # prior variance at each test point WITHOUT the (s, s) kernel
+        # matrix — the full Gram was materialized only for its diagonal
+        # (quadratic memory at large prediction grids)
+        kss = jax.vmap(
+            lambda x: kernel_spec(params["kernel"], x[None, :],
+                                  x[None, :])[0, 0])(Xs)
         mu = mean_spec(params["mean"], X)
         mus = mean_spec(params["mean"], Xs)
-        if kernel_path_wanted(K.dtype):
+        if _use_kernel_path(n, K.dtype):
             # Same Pallas inverse as gp_log_prob; var via Ks K⁻¹ Ksᵀ diag
             # (vs L⁻¹Ksᵀ columns) — f32 round-off only, guarded at 0.
             Kinv, _ = chol_inv_logdet(
@@ -102,7 +133,15 @@ def gp_posterior(mean_spec, kernel_spec, params: Dict, noise: jax.Array,
             v = jax.scipy.linalg.solve_triangular(L, Ks.T, lower=True)
             var_s = jnp.maximum(kss - jnp.sum(v * v, axis=0), 0.0)
         if include_noise:
-            var_s = var_s + (noise if pred_noise is None else pred_noise)
+            if pred_noise is None:
+                # a PER-TRAINING-POINT noise vector (FixedNoise path) has
+                # no alignment with the test points — adding it raw would
+                # broadcast-crash (s != n) or silently misalign (s == n);
+                # default to its mean, the convention the GPR predict
+                # paths use
+                pred_noise = jnp.mean(noise) if jnp.ndim(noise) > 0 \
+                    else noise
+            var_s = var_s + pred_noise
         return mean_s, var_s
 
 
@@ -110,9 +149,18 @@ def gp_prior_stddev(mean_spec, kernel_spec, params: Dict, X: jax.Array
                     ) -> jax.Array:
     """Prior stddev at X — what the reference records as Vr_sigma: the
     train-mode ``output.stddev`` is the *prior* stddev at the training
-    points (``gpr.py:249``)."""
-    return jnp.sqrt(jnp.maximum(
-        jnp.diagonal(kernel_spec(params["kernel"], X, X)), 0.0))
+    points (``gpr.py:249``).
+
+    Documented deviation: the reference captures ``output.stddev`` from
+    the last training-mode forward — i.e. at the hyperparameters BEFORE
+    the final optimizer step — while every caller here evaluates at the
+    post-final-step trained params.  At the |Δloss| < rel_error stopping
+    point the difference is one Adam step of the kernel hyperparameters;
+    the trained-parameter value is the self-consistent one (it is what a
+    fixed-noise retrain actually observes)."""
+    return jnp.sqrt(jnp.maximum(jax.vmap(
+        lambda x: kernel_spec(params["kernel"], x[None, :],
+                              x[None, :])[0, 0])(X), 0.0))
 
 
 class TrainResult(NamedTuple):
@@ -385,25 +433,13 @@ class _ClosedFormCore:
         Kn = Km + eye * noise                           # scalar or diag vec
         mu = self.mean_spec(params["mean"], X)
         resid = y - mu
-        if kernel_path_wanted(Kn.dtype):
-            # Pallas batched inverse (one kernel for the whole mode batch
-            # via the custom_vmap rule): 9.7 µs vs 107 µs for the XLA
-            # cholesky+cho_solve at the (14, 41, 41) bench shape — see
-            # linalg/chol_pallas.py for the measured variant log.  CPU/f64
-            # callers keep the cho_solve path below bit-identical.
-            Kinv, logdet = chol_inv_logdet(
-                Kn + _jitter(Kn.dtype) * eye)
-            alpha = jnp.matmul(Kinv, resid,
-                               precision=jax.lax.Precision.HIGHEST)
-            lp = (-0.5 * resid @ alpha - 0.5 * logdet
-                  - 0.5 * p * jnp.log(2.0 * jnp.pi))
-        else:
-            L = _chol_with_jitter(Kn)
-            alpha = jax.scipy.linalg.cho_solve((L, True), resid)
-            lp = (-0.5 * resid @ alpha
-                  - jnp.sum(jnp.log(jnp.diagonal(L)))
-                  - 0.5 * p * jnp.log(2.0 * jnp.pi))
-            Kinv = jax.scipy.linalg.cho_solve((L, True), eye)
+        # Pallas batched inverse on TPU (one kernel for the whole mode
+        # batch via the custom_vmap rule): 9.7 µs vs 107 µs for the XLA
+        # cholesky+cho_solve at the (14, 41, 41) bench shape — see
+        # linalg/chol_pallas.py for the measured variant log.  CPU/f64
+        # callers keep the cho_solve path bit-identical.  The oracle
+        # needs K⁻¹ either way (the ∂lp/∂K trace terms below).
+        lp, alpha, Kinv = _lp_alpha_kinv(Kn, resid, need_kinv=True)
         M = jnp.outer(alpha, alpha) - Kinv              # ∂lp/∂K = ½M
 
         sgp = (s * gp) if self.scaled else gp

@@ -45,7 +45,12 @@ Documented deviations (SURVEY §4 convention):
   branch is gated on ``gpr_type == 'MultiTask'`` only,
   ``gpr.py:569-580``) — silently dropping a physical constraint the
   caller asked for is treated as an error surface, not a behavior to
-  preserve.
+  preserve;
+* ``Vr_sigma`` is evaluated at the POST-final-step trained
+  hyperparameters; the reference reads the last training-mode
+  ``output.stddev``, i.e. the params one Adam step EARLIER
+  (``gpr.py:249`` there) — see
+  :func:`openmeasure_tpu.gp.exact_gp.gp_prior_stddev` for the rationale.
 """
 
 from __future__ import annotations
