@@ -37,6 +37,13 @@ def _spec_to_json(spec) -> Optional[Dict]:
     if spec is None:
         return None
     fields = {}
+    name = type(spec).__name__
+    if name not in _SPEC_CLASSES:
+        raise ValueError(
+            f"cannot checkpoint unregistered spec class {name!r} — "
+            "register it in openmeasure_tpu.utils.checkpoint._SPEC_CLASSES "
+            "so load_model can rebuild it (failing at save beats a "
+            "KeyError after the training investment).")
     for f in dataclasses.fields(spec):
         v = getattr(spec, f.name)
         if dataclasses.is_dataclass(v):
@@ -61,6 +68,12 @@ def _spec_from_json(d: Optional[Dict]):
 
 def _flatten_tree(tree, prefix, out):
     if isinstance(tree, dict):
+        if not tree:
+            # an EMPTY params subtree (e.g. ZeroMean.init_params() == {})
+            # must survive the round trip — dropping it loses the 'mean'
+            # key and predict crashes after reload
+            out[f"{prefix}/__empty__"] = np.zeros(0, dtype=np.uint8)
+            return
         for k, v in tree.items():
             _flatten_tree(v, f"{prefix}/{k}", out)
     else:
@@ -77,6 +90,9 @@ def _unflatten_tree(arrays: Dict[str, np.ndarray], prefix: str):
         d = tree
         for p in parts[:-1]:
             d = d.setdefault(p, {})
+        if parts[-1] == "__empty__":
+            continue                     # marker: the walk above already
+                                         # materialized the empty dict
         d[parts[-1]] = v
     return tree
 
@@ -88,7 +104,7 @@ _ARRAY_ATTRS = [
 _META_ATTRS = ["r", "n_features", "n_points", "scale_type", "method",
                "solver", "gpr_type", "d", "max_iter", "rel_error", "lr",
                "scaleX_type", "scaleP_type", "admm_max_iter", "admm_tol",
-               "admm_over_relax"]
+               "admm_over_relax", "verbose"]
 
 
 def save_model(obj, path: str, include_data: bool = False,
@@ -112,6 +128,10 @@ def save_model(obj, path: str, include_data: bool = False,
     for a in _ARRAY_ATTRS:
         if hasattr(obj, a) and getattr(obj, a) is not None:
             arrays[f"attr/{a}"] = np.asarray(getattr(obj, a))
+    if "attr/X_cnt" not in arrays:
+        raise ValueError(
+            f"{type(obj).__name__} must be fit() before saving "
+            "(no fitted state to serialize).")
     for a in _META_ATTRS:
         if hasattr(obj, a):
             meta[a] = getattr(obj, a)
@@ -182,7 +202,10 @@ def _write_arrays(arrays: Dict[str, np.ndarray], meta: Dict[str, Any],
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
     if backend == "npz":
-        np.savez_compressed(path, **arrays)
+        # through a file OBJECT so numpy does not append '.npz' to
+        # suffixless paths (save/load with the same string must work)
+        with open(path, "wb") as f:
+            np.savez_compressed(f, **arrays)
     elif backend == "orbax":
         import os
         import orbax.checkpoint as ocp
@@ -327,9 +350,10 @@ def load_model(path: str):
         if a in meta:
             setattr(obj, a, meta[a])
 
+    spr_like = cls_name in ("SPR", "StreamingSPR")
     if "limits/lo" in arrays:
         obj.limits = [arrays["limits/lo"], arrays["limits/hi"]]
-    elif cls_name == "SPR":
+    elif spr_like:
         obj.limits = None
     if "constraints/A" in arrays:
         from ..linalg.boxls import LinearConstraints
@@ -337,14 +361,17 @@ def load_model(path: str):
             jnp.asarray(arrays["constraints/A"]),
             jnp.asarray(arrays["constraints/lo"]),
             jnp.asarray(arrays["constraints/hi"]))
-    elif cls_name == "SPR":
+    elif spr_like:
         obj.constraints = None
-    if cls_name == "SPR" and not hasattr(obj, "verbose"):
-        obj.verbose = False
-        obj.admm_max_iter = 4000
-        obj.admm_tol = 1e-9
-    if cls_name == "SPR" and not hasattr(obj, "admm_over_relax"):
-        obj.admm_over_relax = 1.6   # checkpoints from before the knob
+    # per-attribute back-compat defaults: the old all-or-nothing guard
+    # keyed on hasattr(verbose) clobbered restored admm knobs (verbose
+    # was never serialized) and skipped StreamingSPR checkpoints entirely
+    if spr_like:
+        for attr, default in (("verbose", False), ("admm_max_iter", 4000),
+                              ("admm_tol", 1e-9),
+                              ("admm_over_relax", 1.6)):
+            if not hasattr(obj, attr):
+                setattr(obj, attr, default)
 
     if "C_sparse_shape" in meta:
         import scipy.sparse as sp
@@ -360,6 +387,14 @@ def load_model(path: str):
             shape=tuple(meta["C_bcoo_shape"]))
     elif "attr/C" in arrays:
         obj.C = jnp.asarray(arrays["attr/C"])
+    if spr_like and getattr(obj, "C", None) is not None and \
+            getattr(obj, "Theta", None) is not None:
+        # rebuild the train-time measurement-center cache (spr.py trains
+        # it; a reloaded CTC-scale sparse C would otherwise pay one full
+        # SpMV per predict forever)
+        from ..rom.rom import apply_sampling
+        obj._cnt_vector_cache = np.asarray(
+            apply_sampling(obj.C, np.asarray(obj.X_cnt)[:, 0]))
 
     if cls_name == "ShallowDecoder":
         import jax.numpy as jnp

@@ -83,6 +83,114 @@ class TestCheckpoint:
         assert sp.issparse(spr2.C)
         np.testing.assert_array_equal(spr2.C.toarray(), C.toarray())
 
+    def test_spr_solver_knobs_roundtrip(self, tmp_path):
+        """Tuned admm_max_iter/admm_tol must survive the round trip (the
+        old back-compat guard clobbered them to defaults on every load)."""
+        import numpy as np
+        from openmeasure_tpu import SPR
+        from openmeasure_tpu.utils.checkpoint import save_model, load_model
+        rng = np.random.default_rng(0)
+        X = rng.random((30, 6))
+        spr = SPR(X, 2, rng.random((15, 3)))
+        spr.fit(select_modes="number", n_modes=3)
+        C = np.asarray(spr.optimal_placement())
+        spr.train(C, method="COLS", limits=[[0.0, 0.0], [1.0, 1.0]],
+                  admm_max_iter=123, admm_tol=1e-4)
+        p = str(tmp_path / "knobs.npz")
+        save_model(spr, p)
+        loaded = load_model(p)
+        assert loaded.admm_max_iter == 123
+        assert loaded.admm_tol == 1e-4
+
+    def test_streaming_spr_constraints_roundtrip(self, tmp_path):
+        """StreamingSPR checkpoints map onto SPR at load — the SPR-only
+        attribute fixups must apply to them too (previously
+        AttributeError: 'limits' at the first predict)."""
+        import numpy as np
+        from openmeasure_tpu import StreamingSPR
+        from openmeasure_tpu.streaming import ArrayStore
+        from openmeasure_tpu.utils.checkpoint import save_model, load_model
+        rng = np.random.default_rng(1)
+        X = rng.random((30, 6)) + 0.5
+        spr = StreamingSPR(ArrayStore(X), 2, rng.random((15, 3)),
+                           dtype=np.float64)
+        spr.fit(select_modes="number", n_modes=3)
+        C = np.asarray(spr.optimal_placement())
+        spr.train(C)
+        p = str(tmp_path / "sspr.npz")
+        save_model(spr, p)
+        loaded = load_model(p)
+        rows = np.argmax(C, axis=1)
+        y = np.zeros((3, 3))
+        y[:, 0] = X[rows, 1]
+        a, _ = loaded.predict(y)        # needs limits/constraints defaults
+        assert np.all(np.isfinite(np.asarray(a)))
+
+    def test_zero_mean_gpr_roundtrip(self, tmp_path):
+        """An empty params subtree (ZeroMean) must survive flatten/
+        unflatten — dropping it loses the 'mean' key and predict crashes."""
+        import numpy as np
+        from openmeasure_tpu import GPR
+        from openmeasure_tpu.gp import kernels as K
+        from openmeasure_tpu.utils.checkpoint import save_model, load_model
+        rng = np.random.default_rng(2)
+        X = rng.random((20, 8))
+        P = np.linspace(0, 1, 8)[:, None]
+        g = GPR(X, 2, rng.random((10, 3)), P)
+        g.fit(select_modes="number", n_modes=2)
+        g.train(mean=K.ZeroMean(), max_iter=10)
+        p = str(tmp_path / "zm.npz")
+        save_model(g, p)
+        loaded = load_model(p)
+        A, _ = loaded.predict(np.array([[0.35]]))
+        assert np.all(np.isfinite(np.asarray(A)))
+
+    def test_suffixless_path_roundtrip(self, tmp_path):
+        import numpy as np
+        from openmeasure_tpu import ROM
+        from openmeasure_tpu.utils.checkpoint import save_model, load_model
+        rng = np.random.default_rng(3)
+        rom = ROM(rng.random((20, 5)), 2, None)
+        rom.fit(select_modes="number", n_modes=2)
+        p = str(tmp_path / "model_no_ext")     # no .npz
+        save_model(rom, p)
+        loaded = load_model(p)                 # same string must work
+        assert loaded.r == 2
+
+    def test_unfitted_save_raises(self):
+        import numpy as np
+        import pytest as _pt
+        from openmeasure_tpu import ROM
+        from openmeasure_tpu.utils.checkpoint import save_model
+        rom = ROM(np.random.default_rng(0).random((20, 5)), 2, None)
+        with _pt.raises(ValueError, match="fit"):
+            save_model(rom, "/tmp/never_written.npz")
+
+    def test_unregistered_spec_raises_at_save(self, tmp_path):
+        import dataclasses
+        import numpy as np
+        import pytest as _pt
+        import jax.numpy as jnp
+        from openmeasure_tpu import GPR
+        from openmeasure_tpu.gp import kernels as K
+        from openmeasure_tpu.utils.checkpoint import save_model
+
+        @dataclasses.dataclass(frozen=True)
+        class MyMean:
+            def init_params(self, d):
+                return {"constant": jnp.zeros(())}
+
+            def __call__(self, params, X):
+                return jnp.broadcast_to(params["constant"], (X.shape[0],))
+
+        rng = np.random.default_rng(4)
+        g = GPR(rng.random((20, 8)), 2, rng.random((10, 3)),
+                np.linspace(0, 1, 8)[:, None])
+        g.fit(select_modes="number", n_modes=2)
+        g.train(mean=MyMean(), max_iter=5)
+        with _pt.raises(ValueError, match="unregistered spec"):
+            save_model(g, str(tmp_path / "custom.npz"))
+
     def test_gpr_roundtrip(self, tmp_path):
         P = np.linspace(0, 1, 6)[:, None]
         gpr = GPR(self.X, 2, self.xyz, P)
