@@ -102,9 +102,12 @@ class ROM:
             _as_device(self.X), self.n_features, scale_type, axis_cnt)
         self.X_cnt = X_cnt
         self.X_scl = X_scl
-        # new statistics invalidate SPR's cached C @ X_cnt (a refit after
-        # train() must not mix old centering with new scaling)
+        # new statistics invalidate SPR's cached C @ X_cnt and host scale
+        # copy (a refit after train() must not mix old centering with new
+        # scaling), and any cached COLS constraint set built on them
         self._cnt_vector_cache = None
+        self._scl_vector_cache = None
+        self._cols_cache = None
         return X0
 
     def scale_limits(self, limits: Sequence):

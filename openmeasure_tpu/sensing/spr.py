@@ -63,11 +63,20 @@ class SPR(ROM):
         cnt_vector = getattr(self, "_cnt_vector_cache", None)
         if cnt_vector is None:
             cnt_vector = np.asarray(apply_sampling(self.C, self.X_cnt[:, 0]))
-        scl_full = np.asarray(self.X_scl[:, 0])
+            self._cnt_vector_cache = cnt_vector     # re-cache (one SpMV)
+        scl_full = getattr(self, "_scl_vector_cache", None)
+        if scl_full is None:
+            # host copy cached: a per-call device readback costs a full
+            # tunnel round-trip (~27-55 ms) per measurement vector
+            scl_full = np.asarray(self.X_scl[:, 0])
+            self._scl_vector_cache = scl_full
         vals, scl_vector = _scale_measurement_values(
             y, cnt_vector, scl_full, self.n_points)
 
-        y0 = np.zeros((y.shape[0], 2), dtype=scl_full.dtype)
+        # float64: the host-f64 pinv solve downstream exists to avoid fp32
+        # error — truncating the scaled values to the device storage dtype
+        # here would round its RHS before it runs
+        y0 = np.zeros((y.shape[0], 2), dtype=np.float64)
         y0[:, 0] = vals
         y0[:, 1] = y[:, 1] / scl_vector
 
@@ -114,7 +123,7 @@ class SPR(ROM):
             C = _qrcp.pivots_to_onehot(pivots, n).astype(self.Ur.dtype)
         elif calc_type == "gem":
             P = self.gem(self.Ur, n_sensors, mask, d_min, verbose)
-            C = np.zeros((P.size, n), dtype=np.asarray(self.Ur).dtype)
+            C = np.zeros((P.size, n), dtype=np.dtype(self.Ur.dtype))
             C[np.arange(P.size), P] = 1.0
             C = jnp.asarray(C)
         elif calc_type == "dg":
@@ -128,7 +137,7 @@ class SPR(ROM):
                 keep = jnp.asarray(np.asarray(mask, dtype=bool))
                 self.Ur = jnp.where(keep[:, None], self.Ur, 0.0)
             P = dg_select(self.Ur, n_sensors, mask)
-            C = np.zeros((P.size, n), dtype=np.asarray(self.Ur).dtype)
+            C = np.zeros((P.size, n), dtype=np.dtype(self.Ur.dtype))
             C[np.arange(P.size), P] = 1.0
             C = jnp.asarray(C)
         elif calc_type == "vdg":
@@ -143,7 +152,7 @@ class SPR(ROM):
                                  xyz=self.xyz, d_min=d_min)
             self.sensor_points = P
             C = vector_onehot(P, self.n_features, self.n_points,
-                              dtype=np.asarray(self.Ur).dtype)
+                              dtype=np.dtype(self.Ur.dtype))
         else:
             raise NotImplementedError(
                 "The sensor selection method has not been implemented yet")
@@ -185,6 +194,11 @@ class SPR(ROM):
                 apply_sampling(C, self.X_cnt[:, 0]))
         else:
             Theta = _as_device(C)
+            # a PREVIOUS train(C) must not survive: update_basis would
+            # silently rebuild Theta from the old operator, and
+            # scale_vector would center this Theta's measurements with
+            # the old C's sensors
+            self.C = None
             self._cnt_vector_cache = None
 
         if Theta.shape[1] != self.Ur.shape[1]:
@@ -192,6 +206,8 @@ class SPR(ROM):
                              " the number of columns of Ur.")
 
         self.Theta = Theta
+        self._needs_retrain = False
+        self._cols_cache = None
         self.limits = limits
         self.method = method
         self.solver = solver
@@ -201,11 +217,13 @@ class SPR(ROM):
         self.admm_over_relax = admm_over_relax
 
         if cond:
-            if Theta.shape[0] == Theta.shape[1]:
-                S_theta = jnp.linalg.svd(Theta, compute_uv=False)
-            else:
-                S_theta = jnp.linalg.svd(jnp.linalg.pinv(Theta),
-                                         compute_uv=False)
+            # host f64 SVD of Theta directly: cond(pinv(Theta)) ==
+            # cond(Theta), and the reference's pinv detour
+            # (sparse_sensing.py:813-820) run on-device would bury the
+            # smallest singular value under TPU bf16/fp32 noise for
+            # exactly the ill-conditioned placements users check k on
+            S_theta = np.linalg.svd(np.asarray(Theta, dtype=np.float64),
+                                    compute_uv=False)
             self.k = float(S_theta[0] / S_theta[-1])
 
     def update_basis(self, X_new, select_modes: str = "number",
@@ -222,10 +240,12 @@ class SPR(ROM):
 
     def _refresh_theta_after_update(self):
         if getattr(self, "Theta", None) is not None:
+            self._cols_cache = None      # box part was built on old Ur
             if getattr(self, "C", None) is not None:
                 self.Theta = apply_sampling(self.C, self.Ur)
             else:
-                del self.Theta   # is_Theta path: predict re-raises "train"
+                del self.Theta           # is_Theta path: must re-train
+                self._needs_retrain = True
 
     def fit_predict(self, C, y, scale_type: str = "std",
                     select_modes: str = "variance", n_modes=99, **train_kw):
@@ -250,6 +270,11 @@ class SPR(ROM):
         COLS: box-constrained LS via ADMM with the physical `limits` given to
         :meth:`train`."""
         if not hasattr(self, "Theta"):
+            if getattr(self, "_needs_retrain", False):
+                raise AttributeError(
+                    "update_basis invalidated the trained sensor (an "
+                    "is_Theta=True Theta encodes the OLD basis) — call "
+                    "train() again; the fitted basis is intact.")
             raise AttributeError("The function fit has to be called "
                                  "before calling predict.")
         if isinstance(y, (np.ndarray, jax.Array)):
@@ -295,7 +320,7 @@ class SPR(ROM):
         ar_np = np.einsum("vrs,vs->vr", pinvs, w_np * y0_np[:, :, 0])
         sig_prop = np.abs(np.einsum("vrs,vs->vr", pinvs, sig_np))
         ar_sigma_np = np.where(has_sigma[:, None], sig_prop, 0.0)
-        dtype = np.asarray(Theta).dtype
+        dtype = np.dtype(Theta.dtype)
         Ar_ols = jnp.asarray(ar_np.astype(dtype))
         Ar_sigma = jnp.asarray(ar_sigma_np.astype(dtype))
         w = jnp.asarray(w_np.astype(dtype))
@@ -306,24 +331,34 @@ class SPR(ROM):
 
         elif self.method == "COLS":
             hp = jax.lax.Precision.HIGHEST
-            # `limits` and `constraints` COMPOSE (single shared contract:
-            # linalg.boxls.build_constraint_set, as in ROM.CPOD).
-            box = None
-            if self.limits is not None:
-                lo_b, hi_b = self.scale_limits(self.limits)
-                box = (self.Ur, lo_b, hi_b)
-            cs, _ = _boxls.build_constraint_set(
-                getattr(self, "constraints", None), box)
-            if cs is None:
-                raise ValueError(
-                    "method='COLS' requires physical `limits` (or a "
-                    "`constraints` set) passed to train(C, ...).")
-            A_c = _as_device(cs.A)
-            lo, hi = _as_device(cs.lo), _as_device(cs.hi)
-            # One cheap panel pass for the exact Gram: Ur^T Ur == I only for
-            # an unmasked POD basis (optimal_placement(mask=...) zeroes rows
-            # destructively, reference sparse_sensing.py:737-738).
-            AtA = jnp.matmul(A_c.T, A_c, precision=hp)
+            cache = getattr(self, "_cols_cache", None)
+            if cache is None:
+                # built ONCE per train/update (limits/constraints/Ur and
+                # the scaling stats are train-time constants — rebuilding
+                # the stacked set and the O(n r^2) operator Gram on every
+                # predict would dominate streaming-predict latency)
+                # `limits` and `constraints` COMPOSE (single shared
+                # contract: linalg.boxls.build_constraint_set, as in
+                # ROM.CPOD).
+                box = None
+                if self.limits is not None:
+                    lo_b, hi_b = self.scale_limits(self.limits)
+                    box = (self.Ur, lo_b, hi_b)
+                cs, _ = _boxls.build_constraint_set(
+                    getattr(self, "constraints", None), box)
+                if cs is None:
+                    raise ValueError(
+                        "method='COLS' requires physical `limits` (or a "
+                        "`constraints` set) passed to train(C, ...).")
+                A_c = _as_device(cs.A)
+                lo, hi = _as_device(cs.lo), _as_device(cs.hi)
+                # One cheap panel pass for the exact Gram: Ur^T Ur == I
+                # only for an unmasked POD basis (optimal_placement(mask=)
+                # zeroes rows destructively, sparse_sensing.py:737-738).
+                AtA = jnp.matmul(A_c.T, A_c, precision=hp)
+                self._cols_cache = (A_c, lo, hi, AtA)
+            else:
+                A_c, lo, hi, AtA = cache
 
             def cols_one(w_i, y_i, lo_i, hi_i):
                 return _boxls.box_constrained_lstsq(

@@ -507,5 +507,25 @@ class TestSPRUpdateBasis:
         spr.fit(select_modes="number", n_modes=4)
         spr.train(np.asarray(spr.Ur)[:4, :], is_Theta=True)
         spr.update_basis(X[:, :1] * 1.05)
-        with pytest.raises(AttributeError):
+        # the message must point at train(), not fit() — fit state is
+        # intact, only the supplied Theta encodes the old basis
+        with pytest.raises(AttributeError, match="train"):
+            spr.predict(np.zeros((4, 3)))
+
+    def test_is_theta_after_prior_C_train_clears_stale_operator(self):
+        """train(C1) then train(Theta2, is_Theta=True): the stale C1 must
+        not survive — update_basis previously rebuilt Theta = C1 @ Ur_new
+        silently, and scale_vector centered Theta2's measurements with
+        C1's sensors."""
+        rng = np.random.default_rng(8)
+        n, m = 20, 5
+        X = rng.standard_normal((n, m))
+        spr = SPR(X, 1, rng.random((n, 3)))
+        spr.fit(select_modes="number", n_modes=4)
+        C1 = np.asarray(spr.optimal_placement())
+        spr.train(C1)
+        spr.train(np.asarray(spr.Ur)[2:6, :], is_Theta=True)
+        assert spr.C is None
+        spr.update_basis(X[:, :1] * 1.05)
+        with pytest.raises(AttributeError, match="train"):
             spr.predict(np.zeros((4, 3)))
