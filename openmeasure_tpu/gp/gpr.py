@@ -192,6 +192,17 @@ class GPR(ROM):
         self.Sigma_r = Sigma_r
         self.Vr = Ar / Sigma_r[None, :]
         self.P0 = self.scale_GPR_data(self.P, scaleP_type)
+        self._invalidate_trained_state()
+
+    def _invalidate_trained_state(self):
+        """Refit hook (see :meth:`ROM.fit`): the trained hyperparameters
+        and training set were built on the OLD basis's coefficients —
+        drop them so predict demands train() again instead of silently
+        conditioning on stale targets."""
+        for a in ("params", "models", "likelihoods", "Vr_sigma",
+                  "_final_loss", "_train_X", "_train_Y"):
+            if hasattr(self, a):
+                delattr(self, a)
 
     # ------------------------------------------------------------------ #
     # Train (reference gpr.py:404-515)

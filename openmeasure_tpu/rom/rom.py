@@ -15,6 +15,23 @@ API-parity re-implementation of the reference ``ROM``
 Public attributes mirror the reference: ``X_cnt, X_scl, X0, Ur, Ar, Vr,
 Sigma_r, r``.  Attributes are JAX arrays; they interoperate with numpy
 (``np.asarray`` / ``__array__``) so downstream user code keeps working.
+
+Documented deviations (SURVEY §4 convention):
+
+* ``adaptive_sampling`` computes its scaled matrix with the module-level
+  scaling function and does NOT overwrite ``self.X_cnt``/``X_scl`` — the
+  reference routes through ``self.scale_data`` whose side effect replaces
+  the fitted reconstruction statistics with whatever ``scale_type`` the
+  sampling call used (a post-fit ``adaptive_sampling(P, 'range')`` there
+  silently corrupts every later ``reconstruct``);
+* the leave-one-out influence uses the intended projector form — the
+  reference's literal scalar-product expression is a bug, pinned
+  bit-exact in ``tests/test_reference_diff.py`` (see
+  ``adaptive_sampling``'s docstring);
+* a (re)``fit`` invalidates subclass trained state derived from the old
+  basis (SPR's ``Theta``, GPR's hyperparameters/training set) via
+  ``_invalidate_trained_state`` — the reference keeps them, silently
+  solving against the stale basis while reconstructing with the new one.
 """
 
 from __future__ import annotations
@@ -83,7 +100,9 @@ class ROM:
     def __init__(self, X, n_features, xyz):
         if not isinstance(X, (np.ndarray, jax.Array)):
             raise TypeError("The matrix X is not a numpy array.")
-        if not isinstance(n_features, int):
+        if type(n_features) is not int:
+            # reference parity (`type(...) is not int`): bool must NOT
+            # pass as a feature count (same convention as select_rank)
             raise TypeError("The parameter n_features is not an integer.")
         self.X = X
         self.n_features = n_features
@@ -190,6 +209,13 @@ class ROM:
         Sigma_r = jnp.linalg.norm(Ar, axis=0)
         self.Vr = Ar / Sigma_r[None, :]
         self.Sigma_r = Sigma_r
+        self._invalidate_trained_state()
+
+    def _invalidate_trained_state(self):
+        """Hook run at the end of every (re)fit: subclasses holding
+        trained state derived from the basis (SPR's Theta, GPR's
+        hyperparameters) drop it here — a refit silently serving
+        stale-basis solves is the failure mode this prevents."""
 
     def update_basis(self, X_new, select_modes: str = "number",
                      n_modes=None, reorth: bool = True):
@@ -226,7 +252,6 @@ class ROM:
         if not hasattr(self, "Ur"):
             raise AttributeError(
                 "The fit function has to be called before update_basis.")
-        from ..linalg import incremental as _inc
 
         X_new = np.asarray(X_new) if not isinstance(X_new, jax.Array) \
             else X_new
@@ -291,7 +316,7 @@ class ROM:
 
     def CPOD(self, limits=None, solver_fn=None, max_iter: int = 4000,
              tol: float = 1e-9, over_relax: float = 1.6, solver_config=None,
-             constraints=None, **kwargs):
+             constraints=None):
         """Constrained POD: per snapshot i solve
         ``min ‖Ur g − x0_i‖²  s.t. limits0[0] ≤ Ur g ≤ limits0[1]``
         and replace ``Ar ← G``, ``Vr ← G / Σ_r``.
@@ -398,7 +423,14 @@ class ROM:
             inf_ui = 1.0 / jnp.abs(jnp.diagonal(Un)) - 1.0
             return jnp.sum(S * inf_ui)
 
-        Inf_basis = jax.vmap(influence)(jnp.arange(p))
+        # vmap holds batched (p, p) projectors/SVD workspaces -> O(p^3)
+        # memory; a sequential lax.map keeps the reference's O(p^2) peak
+        # for large snapshot counts (p = m is tiny in the reference
+        # workloads, so vmap's one-dispatch win applies there)
+        if p <= 64:
+            Inf_basis = jax.vmap(influence)(jnp.arange(p))
+        else:
+            Inf_basis = jax.lax.map(influence, jnp.arange(p))
         Inf_rel = np.asarray(Inf_basis / jnp.sum(Inf_basis))
 
         P = np.asarray(P)

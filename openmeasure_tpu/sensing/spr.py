@@ -88,6 +88,15 @@ class SPR(ROM):
     # Placement (reference :586-756)
     # ------------------------------------------------------------------ #
 
+    def _invalidate_trained_state(self):
+        """Refit hook (see :meth:`ROM.fit`): a new basis orphans the
+        trained ``Theta`` — drop it so predict demands train() instead of
+        silently solving against the old basis."""
+        if getattr(self, "Theta", None) is not None:
+            del self.Theta
+            self._needs_retrain = True
+        self._cols_cache = None
+
     def gem(self, Ur, n_sensors, mask, d_min, verbose):
         xyz_tiled = np.tile(np.asarray(self.xyz), (self.n_features, 1))
         return gem_select(Ur, xyz_tiled, n_sensors, mask, d_min, verbose)
@@ -272,9 +281,10 @@ class SPR(ROM):
         if not hasattr(self, "Theta"):
             if getattr(self, "_needs_retrain", False):
                 raise AttributeError(
-                    "update_basis invalidated the trained sensor (an "
-                    "is_Theta=True Theta encodes the OLD basis) — call "
-                    "train() again; the fitted basis is intact.")
+                    "the trained sensor was invalidated (the basis "
+                    "changed after train(): a refit, or update_basis on "
+                    "an is_Theta=True sensor) — call train() again; the "
+                    "fitted basis is intact.")
             raise AttributeError("The function fit has to be called "
                                  "before calling predict.")
         if isinstance(y, (np.ndarray, jax.Array)):

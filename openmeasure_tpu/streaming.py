@@ -885,6 +885,7 @@ class StreamingROM(ROM):
             Sigma_r = jnp.linalg.norm(Ar, axis=0)
             self.Vr = Ar / Sigma_r[None, :]
             self.Sigma_r = Sigma_r
+            self._invalidate_trained_state()
             return
 
         if engine == "host":
@@ -893,6 +894,7 @@ class StreamingROM(ROM):
                                     axis_cnt=axis_cnt, mesh=mesh,
                                     mesh_axis=mesh_axis)
             self._fit_axis_cnt = axis_cnt
+            self._invalidate_trained_state()
             return
 
         # pass 2 — Gram → V, eigenvalues, rank
@@ -939,6 +941,7 @@ class StreamingROM(ROM):
         U, sr, S, V = _finalize_basis(jnp, buf, colnorm, S2, V, r, n)
         self._set_spectral_attrs(U, sr, S, V)
         self._fit_axis_cnt = axis_cnt
+        self._invalidate_trained_state()
 
     # -------------------------------------------------------------- #
 
