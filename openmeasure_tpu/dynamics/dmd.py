@@ -20,6 +20,7 @@ one real device panel matmul.
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Sequence
 
 import numpy as np
@@ -62,6 +63,11 @@ class DMD(ROM):
         ``A_tilde = Ur^T X2 V_r S_r^{-1}`` at HIGHEST precision.
         """
         self.scale_type = scale_type
+        if not float(dt) > 0.0:
+            raise ValueError(
+                f"dt must be a positive sampling interval; got {dt} "
+                "(dt=0 makes every continuous-time rate infinite, a "
+                "negative dt flips growth/decay).")
         self.dt = float(dt)
         self.X0 = self.scale_data(scale_type, axis_cnt)
         m = self.X0.shape[1]
@@ -75,6 +81,23 @@ class DMD(ROM):
         U, S, Vt = _svd.svd_tall_safe(X1)
         exp_var = _svd.explained_variance(S)
         r = _svd.select_rank(exp_var, select_modes, n_modes, S.shape[0])
+        # clamp to the NUMERICAL rank: B divides by Sr, and noise-floor
+        # singular values (a requested mode count beyond the series' true
+        # rank) would fabricate a garbage spectrum — including spurious
+        # GROWING modes — with no error (same eps·max·√n deficiency
+        # threshold as svd_tall_safe)
+        S_np = np.asarray(S, np.float64)
+        floor = np.finfo(np.asarray(X1).dtype).eps * S_np.max() \
+            * float(X1.shape[0]) ** 0.5
+        r_num = int(np.sum(S_np > floor))
+        if r > r_num:
+            warnings.warn(
+                f"DMD rank clamped {r} -> {r_num}: the requested mode "
+                "count exceeds the series' numerical rank; the dropped "
+                "directions are noise-floor singular values whose "
+                "inversion would fabricate spurious spectrum.",
+                stacklevel=2)
+            r = max(r_num, 1)
         self.r = r
         Ur, Sr, Vrt = U[:, :r], S[:r], Vt[:r]
 
@@ -85,6 +108,7 @@ class DMD(ROM):
 
         self.Ur = Ur
         self.Sigma_r = Sr
+        self.Vr = Vrt.T                 # house post-fit contract (rom.py)
         self._B = B
         # projected coefficients of ALL m snapshots in the X1 basis — the
         # quantity downstream dynamics identification consumes (one row per
@@ -111,6 +135,7 @@ class DMD(ROM):
         self._b_exact = be
         with np.errstate(divide="ignore", invalid="ignore"):
             self.omega = np.log(lam.astype(np.complex128)) / self.dt
+        self._invalidate_trained_state()
 
     # ------------------------------------------------------------------ #
 
@@ -159,10 +184,16 @@ class DMD(ROM):
         k = np.atleast_1d(np.asarray(indices))
         if k.ndim != 1:
             raise ValueError("indices must be a scalar or 1-D array.")
+        if not np.all(np.equal(np.mod(k, 1), 0)):
+            raise ValueError(
+                "forecast indices must be integers (snapshot steps): a "
+                "fractional power of a negative/complex eigenvalue takes "
+                "the principal branch and real() silently zeroes it — "
+                "not an interpolant.")
         A_dyn = self._dynamics(k, exact)
         panel = self._B if exact else self.Ur
         X0_hat = jnp.matmul(panel,
-                            jnp.asarray(A_dyn.astype(np.asarray(panel).dtype)),
+                            jnp.asarray(A_dyn.astype(panel.dtype)),
                             precision=_HP)
         return _as_device(self.unscale_data(X0_hat))
 

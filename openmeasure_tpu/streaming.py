@@ -1413,6 +1413,18 @@ class StreamingDMD(StreamingROM, _DMD_base):
         # host spectral step on the X1 block
         V, S2, r = self._rank_from_gram(G[:-1, :-1], select_modes, n_modes)
         S1 = np.sqrt(S2)
+        # numerical-rank clamp, mirroring the in-core DMD: inverting
+        # noise-floor singular values fabricates spurious spectrum
+        floor = np.finfo(self.dtype).eps * S1.max() \
+            * float(n) ** 0.5
+        r_num = int(np.sum(S1 > floor))
+        if r > r_num:
+            import warnings
+            warnings.warn(
+                f"DMD rank clamped {r} -> {r_num}: requested mode count "
+                "exceeds the series' numerical rank.", stacklevel=2)
+            r = max(r_num, 1)
+            self.r = r
         # div-by-zero guard only (rank selection should stay above the
         # noise floor; a zero singular value here means the user forced
         # n_modes past the series' rank)
@@ -1421,6 +1433,7 @@ class StreamingDMD(StreamingROM, _DMD_base):
         A_tilde = Wf.T @ G[:-1, 1:] @ Wf                  # Ur^T X2 V S^-1
         self.A_tilde = A_tilde
         self.Sigma_r = jnp.asarray(Sr.astype(self.dtype))
+        self.Vr = jnp.asarray(V[:, :r].astype(self.dtype))
         self.Ar = jnp.asarray((G[:, :-1] @ Wf).astype(self.dtype))
 
         lam, W = np.linalg.eig(A_tilde)
@@ -1444,6 +1457,7 @@ class StreamingDMD(StreamingROM, _DMD_base):
             B_h[row0:row0 + c] = (x0[:, 1:] @ Wf).astype(self.dtype)
         self.Ur = jnp.asarray(U_h)
         self._B = jnp.asarray(B_h)
+        self._invalidate_trained_state()
 
     def update_basis(self, *args, **kwargs):
         """Disabled, like the in-core DMD: the incremental POD update would

@@ -109,7 +109,7 @@ _META_ATTRS = ["r", "n_features", "n_points", "scale_type", "method",
 
 def save_model(obj, path: str, include_data: bool = False,
                backend: str = "npz") -> None:
-    """Serialize a fitted ROM/SPR/GPR/PIGPR/CoKriging/ShallowDecoder.
+    """Serialize a fitted ROM/SPR/GPR/PIGPR/CoKriging/ShallowDecoder/DMD.
 
     backend='npz' (default): single compressed archive at ``path``.
     backend='orbax': an orbax-checkpoint directory at ``path`` — atomic
@@ -178,6 +178,17 @@ def save_model(obj, path: str, include_data: bool = False,
             pass
         if C is not None:
             arrays["attr/C"] = np.asarray(C)
+
+    if type(obj).__name__ in ("DMD", "StreamingDMD"):
+        # complex spectral state (npz stores complex128 natively); the
+        # streaming fit restores as the in-core DMD like the other
+        # streaming families
+        for a in ("eigs", "W", "amplitudes", "_b_exact"):
+            arrays[f"dmd/{a}"] = np.asarray(getattr(obj, a))
+        arrays["dmd/A_tilde"] = np.asarray(obj.A_tilde, dtype=np.float64)
+        arrays["dmd/B"] = np.asarray(obj._B)
+        meta["dt"] = float(obj.dt)
+        meta["m"] = int(obj._m)
 
     if type(obj).__name__ == "ShallowDecoder":
         # MLP layers are a LIST of (W, b) tuples, not the GP dict pytree
@@ -334,6 +345,10 @@ def load_model(path: str):
         obj = GPR(X, n_features, xyz,
                   P if P is not None else np.zeros((X.shape[1], 1)),
                   gpr_type=meta.get("gpr_type", "SingleTask"))
+    elif cls_name in ("DMD", "StreamingDMD"):
+        from ..dynamics.dmd import DMD
+        obj = object.__new__(DMD)
+        ROM.__init__(obj, X, n_features, xyz)
     elif cls_name == "ShallowDecoder":
         from ..sensing.decoder import ShallowDecoder
         obj = ShallowDecoder(X, n_features, xyz,
@@ -395,6 +410,17 @@ def load_model(path: str):
         from ..rom.rom import apply_sampling
         obj._cnt_vector_cache = np.asarray(
             apply_sampling(obj.C, np.asarray(obj.X_cnt)[:, 0]))
+
+    if cls_name in ("DMD", "StreamingDMD"):
+        for a in ("eigs", "W", "amplitudes", "_b_exact"):
+            setattr(obj, a, arrays[f"dmd/{a}"])
+        obj.A_tilde = arrays["dmd/A_tilde"]
+        obj._B = jnp.asarray(arrays["dmd/B"])
+        obj.dt = float(meta["dt"])
+        obj._m = int(meta["m"])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            obj.omega = np.log(obj.eigs.astype(np.complex128)) / obj.dt
+        return obj
 
     if cls_name == "ShallowDecoder":
         import jax.numpy as jnp

@@ -111,6 +111,67 @@ class TestDMDAnalytic:
             self.dmd.update_basis(self.X[:, :2])
 
 
+class TestDMDGuards:
+    def _series(self, rank=2, n=60, m=20, seed=0):
+        rng = np.random.default_rng(seed)
+        U = np.linalg.qr(rng.standard_normal((n, rank)))[0]
+        lam = np.array([0.9, 0.7])[:rank]
+        a = rng.standard_normal(rank)
+        A = np.stack([a * lam ** k for k in range(m)], axis=1)
+        return U @ A + 5.0
+
+    def test_rank_overrun_clamped_with_warning(self):
+        """Requesting modes beyond the series' numerical rank must clamp
+        (inverting noise-floor singular values previously fabricated a
+        garbage spectrum with spurious GROWING modes, silently)."""
+        from openmeasure_tpu.dynamics.dmd import DMD
+        X = self._series()
+        dmd = DMD(X, 1, None)
+        with pytest.warns(UserWarning, match="rank clamped"):
+            dmd.fit(select_modes="number", n_modes=5, scale_type="none",
+                    axis_cnt=None)
+        assert dmd.r <= 3
+        # the true decaying spectrum survives (plus the legitimate
+        # lambda~1 constant mode the centering residual contributes);
+        # nothing spurious GROWS
+        mags = np.sort(np.abs(dmd.eigs))[::-1]
+        assert mags[0] < 1.0 + 1e-6
+        for lam_true in (0.9, 0.7):
+            assert np.min(np.abs(mags - lam_true)) < 1e-6, (mags, lam_true)
+
+    def test_dt_and_fractional_index_validation(self):
+        from openmeasure_tpu.dynamics.dmd import DMD
+        X = self._series()
+        dmd = DMD(X, 1, None)
+        with pytest.raises(ValueError, match="dt must be"):
+            dmd.fit(dt=0.0)
+        dmd.fit(select_modes="number", n_modes=2, scale_type="none",
+                axis_cnt=None)
+        with pytest.raises(ValueError, match="integers"):
+            dmd.forecast([0.5])
+        # house post-fit contract
+        assert dmd.Vr.shape == (19, dmd.r)
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        """DMD persistence: the spectral state survives the round trip and
+        the restored model forecasts identically (previously save
+        succeeded but load raised 'unknown checkpointed class')."""
+        from openmeasure_tpu.dynamics.dmd import DMD
+        from openmeasure_tpu.utils.checkpoint import save_model, load_model
+        X = self._series()
+        dmd = DMD(X, 1, None)
+        dmd.fit(select_modes="number", n_modes=2, dt=0.5)
+        p = str(tmp_path / "dmd.npz")
+        save_model(dmd, p)
+        loaded = load_model(p)
+        np.testing.assert_allclose(loaded.eigs, dmd.eigs, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(loaded.forecast_horizon(3)),
+                                   np.asarray(dmd.forecast_horizon(3)),
+                                   atol=1e-8)
+        np.testing.assert_allclose(loaded.frequencies, dmd.frequencies,
+                                   atol=1e-12)
+
+
 class TestDMDOracle:
     """Differential vs an independent textbook numpy DMD on the SAME scaled
     snapshots (covers centered/scaled paths where the analytic construction
