@@ -29,7 +29,6 @@ from typing import Sequence
 import numpy as np
 import jax
 import jax.numpy as jnp
-import optax
 
 from ..rom.rom import ROM, apply_sampling, scale_measurement_values
 
@@ -47,6 +46,7 @@ def _forward(params, y):
 def _train(Y0t: jax.Array, X0t: jax.Array, sizes: tuple, epochs: int,
            lr: float, l2: float, key: jax.Array):
     """Full-batch Adam on MSE, one scan.  Y0t (m, s), X0t (m, n)."""
+    import optax  # deferred: predict/serving/checkpoint-load never need it
     keys = jax.random.split(key, len(sizes) - 1)
     params = []
     for k, (fan_in, fan_out) in zip(keys, zip(sizes[:-1], sizes[1:])):
@@ -113,10 +113,21 @@ class ShallowDecoder(ROM):
     def _scale_y(self, y):
         """Reference measurement-vector scaling (``sparse_sensing.py:553-
         584``), value column only — the SAME helper ``SPR.scale_vector``
-        uses, so the gappy-POD and decoder families share one scaling."""
+        uses, so the gappy-POD and decoder families share one scaling.
+        Host copies of the stats are cached like SPR's (each device
+        readback is a full tunnel round-trip), and re-derived when a
+        post-fit ``scale_data`` invalidated them."""
+        cnt_vector = self._cnt_vector_cache
+        if cnt_vector is None:          # post-fit scale_data() reset it
+            cnt_vector = np.asarray(
+                apply_sampling(self.C, self.X_cnt[:, 0]))
+            self._cnt_vector_cache = cnt_vector
+        scl_full = getattr(self, "_scl_vector_cache", None)
+        if scl_full is None:
+            scl_full = np.asarray(self.X_scl[:, 0])
+            self._scl_vector_cache = scl_full
         vals, _ = scale_measurement_values(
-            y, self._cnt_vector_cache, np.asarray(self.X_scl[:, 0]),
-            self.n_points)
+            y, cnt_vector, scl_full, self.n_points)
         return vals
 
     def predict(self, y):
@@ -131,11 +142,19 @@ class ShallowDecoder(ROM):
                                  "before calling predict.")
         if isinstance(y, (np.ndarray, jax.Array)):
             y = [y]
+        s_sensors = int(self.params[0][0].shape[0])   # first layer W rows
         for yi in y:
             if yi.shape[1] != 3:
                 raise ValueError("The y array has the wrong number of "
                                  "columns. y has to have dimensions (s,3).")
+            if yi.shape[0] != s_sensors:
+                # without this, a wrong-sized vector either crashes deep
+                # in numpy or — worse — BROADCASTS (a single row against
+                # the s sensor centers) into a plausible garbage field
+                raise ValueError(
+                    f"The number of rows of y ({yi.shape[0]}) does not "
+                    f"match the number of trained sensors ({s_sensors}).")
         y0 = jnp.asarray(np.stack([self._scale_y(yi) for yi in y]))
         X0_pred = _forward(self.params, y0)               # (n_vec, n)
-        return (X0_pred * self.X_scl[:, 0][None, :]
-                + self.X_cnt[:, 0][None, :]).T            # (n, n_vec)
+        # shared unscaling pass (same stats broadcast as ROM.reconstruct)
+        return self.unscale_data(X0_pred.T)               # (n, n_vec)
