@@ -6,9 +6,26 @@ reduced by POD, the low-fidelity scores are aligned to the high-fidelity
 latent space by a scaled Procrustes rotation, and a recursive two-fidelity
 kriging model (``openmeasure_tpu.multifi.mfk``) is fit per latent dimension.
 
-Deviations from reference quirks (SURVEY §4): ``predict`` evaluates each
-latent model once (the reference calls ``model.predict`` twice per dim,
-``cokriging.py:132-133``), and all per-column unscaling is one fused pass.
+Deviations from reference quirks (SURVEY §4):
+
+* ``predict`` evaluates each latent model once (the reference calls
+  ``model.predict`` twice per dim, ``cokriging.py:132-133``), and all
+  per-column unscaling is one fused pass;
+* ``fit`` pairs the LF kriging level's parameters with its scores in the
+  SAME (linked, unlinked) order — the reference concatenates the
+  parameters (unlinked, linked) against (linked, unlinked)-ordered scores
+  (``cokriging.py:110``), scrambling every (x, y) pair whenever the two
+  sets differ (numeric results differ from the reference for non-empty
+  ``X_train_u``; the fixed pairing is the evidently intended one);
+* truncated ``predict(n_truncated=k)`` projects with the first k columns
+  of ``Ur_hf`` — the reference's full-basis product shape-errors for any
+  ``k < n_latent`` (``cokriging.py:135``); requesting MORE than
+  ``n_latent`` (or a negative k) raises here where the reference's
+  late ``IndexError`` / silent negative slice would;
+* a re-run of ``manifold_alignment`` invalidates a previously fitted
+  kriging model (the latent coordinates changed) — predict demands
+  ``fit`` again instead of silently projecting stale latent outputs
+  through the new basis.
 """
 
 from __future__ import annotations
@@ -123,8 +140,9 @@ class CoKriging:
         Ua, Sa, Vat = jnp.linalg.svd(
             jnp.matmul(Z0r_lf_l, Z0r_hf.T, precision=hp),
             full_matrices=False)
-        sr = jnp.sum(Sa) / jnp.trace(
-            jnp.matmul(Z0r_lf_l, Z0r_lf_l.T, precision=hp))
+        # tr(Z Z^T) == ||Z||_F^2: O(r n) elementwise, not an O(r^2 n)
+        # Gram materialized for its trace
+        sr = jnp.sum(Sa) / jnp.sum(Z0r_lf_l * Z0r_lf_l)
         Qr = jnp.matmul(Vat.T, Ua.T, precision=hp)
         Zr_aligned = sr * jnp.matmul(Qr, Zr_lf, precision=hp)
 
@@ -132,6 +150,12 @@ class CoKriging:
         self.Zr_aligned = Zr_aligned
         self.Ur_hf = Ur_hf
         self.Zr_hf = Zr_hf
+        # re-alignment changes the latent coordinates: a previously
+        # fitted kriging model would be silently projected through the
+        # NEW basis — drop it so predict demands fit() again
+        for a in ("_batch", "model_list"):
+            if hasattr(self, a):
+                delattr(self, a)
 
     # ------------------------------------------------------------------ #
 
@@ -164,8 +188,20 @@ class CoKriging:
     def predict(self, X_test, n_truncated: Optional[int] = None
                 ) -> Tuple[np.ndarray, np.ndarray]:
         n_test = X_test.shape[0]
+        if not hasattr(self, "_batch") and not hasattr(self, "model_list"):
+            raise AttributeError(
+                "The fit function has to be called before predict "
+                "(re-running manifold_alignment invalidates a previous "
+                "fit).")
         if n_truncated is None:
             n_truncated = self.n_latent
+        if not 0 < int(n_truncated) <= self.n_latent:
+            # loud, like the reference's IndexError at model_list[k] —
+            # silently clamping would hand back a full-rank prediction
+            # the caller believes is truncated (or a negative-slice one)
+            raise ValueError(
+                f"n_truncated must be in [1, n_latent={self.n_latent}]; "
+                f"got {n_truncated}.")
 
         if hasattr(self, "_batch"):
             Z_pred, Z_mse = self._batch.predict(np.asarray(X_test),

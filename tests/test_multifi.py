@@ -464,6 +464,36 @@ class TestBatchedMFK:
         m2, _ = v.predict(X_t)
         np.testing.assert_allclose(m2, 2.0 * m1, rtol=1e-3)
 
+    def test_realignment_invalidates_fit_and_truncation_validated(self):
+        from openmeasure_tpu.multifi.cokriging import CoKriging
+        rng = np.random.default_rng(3)
+        n_pts = 40
+        X_l = np.linspace(0, 1, 5)[:, None]
+        X_u = np.linspace(0.1, 0.9, 4)[:, None]
+        xyz = rng.random((n_pts, 3))
+
+        def field(p):
+            return np.exp(-((np.linspace(0, 1, n_pts)[:, None]
+                             - p[None, :]) ** 2) / 0.1)
+        Y_lf_l, Y_lf_u = field(X_l[:, 0]), field(X_u[:, 0])
+        Y_hf_l = 1.5 * field(X_l[:, 0]) + 0.2
+        ck = CoKriging(X_l, X_u, Y_lf_l, Y_lf_u, Y_hf_l, xyz, xyz, 1)
+        ck.manifold_alignment(select_modes="number", n_modes_hf=3,
+                              n_modes_lf=3)
+        ck.fit()
+        with pytest.raises(ValueError, match="n_truncated"):
+            ck.predict(np.array([[0.4]]), n_truncated=ck.n_latent + 2)
+        with pytest.raises(ValueError, match="n_truncated"):
+            ck.predict(np.array([[0.4]]), n_truncated=-1)
+        # re-alignment drops the fitted kriging state
+        ck.manifold_alignment(select_modes="number", n_modes_hf=2,
+                              n_modes_lf=2)
+        with pytest.raises(AttributeError, match="fit"):
+            ck.predict(np.array([[0.4]]))
+        ck.fit()
+        Y, _ = ck.predict(np.array([[0.4]]))
+        assert np.all(np.isfinite(Y))
+
     def test_knob_views_single_source(self):
         from openmeasure_tpu.multifi.mfk import BatchedMFK
         b = BatchedMFK(regr="constant")
