@@ -26,8 +26,10 @@ new scaled columns ``Xn`` (n, q):
 This is EXACT (to round-off) for the matrix ``[U diag(S) Vt, Xn]``: keeping
 all r+q singular triplets reproduces the direct SVD of the concatenation;
 truncating back to rank r afterwards is the optimal rank-r approximation of
-that matrix.  All n-row work is three narrow-panel passes (M, Res, the U'
-product) plus one thin QR — O(n(r+q)) HBM traffic instead of the full
+that matrix.  All n-row work is narrow-panel passes — three matmuls
+(M, Res, the U' product) plus the thin QR with ``reorth=False``, five with
+the default ``reorth=True`` (the re-orthogonalization adds the UᵀRes and
+U·M2 passes) — O(n(r+q)) HBM traffic either way, instead of the full
 refit's O(nm) Gram + eigh + recovery passes, and no re-read of the original
 snapshots (the streaming tier never touches the on-disk data again).
 
@@ -52,6 +54,37 @@ import jax
 import jax.numpy as jnp
 
 
+def _project_residual(U: jax.Array, Xn: jax.Array, reorth: bool):
+    """Projection coefficients + out-of-span residual — the SINGLE
+    SOURCE of the panel-pass math every update variant shares."""
+    hp = jax.lax.Precision.HIGHEST
+    Xn = Xn.astype(U.dtype)
+    M = jnp.matmul(U.T, Xn, precision=hp)
+    Res = Xn - jnp.matmul(U, M, precision=hp)
+    if reorth:
+        # one CGS re-orthogonalization pass: removes the O(eps·κ)
+        # component of Res still in span(U) (fp32: measurable when
+        # Xn ≈ U(·))
+        M2 = jnp.matmul(U.T, Res, precision=hp)
+        Res = Res - jnp.matmul(U, M2, precision=hp)
+        M = M + M2
+    return M, Res
+
+
+def _assemble_K(S, M, R, r, q, dt):
+    K = jnp.zeros((r + q, r + q), dtype=dt)
+    K = K.at[jnp.arange(r), jnp.arange(r)].set(S.astype(dt))
+    K = K.at[:r, r:].set(M)
+    K = K.at[r:, r:].set(R)
+    return K
+
+
+def _finish_V(Vt, Vk, r, dt):
+    V_top = jnp.matmul(Vt.T.astype(dt), Vk[:r, :],
+                       precision=jax.lax.Precision.HIGHEST)
+    return jnp.concatenate([V_top, Vk[r:, :]], axis=0).T
+
+
 @functools.partial(jax.jit, static_argnames=("reorth",))
 def svd_append_columns(
     U: jax.Array, S: jax.Array, Vt: jax.Array, Xn: jax.Array,
@@ -66,44 +99,18 @@ def svd_append_columns(
     r = S.shape[0]
     q = Xn.shape[1]
     dt = U.dtype
-    Xn = Xn.astype(dt)
-
-    M = jnp.matmul(U.T, Xn, precision=hp)                    # (r, q)
-    Res = Xn - jnp.matmul(U, M, precision=hp)                # (n, q)
-    if reorth:
-        # one CGS re-orthogonalization pass: removes the O(eps·κ) component
-        # of Res still in span(U) (fp32: measurable when Xn ≈ U(·))
-        M2 = jnp.matmul(U.T, Res, precision=hp)
-        Res = Res - jnp.matmul(U, M2, precision=hp)
-        M = M + M2
-    Q, R = jnp.linalg.qr(Res)                                # thin, (n,q)/(q,q)
-
-    K = jnp.zeros((r + q, r + q), dtype=dt)
-    K = K.at[jnp.arange(r), jnp.arange(r)].set(S.astype(dt))
-    K = K.at[:r, r:].set(M)
-    K = K.at[r:, r:].set(R)
-    Uk, Sk, Vkt = jnp.linalg.svd(K)                          # tiny, replicated
+    M, Q, R = _residual_qr(U, Xn, reorth=reorth)
+    Uk, Sk, Vkt = jnp.linalg.svd(_assemble_K(S, M, R, r, q, dt))
     Vk = Vkt.T                                               # (r+q, r+q)
-
     U_new = jnp.matmul(jnp.concatenate([U, Q], axis=1), Uk,  # (n, r+q)
                        precision=hp)
-    V_old = Vt.T                                             # (m, r)
-    V_top = jnp.matmul(V_old.astype(dt), Vk[:r, :], precision=hp)
-    V_new = jnp.concatenate([V_top, Vk[r:, :]], axis=0)      # (m+q, r+q)
-    return U_new, Sk, V_new.T
+    return U_new, Sk, _finish_V(Vt, Vk, r, dt)
 
 
 @functools.partial(jax.jit, static_argnames=("reorth",))
 def _residual_qr(U: jax.Array, Xn: jax.Array, reorth: bool = True):
     """Device panel passes of the update: projection M, residual thin QR."""
-    hp = jax.lax.Precision.HIGHEST
-    Xn = Xn.astype(U.dtype)
-    M = jnp.matmul(U.T, Xn, precision=hp)
-    Res = Xn - jnp.matmul(U, M, precision=hp)
-    if reorth:
-        M2 = jnp.matmul(U.T, Res, precision=hp)
-        Res = Res - jnp.matmul(U, M2, precision=hp)
-        M = M + M2
+    M, Res = _project_residual(U, Xn, reorth)
     Q, R = jnp.linalg.qr(Res)
     return M, Q, R
 
@@ -126,6 +133,10 @@ def svd_append_columns_eager(
     :func:`svd_append_columns` / :func:`svd_append_columns_cholqr`
     (exact on CPU's LAPACK backend; on real multi-chip TPU meshes the
     tail caveat applies — truncate well above it).
+
+    DOCUMENTED EXCEPTION to the device-tier purity rule (CLAUDE.md): this
+    function is host-hybrid BY DESIGN (the f64 LAPACK core is the point)
+    and is not jittable — never compose it into a jitted pipeline.
     """
     import numpy as np
     dt = U.dtype
@@ -156,7 +167,8 @@ def svd_append_columns_cholqr(
     reorth: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """:func:`svd_append_columns` with the residual orthogonalized by
-    Cholesky-QR — the SPMD-partitionable form for row-sharded bases.
+    a Gram-eigendecomposition QR (the CholQR class of methods) — the
+    SPMD-partitionable form for row-sharded bases.
 
     ``jnp.linalg.qr`` of the (n, q) residual is not partitionable (GSPMD
     all-gathers the panel to one device); CholQR replaces it with a
@@ -167,44 +179,43 @@ def svd_append_columns_cholqr(
     the triangular solve into the small factor.
 
     Exactness: ``Q R ≡ Res`` holds by construction even when the residual
-    Gram is floored for rank deficiency (``Q = Res R⁻¹`` uses the same R
+    Gram's null directions are floored (``Q = Res R⁻¹`` uses the same R
     placed in K), so the factorization still reproduces the concatenation;
     only Q's *orthonormality* degrades in near-null directions — which
-    truncation discards.  fp32 caveat: CholQR squares the residual's
-    condition number where Householder QR does not; the ``reorth`` pass
-    (default on) keeps the residual well-scaled in practice.
+    truncation discards.
+
+    The (q, q) factor is taken from the Gram's EIGENDECOMPOSITION rather
+    than a ridged Cholesky: a length-n fp32 dot product carries
+    accumulation rounding ~√n·eps·scale, so for a near-singular exact
+    Gram (new snapshots nearly in span(U)) the COMPUTED Gram can be
+    indefinite by far more than an eps·trace ridge — ``jnp.cholesky``
+    then silently returns NaN under jit and poisons the whole updated
+    basis.  ``eigh`` of a symmetric matrix never NaNs; flooring only the
+    eigenvalues (at √n·eps of the largest — the accumulation-noise
+    level) leaves the well-conditioned directions bit-untouched.  The
+    factor ``R = diag(√e) Wᵀ`` is not triangular, which nothing needs —
+    K just requires ``RᵀR = G_R`` and an explicit ``R⁻¹ = W diag(1/√e)``.
     """
     hp = jax.lax.Precision.HIGHEST
     r = S.shape[0]
     q = Xn.shape[1]
+    n = U.shape[0]
     dt = U.dtype
-    Xn = Xn.astype(dt)
-
-    M = jnp.matmul(U.T, Xn, precision=hp)                    # (r, q) psum
-    Res = Xn - jnp.matmul(U, M, precision=hp)                # shard-local
-    if reorth:
-        M2 = jnp.matmul(U.T, Res, precision=hp)
-        Res = Res - jnp.matmul(U, M2, precision=hp)
-        M = M + M2
+    M, Res = _project_residual(U, Xn, reorth)                # psums under
+    #                                                          sharding
     G_R = jnp.matmul(Res.T, Res, precision=hp)               # (q, q) psum
-    # rank-deficiency floor: new snapshots inside span(U) make G_R singular
-    eps = jnp.finfo(dt).eps
-    floor = eps * jnp.maximum(jnp.trace(G_R), jnp.finfo(dt).tiny)
-    L = jnp.linalg.cholesky(G_R + floor * jnp.eye(q, dtype=dt))
-    R = L.T                                                  # upper (q, q)
+    e, Wg = jnp.linalg.eigh(G_R)                             # ascending
+    eps_acc = jnp.finfo(dt).eps * (float(n) ** 0.5)
+    e_safe = jnp.maximum(e, jnp.maximum(eps_acc * e[-1],
+                                        jnp.finfo(dt).tiny))
+    sq = jnp.sqrt(e_safe)
+    R = sq[:, None] * Wg.T                                   # RᵀR = G_R⁺
 
-    K = jnp.zeros((r + q, r + q), dtype=dt)
-    K = K.at[jnp.arange(r), jnp.arange(r)].set(S.astype(dt))
-    K = K.at[:r, r:].set(M)
-    K = K.at[r:, r:].set(R)
-    Uk, Sk, Vkt = jnp.linalg.svd(K)                          # replicated
+    Uk, Sk, Vkt = jnp.linalg.svd(_assemble_K(S, M, R, r, q, dt))
     Vk = Vkt.T
 
-    # R⁻¹ Uk_bot without forming Q: triangular solve on the (q, r+q) factor
-    T = jax.scipy.linalg.solve_triangular(R, Uk[r:, :], lower=False)
+    # R⁻¹ Uk_bot without forming Q: R⁻¹ = Wg diag(1/√e) explicitly
+    T = jnp.matmul(Wg, Uk[r:, :] / sq[:, None], precision=hp)
     U_new = (jnp.matmul(U, Uk[:r, :], precision=hp)
              + jnp.matmul(Res, T, precision=hp))             # (n, r+q)
-    V_old = Vt.T
-    V_top = jnp.matmul(V_old.astype(dt), Vk[:r, :], precision=hp)
-    V_new = jnp.concatenate([V_top, Vk[r:, :]], axis=0)
-    return U_new, Sk, V_new.T
+    return U_new, Sk, _finish_V(Vt, Vk, r, dt)

@@ -140,6 +140,41 @@ class TestCholQRVariant:
         G = np.asarray(U2).T @ np.asarray(U2)
         np.testing.assert_allclose(G, np.eye(11), atol=1e-7)
 
+    def test_fp32_large_n_near_span_residual_stays_finite(self):
+        """fp32 at streaming scale with new snapshots NEARLY in span(U):
+        the computed residual Gram carries ~sqrt(n)*eps accumulation noise
+        and can be indefinite — the eigh-based factor must never NaN
+        (a ridged Cholesky silently did) and the update must stay
+        orthonormal + exact on the represented matrix."""
+        from openmeasure_tpu.linalg.incremental import (
+            svd_append_columns_cholqr)
+        rng = np.random.default_rng(11)
+        n, r, q = 200_000, 6, 3
+        A = (rng.standard_normal((n, r)) * np.geomspace(50, 1, r)).astype(
+            np.float32) @ rng.standard_normal((r, 10)).astype(np.float32)
+        U, S, Vt = _thin_svd(np.asarray(A, np.float64))
+        U = U[:, :r].astype(np.float32)
+        S, Vt = S[:r].astype(np.float32), Vt[:r].astype(np.float32)
+        # almost-in-span columns: residual ~1e-5 of the data scale
+        B = (U @ rng.standard_normal((r, q)).astype(np.float32)
+             + 1e-5 * rng.standard_normal((n, q)).astype(np.float32))
+        U2, S2, Vt2 = svd_append_columns_cholqr(
+            jnp.asarray(U), jnp.asarray(S), jnp.asarray(Vt),
+            jnp.asarray(B))
+        assert np.all(np.isfinite(np.asarray(U2)))
+        assert np.all(np.isfinite(np.asarray(S2)))
+        # leading block still orthonormal; represented matrix reproduced
+        G = np.asarray(U2[:, :r], np.float64).T @ np.asarray(
+            U2[:, :r], np.float64)
+        np.testing.assert_allclose(G, np.eye(r), atol=5e-5)
+        rec = np.asarray(U2, np.float64)[:, :r] \
+            @ np.diag(np.asarray(S2, np.float64)[:r]) \
+            @ np.asarray(Vt2, np.float64)[:r, :10]
+        truth = np.asarray(U, np.float64) @ np.diag(
+            np.asarray(S, np.float64)) @ np.asarray(Vt, np.float64)
+        np.testing.assert_allclose(rec, truth,
+                                   atol=1e-4 * np.abs(truth).max())
+
     def test_rank_deficient_residual_still_exact(self):
         # new columns in span(U): the floored CholQR must still reproduce
         # the concatenation (Q R == Res by construction)
