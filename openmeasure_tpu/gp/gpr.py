@@ -229,14 +229,29 @@ class GPR(ROM):
 
     def train(self, mean=None, kernel=None, likelihood=None,
               max_iter: int = 1000, rel_error: float = 1e-5, lr: float = 0.1,
-              verbose: bool = False, config=None):
+              verbose: bool = False, config=None, engine: str = "device"):
         """``config`` (:class:`openmeasure_tpu.core.config.GPTrainConfig`)
-        overrides max_iter/rel_error/lr/verbose when given."""
+        overrides max_iter/rel_error/lr/verbose when given.
+
+        ``engine='host'`` runs the GP stage — hyperparameter training here
+        and every later posterior/retrain — on the host CPU in float64
+        (:mod:`openmeasure_tpu.core.host64`), on top of the device-fit
+        basis.  This reproduces the reference's numerics (gpytorch trains
+        in double, ``gpr.py:480-481,503-504``) where the ambient device
+        path is fp32: the GP matrices are tiny ((p, p) ≈ (41, 41)), so the
+        f64 pass is nearly free and removes the fp32-GP-arithmetic share
+        of the accuracy gap (BASELINE.md round-4 decomposition).  The
+        default ``'device'`` keeps the all-fp32 single-dispatch path.
+        """
         if config is not None:
             max_iter = config.max_iter
             rel_error = config.rel_error
             lr = config.lr
             verbose = config.verbose
+        if engine not in ("device", "host"):
+            raise ValueError(
+                f"engine must be 'device' or 'host'; got {engine!r}")
+        self.engine = engine
         self.max_iter = max_iter
         self.rel_error = rel_error
         self.lr = lr
@@ -275,27 +290,15 @@ class GPR(ROM):
                                                     verbose)
             self._final_loss = res.loss
             # train-mode output.stddev == prior stddev per task
-            Vr_sigma = jax.vmap(
-                lambda tp: E.gp_prior_stddev(mean, kernel, tp, P0)
-            )(self.params["tasks"]).T
+            Vr_sigma = self._prior_stddev_all(self.params["tasks"], P0)
         else:
             task0 = self._init_task_params(mean, kernel, likelihood)
             params0 = _stack_params(task0, self.r)
-            loss_fn = E.make_single_task_loss(mean, kernel, likelihood,
-                                              P0, Vr.T)
-            # closed-form gradient oracle for the standard spec family
-            # (None → autodiff fallback); same trajectories, ~6x fewer
-            # HLOs per training iteration
-            vag = E.make_single_task_value_and_grad(mean, kernel,
-                                                    likelihood, P0, Vr.T)
-            res = E.adam_early_stop(loss_fn, params0, lr=lr,
-                                    max_iter=max_iter, rel_error=rel_error,
-                                    verbose=verbose, value_and_grad=vag)
+            res = self._single_task_adam(params0, likelihood, P0, Vr,
+                                         verbose)
             self.params = res.params
             self._final_loss = res.loss
-            Vr_sigma = jax.vmap(
-                lambda tp: E.gp_prior_stddev(mean, kernel, tp, P0)
-            )(self.params).T
+            Vr_sigma = self._prior_stddev_all(self.params, P0)
 
         self.Vr_sigma = Vr_sigma
         if verbose:
@@ -307,33 +310,77 @@ class GPR(ROM):
         self._refresh_api_compat()
         return self.models, self.likelihoods
 
+    def _run_gp_stage(self, fn, *args):
+        """Run one GP compute stage under the model's engine.
+
+        ``engine='device'`` (default): call through — ambient backend and
+        dtype (the TPU fp32 path).  ``engine='host'``: the SAME program on
+        the host CPU backend in float64 (:mod:`openmeasure_tpu.core.host64`;
+        float leaves of every arg pytree cast to f64, outputs materialized
+        as host numpy f64) — reference double-precision GP numerics
+        (``gpr.py:480-481,503-504``) on top of the device-fit basis."""
+        if getattr(self, "engine", "device") == "host":
+            from ..core.host64 import host_f64, tree_f64, tree_host
+            with host_f64():
+                return tree_host(fn(*[tree_f64(a) for a in args]))
+        return fn(*args)
+
+    def _prior_stddev_all(self, task_params, P0):
+        """(p, r) prior stddev at P0 under the engine — what the reference
+        records as ``Vr_sigma`` (train-mode ``output.stddev``)."""
+        def run(tp, X):
+            return jax.vmap(
+                lambda t: E.gp_prior_stddev(self.mean, self.kernel, t, X)
+            )(tp).T
+        return self._run_gp_stage(run, task_params, P0)
+
+    def _single_task_adam(self, params0, likelihood, P0, Vr, verbose):
+        """One vmapped single-task Adam/early-stop run under the engine —
+        SINGLE SOURCE for train()/update() fixed-noise retrain/
+        update_basis warm restart (loss builder + closed-form gradient
+        oracle wiring; the oracle returns None → autodiff for
+        non-standard specs)."""
+        def run(params0, P0, Vr):
+            loss_fn = E.make_single_task_loss(self.mean, self.kernel,
+                                              likelihood, P0, Vr.T)
+            vag = E.make_single_task_value_and_grad(
+                self.mean, self.kernel, likelihood, P0, Vr.T)
+            return E.adam_early_stop(loss_fn, params0, lr=self.lr,
+                                     max_iter=self.max_iter,
+                                     rel_error=self.rel_error,
+                                     verbose=verbose, value_and_grad=vag)
+        return self._run_gp_stage(run, params0, P0, Vr)
+
     def _multitask_adam(self, params, P0, Vr, verbose):
         """One MultiTask Adam/early-stop run from ``params`` on (P0, Vr):
         the [None]-batch wrap + closed-form-gradient-oracle boilerplate,
         SINGLE SOURCE for train()/update()/_assimilate (the retrain sites
         previously omitted the oracle and ran ~2x slower per iteration).
-        Returns (unbatched params, TrainResult)."""
-        loss_raw = E.make_multitask_loss(self.mean, self.kernel,
-                                         self.likelihood, P0, Vr)
-        params_b = jax.tree_util.tree_map(lambda x: x[None], params)
+        Runs under the engine.  Returns (unbatched params, TrainResult)."""
+        def run(params, P0, Vr):
+            loss_raw = E.make_multitask_loss(self.mean, self.kernel,
+                                             self.likelihood, P0, Vr)
+            params_b = jax.tree_util.tree_map(lambda x: x[None], params)
 
-        def loss_fn(pb):
-            return loss_raw(jax.tree_util.tree_map(lambda x: x[0], pb))
+            def loss_fn(pb):
+                return loss_raw(jax.tree_util.tree_map(lambda x: x[0], pb))
 
-        vag_raw = E.make_multitask_value_and_grad(self.mean, self.kernel,
-                                                  self.likelihood, P0, Vr)
-        vag = None
-        if vag_raw is not None:
-            def vag(pb):
-                losses, grads = vag_raw(
-                    jax.tree_util.tree_map(lambda x: x[0], pb))
-                return losses, jax.tree_util.tree_map(
-                    lambda g: g[None], grads)
-        res = E.adam_early_stop(loss_fn, params_b, lr=self.lr,
-                                max_iter=self.max_iter,
-                                rel_error=self.rel_error,
-                                verbose=verbose, value_and_grad=vag)
-        return jax.tree_util.tree_map(lambda x: x[0], res.params), res
+            vag_raw = E.make_multitask_value_and_grad(
+                self.mean, self.kernel, self.likelihood, P0, Vr)
+            vag = None
+            if vag_raw is not None:
+                def vag(pb):
+                    losses, grads = vag_raw(
+                        jax.tree_util.tree_map(lambda x: x[0], pb))
+                    return losses, jax.tree_util.tree_map(
+                        lambda g: g[None], grads)
+            res = E.adam_early_stop(loss_fn, params_b, lr=self.lr,
+                                    max_iter=self.max_iter,
+                                    rel_error=self.rel_error,
+                                    verbose=verbose, value_and_grad=vag)
+            return (jax.tree_util.tree_map(lambda x: x[0], res.params),
+                    res)
+        return self._run_gp_stage(run, params, P0, Vr)
 
     def _refresh_api_compat(self):
         """Rebuild the reference-parity ``models``/``likelihoods`` views

@@ -157,6 +157,7 @@ def admm_box_qp(
     max_iter: int = 2000,
     tol: float = 1e-8,
     over_relax: float = 1.6,
+    n_rows: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, ADMMInfo]:
     """Solve ``min ½ gᵀH g − cᵀg  s.t. lo ≤ A g ≤ hi``.
 
@@ -168,6 +169,15 @@ def admm_box_qp(
     AtA : (r, r), optional — pass when known analytically (e.g. identity for
         an orthonormal POD basis) to skip the n-row Gram.
     rho : optional ADMM penalty; defaults to ``tr(H)/tr(AᵀA)`` (scale-matched).
+    n_rows : optional ACTIVE constraint-row count for the residual
+        normalizations, defaulting to ``A.shape[0]``.  Sharded serving pads
+        the constraint set with inert rows (zero operator, [0, 0] bounds) to
+        make it divisible by the mesh axis; those rows contribute exactly
+        zero to every matvec and norm, so with the unpadded count passed
+        here the whole iteration trajectory — including the ρ-adaptation
+        decisions below — is bit-identical to the unpadded solve, which is
+        what makes the sharded-vs-single-device COEFFICIENT parity exact
+        (``tests/test_parallel.py`` TestShardedServing).
     """
     r = H.shape[0]
     dtype = H.dtype
@@ -219,7 +229,8 @@ def admm_box_qp(
         Ag_relaxed = alpha * Ag + (1.0 - alpha) * z
         z_new = jnp.clip(Ag_relaxed + w, lo, hi)
         w = w + Ag_relaxed - z_new
-        sqrt_n = jnp.sqrt(jnp.asarray(A.shape[0], dtype))
+        sqrt_n = jnp.sqrt(jnp.asarray(
+            A.shape[0] if n_rows is None else n_rows, dtype))
         sqrt_r = jnp.sqrt(jnp.asarray(r, dtype))
         pri = jnp.linalg.norm(Ag - z_new) / sqrt_n
         dua = rho * jnp.linalg.norm(
@@ -268,6 +279,7 @@ def box_constrained_lstsq(
     max_iter: int = 2000,
     tol: float = 1e-8,
     over_relax: float = 1.6,
+    n_rows: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, ADMMInfo]:
     """``min ‖diag(w)(y − Θ g)‖²  s.t. lo ≤ A g ≤ hi`` (COLS, CPOD).
 
@@ -280,7 +292,7 @@ def box_constrained_lstsq(
     H = jnp.matmul(Wt.T, Wt, precision=hp)
     c = jnp.matmul(Wt.T, Wy, precision=hp)
     return admm_box_qp(H, c, A, lo, hi, AtA=AtA, max_iter=max_iter, tol=tol,
-                       over_relax=over_relax)
+                       over_relax=over_relax, n_rows=n_rows)
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter",))
@@ -294,6 +306,7 @@ def box_constrained_map(
     max_iter: int = 2000,
     tol: float = 1e-8,
     over_relax: float = 1.6,
+    n_rows: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, ADMMInfo]:
     """Gaussian MAP under box constraints:
     ``max −(v−μ)ᵀ cov⁻¹ (v−μ)  s.t. lo ≤ A v ≤ hi`` — the constrained GPR
@@ -316,5 +329,6 @@ def box_constrained_map(
     else:
         ALtAL = None
     u, info = admm_box_qp(H, c, AL, lo - A_mu, hi - A_mu, AtA=ALtAL,
-                          max_iter=max_iter, tol=tol, over_relax=over_relax)
+                          max_iter=max_iter, tol=tol, over_relax=over_relax,
+                          n_rows=n_rows)
     return mean + jnp.matmul(L, u, precision=hp), info

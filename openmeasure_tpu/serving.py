@@ -49,8 +49,14 @@ def shard_state_rows(state, mesh, axis_name: str = "state",
     before sharding (``jax.device_put`` requires divisibility).  The
     padded rows produce extra (zero·scale + zero-center) field entries and
     trivially-satisfied constraint rows; the sensors' ``shard()`` methods
-    slice every field output back to the original n, so results are
-    identical to the single-device sensor (parity-tested).
+    slice every field output back to the original n.  Parity vs the
+    single-device sensor (tested): direct solves (OLS, GPR posterior) and
+    f64 ADMM paths agree to reduction-order ULPs; fp32 fixed-budget ADMM
+    paths agree to the solver's measured fp32 reproducibility (~2e-5
+    relative — padding changes the contraction length, so per-iteration
+    ULP noise compounds over the iteration budget).  The ADMM residual
+    normalizations themselves are padding-invariant: the solvers receive
+    the ACTIVE row count (``state["n_c"]``), not the padded shape.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -154,10 +160,12 @@ def _predict_math(state, y_values, y_sigma, method, admm_iters, over_relax):
         # tol=0 → the while_loop runs the full fixed budget: every
         # request compiles to the same instruction count (deterministic
         # latency), and the budget is the accuracy knob.
+        # n_rows = the ACTIVE (unpadded) constraint-row count: keeps the
+        # ADMM trajectory bit-identical after shard() pads inert rows
         a, _ = _boxls.box_constrained_lstsq(
             Theta, y0, w, state["A_c"], state["lo"], state["hi"],
             AtA=state["AtA"], max_iter=admm_iters, tol=0.0,
-            over_relax=over_relax)
+            over_relax=over_relax, n_rows=state["n_c"])
     else:
         a = a_ols
     a_sigma = jnp.where(use_w, jnp.abs(wsolve(sig0)),
@@ -308,8 +316,12 @@ class SoftSensor:
                        "X_cnt": self.X_cnt, "X_scl": self.X_scl,
                        "pinv": self._pinv}
         if method == "COLS":
+            # n_c: active constraint-row count — stays at the unpadded
+            # value when shard() pads the set (it is replicated, not
+            # row-sharded), so the sharded ADMM trajectory is identical
             self._state.update(A_c=self._A_c, lo=self._lo, hi=self._hi,
-                               AtA=self._AtA)
+                               AtA=self._AtA,
+                               n_c=jnp.asarray(self._A_c.shape[0], dtype))
         self._rebind_predicts()
 
     def _rebind_predicts(self, n_serve=None) -> None:
@@ -445,9 +457,11 @@ class SoftSensor:
         unscaling vectors, and the COLS constraint set) is row-sharded over
         ``mesh``'s ``axis_name`` axis — non-divisible row counts are padded
         with inert rows and the field output sliced back (see
-        :func:`shard_state_rows`).  Predictions are identical to the
-        single-device sensor (parity tested); the reconstruct and ADMM
-        constraint products run shard-local."""
+        :func:`shard_state_rows`, including the parity guarantees: OLS
+        exact to ULPs, fixed-budget fp32 COLS to the measured ~2e-5
+        solver reproducibility when padding changes the contraction
+        length); the reconstruct and ADMM constraint products run
+        shard-local."""
         import copy
         new = copy.copy(self)
         new._state = shard_state_rows(self._state, mesh, axis_name)
@@ -494,9 +508,12 @@ def _gpr_predict_math(state, P_star, mean_spec, kernel_spec,
                             state["AtA"])
 
         def map_one(mu, var):
+            # n_rows = active (unpadded) constraint rows: sharded-vs-single
+            # trajectory invariance, same contract as the COLS path above
             v, _ = _boxls.box_constrained_map(
                 mu, jnp.diag(var), A_c, lo, hi, AtA=AtA,
-                max_iter=admm_iters, tol=0.0, over_relax=over_relax)
+                max_iter=admm_iters, tol=0.0, over_relax=over_relax,
+                n_rows=state["n_c"])
             return v
         V_pred = jax.vmap(map_one)(V_pred, variances.T)
     A = V_pred * state["Sigma_r"][None, :]
@@ -613,7 +630,10 @@ class GPRSensor:
                 A_c=jnp.asarray(cs.A), lo=jnp.asarray(cs.lo),
                 hi=jnp.asarray(cs.hi),
                 AtA=jnp.matmul(cs.A.T, cs.A,
-                               precision=jax.lax.Precision.HIGHEST))
+                               precision=jax.lax.Precision.HIGHEST),
+                # active row count: replicated under shard(), so padded
+                # inert rows do not perturb the MAP ADMM trajectory
+                n_c=jnp.asarray(cs.A.shape[0], jnp.asarray(cs.A).dtype))
         return cls(gpr.mean, gpr.kernel, gpr.likelihood, gpr.gpr_type,
                    state, admm_iters=admm_iters,
                    admm_over_relax=admm_over_relax)

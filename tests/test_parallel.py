@@ -392,15 +392,20 @@ class TestShardedServing:
         assert ssens._state["A_c"].shape[0] == -(-n_c // 4) * 4  # padded
 
         P_test = np.asarray(data["P_test"], float)
-        f1, _, _ = sensor(P_test)
-        f2, _, _ = ssens(P_test)
+        f1, a1, _ = sensor(P_test)
+        f2, a2, _ = ssens(P_test)
         scale = float(np.abs(np.asarray(f1)).max())
-        # tolerance note: the inert padded row enters admm_box_qp's primal-
-        # residual normalization (‖·‖/√n_rows), shifting the ρ-adaptation
-        # trajectory — both runs are valid fixed-budget ADMM solves of the
-        # same QP, agreeing to ~2e-5 relative (measured), not bit-exactly.
+        # tolerance note: admm_box_qp normalizes residuals by the ACTIVE
+        # row count (state["n_c"], not the padded A.shape[0]) and padded
+        # rows contribute exact zeros to every matvec/norm, so the f64 MAP
+        # trajectory agrees with the unpadded sensor to reduction-order
+        # ULPs (measured 2e-16 relative on both coefficients and field);
+        # bars are 1e-12·scale — four orders of margin, still ULP-class.
+        a_scale = float(np.abs(np.asarray(a1)).max())
+        np.testing.assert_allclose(np.asarray(a2), np.asarray(a1),
+                                   atol=1e-12 * a_scale)
         np.testing.assert_allclose(np.asarray(f2), np.asarray(f1),
-                                   atol=1e-4 * scale)
+                                   atol=1e-12 * scale)
 
     def test_softsensor_nondivisible_n_pads_and_matches(self, mesh):
         """The flagship case the padding exists for: n not divisible by the
@@ -431,16 +436,28 @@ class TestShardedServing:
         f1, a1, s1 = sensor.predict_batch(Y)
         f2, a2, s2 = ssens.predict_batch(Y)
         assert np.asarray(f2).shape == np.asarray(f1).shape    # sliced back
+        # tolerance note (repo convention: coefficients first, fields
+        # relative): the ρ-adaptation normalization is padding-invariant
+        # (admm_box_qp n_rows = active count) and padded rows contribute
+        # exact zeros, BUT this model is float32 and padding changes the
+        # contraction length (369 → 372), so XLA blocks the n-row dots
+        # differently; the resulting per-iteration ULP noise compounds
+        # through 300 fixed-budget ADMM iterations (clip nonlinearities)
+        # to the solver's fp32 reproducibility bound — measured 1.8e-5
+        # relative on coefficients and 1.1e-5·scale on the field.  Bars
+        # are 1e-4 (≈6× margin); the f64 sibling test above pins the
+        # ULP-exact case.
         scale = float(np.abs(np.asarray(f1)).max())
-        np.testing.assert_allclose(np.asarray(f2), np.asarray(f1),
-                                   atol=1e-5 * scale)
+        a_scale = float(np.abs(np.asarray(a1)).max())
         np.testing.assert_allclose(np.asarray(a2), np.asarray(a1),
-                                   rtol=1e-4, atol=1e-5)
+                                   atol=1e-4 * a_scale)
+        np.testing.assert_allclose(np.asarray(f2), np.asarray(f1),
+                                   atol=1e-4 * scale)
         # single-request path slices too
         x1 = np.asarray(sensor(Y[0]))
         x2 = np.asarray(ssens(Y[0]))
         assert x1.shape == x2.shape
-        np.testing.assert_allclose(x2, x1, atol=1e-5 * scale)
+        np.testing.assert_allclose(x2, x1, atol=1e-4 * scale)
 
 
 def test_sharded_decoder_sensor_matches_single_device(mesh):
