@@ -38,9 +38,8 @@ def host_f64():
     redirects placements made inside the context) and idempotent under
     the CPU x64 conformance suite (x64 already on, device already CPU).
     """
-    from jax.experimental import enable_x64
     cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu), enable_x64():
+    with jax.default_device(cpu), jax.enable_x64(True):
         yield
 
 

@@ -127,6 +127,25 @@ class GPR(ROM):
     def scale_GPR_data(self, P, scale_type: str):
         P0, P_cnt, P_scl = _scaling.scale_parameters(_as_device(P),
                                                      scale_type)
+        # same degenerate-scale guard as ROM.scale_data (documented
+        # deviation): a constant parameter COLUMN zeroes its scale under
+        # most scale types; the reference divides anyway (gpr.py:253-335)
+        # and the NaN silently poisons every GP fit on that input.
+        # Constancy is tested directly (ptp == 0) — the computed spread
+        # statistic of a constant column can land at eps-level, not zero
+        scl = np.asarray(P_scl)[0]
+        bad = ~(np.isfinite(scl) & (scl != 0))
+        if scale_type in ("std", "pareto", "range", "variance",
+                          "vast", "vast_2", "vast_3", "vast_4"):
+            bad |= np.ptp(np.asarray(P), axis=0) == 0
+        bad = np.flatnonzero(bad)
+        if bad.size:
+            raise ValueError(
+                f"scale_GPR_data(scale_type={scale_type!r}): parameter "
+                f"column(s) {bad.tolist()} have a zero or non-finite "
+                f"scale factor (values {scl[bad].tolist()}) — typically "
+                "a constant design parameter. Drop the column or use "
+                "scale_type='none'.")
         self.P_cnt = P_cnt
         self.P_scl = P_scl
         return P0
@@ -424,12 +443,17 @@ class GPR(ROM):
     # ------------------------------------------------------------------ #
 
     def _posterior_all(self, P0_star) -> MultitaskPosterior:
-        """Noise-inclusive posterior at scaled test points, all modes."""
-        means, variances = posterior_all_modes(
-            self.mean, self.kernel, self.likelihood, self.gpr_type,
-            self.params, self._train_X, self._train_Y, P0_star)
-        return MultitaskPosterior(mean=means.T,
-                                  stddev=jnp.sqrt(variances).T)
+        """Noise-inclusive posterior at scaled test points, all modes —
+        under the engine (host-f64 posteriors for ``engine='host'``
+        models, matching their f64-trained hyperparameters)."""
+        def run(params, X, Y, Xs):
+            means, variances = posterior_all_modes(
+                self.mean, self.kernel, self.likelihood, self.gpr_type,
+                params, X, Y, Xs)
+            return means.T, jnp.sqrt(variances).T
+        m, s = self._run_gp_stage(run, self.params, self._train_X,
+                                  self._train_Y, P0_star)
+        return MultitaskPosterior(mean=m, stddev=s)
 
     def _state_constraint_parts(self, limits, bc):
         """State-space constraint parts for the constrained MAP: the
@@ -547,8 +571,17 @@ class GPR(ROM):
             V_pred = jax.vmap(map_one, in_axes=in_axes)(
                 V_pred, V_sigma, cs.lo, cs.hi)
 
-        A_pred = V_pred * self.Sigma_r[None, :]
-        A_sigma = V_sigma * self.Sigma_r[None, :]
+        # host engine: keep the Σ-rescale in f64 on the host (V_pred is a
+        # host-f64 posterior there; a device multiply would round it to
+        # fp32 before scaling).  The constrained branch above runs the
+        # device ADMM either way — its accuracy is set by the iteration
+        # budget, not the operand dtype.
+        if getattr(self, "engine", "device") == "host":
+            sig = np.asarray(self.Sigma_r, np.float64)[None, :]
+        else:
+            sig = self.Sigma_r[None, :]
+        A_pred = V_pred * sig
+        A_sigma = V_sigma * sig
         return A_pred, A_sigma
 
     # ------------------------------------------------------------------ #
@@ -582,11 +615,16 @@ class GPR(ROM):
                 task_params = self.params["tasks"]
             else:
                 task_params = self.params
-            Vr_sigma_new = jax.vmap(
-                lambda tp: E.gp_prior_stddev(self.mean, self.kernel, tp,
-                                             P0_new))(task_params).T
-        Vr_sigma_tot = jnp.concatenate(
-            [_as_device(self.Vr_sigma), Vr_sigma_new], axis=0)
+            Vr_sigma_new = self._prior_stddev_all(task_params, P0_new)
+        if getattr(self, "engine", "device") == "host":
+            # host-f64 bookkeeping (a jnp concat would round the stored
+            # f64 sigmas back to fp32)
+            Vr_sigma_tot = np.concatenate(
+                [np.asarray(self.Vr_sigma, np.float64),
+                 np.asarray(Vr_sigma_new, np.float64)], axis=0)
+        else:
+            Vr_sigma_tot = jnp.concatenate(
+                [_as_device(self.Vr_sigma), Vr_sigma_new], axis=0)
         # (the reference zeroes these, gpr.py:654; we keep actual values)
         self.Vr_sigma = Vr_sigma_tot
 
@@ -606,10 +644,8 @@ class GPR(ROM):
         if self.gpr_type == "MultiTask":
             self.params, _ = self._multitask_adam(self.params, P0_tot,
                                                   Vr_tot, verbose)
-            self.Vr_sigma = jax.vmap(
-                lambda tp: E.gp_prior_stddev(self.mean, self.kernel, tp,
-                                             P0_tot)
-            )(self.params["tasks"]).T
+            self.Vr_sigma = self._prior_stddev_all(self.params["tasks"],
+                                                   P0_tot)
         else:
             # Reference swaps in FixedNoiseGaussianLikelihood(Vr_sigma²)
             # (gpr.py:671-672); requires the uncertainties.
@@ -621,20 +657,11 @@ class GPR(ROM):
             params0 = dict(self.params)
             params0["likelihood"] = {
                 "fixed_noise": (Vr_sigma_tot ** 2).T}  # (r, p_tot)
-            loss_fn = E.make_single_task_loss(self.mean, self.kernel, fixed,
-                                              P0_tot, Vr_tot.T)
-            vag = E.make_single_task_value_and_grad(self.mean, self.kernel,
-                                                    fixed, P0_tot, Vr_tot.T)
-            res = E.adam_early_stop(loss_fn, params0, lr=self.lr,
-                                    max_iter=self.max_iter,
-                                    rel_error=self.rel_error,
-                                    verbose=verbose, value_and_grad=vag)
+            res = self._single_task_adam(params0, fixed, P0_tot, Vr_tot,
+                                         verbose)
             self.params = res.params
             self.likelihood = fixed
-            self.Vr_sigma = jax.vmap(
-                lambda tp: E.gp_prior_stddev(self.mean, self.kernel, tp,
-                                             P0_tot)
-            )(self.params).T
+            self.Vr_sigma = self._prior_stddev_all(self.params, P0_tot)
         # the API-compat views (models/likelihoods) must track the
         # re-optimized params and the possibly-swapped likelihood, like
         # the reference does (gpr.py:662,674-675)
@@ -749,17 +776,8 @@ class GPR(ROM):
                 self.params, _ = self._multitask_adam(self.params, P0_tot,
                                                       Vr_tot, verbose)
             else:
-                loss_fn = E.make_single_task_loss(
-                    self.mean, self.kernel, self.likelihood, P0_tot,
-                    Vr_tot.T)
-                vag = E.make_single_task_value_and_grad(
-                    self.mean, self.kernel, self.likelihood, P0_tot,
-                    Vr_tot.T)
-                res = E.adam_early_stop(loss_fn, self.params, lr=self.lr,
-                                        max_iter=self.max_iter,
-                                        rel_error=self.rel_error,
-                                        verbose=verbose,
-                                        value_and_grad=vag)
+                res = self._single_task_adam(self.params, self.likelihood,
+                                             P0_tot, Vr_tot, verbose)
                 self.params = res.params
 
         # prior stddev at the full set with the (possibly re-optimized)
@@ -768,9 +786,7 @@ class GPR(ROM):
             task_params = self.params["tasks"]
         else:
             task_params = self.params
-        self.Vr_sigma = jax.vmap(
-            lambda tp: E.gp_prior_stddev(self.mean, self.kernel, tp,
-                                         P0_tot))(task_params).T
+        self.Vr_sigma = self._prior_stddev_all(task_params, P0_tot)
         self._refresh_api_compat()
 
 
@@ -831,6 +847,12 @@ class PIGPR(GPR):
         self.rel_error = rel_error
         self.lr = lr
         self.verbose = verbose
+        # PIGPR has no host-f64 engine: the added-loss callback is user
+        # code differentiated inside the training loop, and the Pallas
+        # chol-inverse JVP path it leans on is the device formulation —
+        # pin the engine so a previous host-trained GPR state cannot leak
+        # host semantics into the PIGPR posteriors
+        self.engine = "device"
 
         mean, kernel, likelihood = self._default_specs(mean, kernel,
                                                        likelihood)

@@ -67,6 +67,15 @@ class CoKriging:
         self.thetaU = None
         self.initial_range = 0.3
         self.tol = 1e-6
+        # 'device' (default, ambient fp32 on TPU) or 'host': run the
+        # latent kriging fits/predictions on the host CPU in float64
+        # (core.host64) — the reference's numerics (OpenMDAO
+        # MultiFiCoKriging is f64 scipy, cokriging.py:115-119) on top of
+        # the device-fit manifold alignment.  The latent problems are
+        # tiny (n ≈ tens), so the f64 stage is nearly free; the x64 probe
+        # pins f64 agreement with the reference op set at 8.8e-8 where
+        # the fp32 chain sits at ~3e-4 (BASELINE.md).
+        self.engine = "device"
         if config is not None:
             # CoKrigingConfig fields map 1:1 onto the reference's mutable
             # public knobs (cokriging.py:33-42)
@@ -179,7 +188,7 @@ class CoKriging:
         self._batch = BatchedMFK(
             regr=self.regr_type, rho_regr=self.rho_regr, theta=self.theta,
             theta0=self.theta0, thetaL=self.thetaL, thetaU=self.thetaU,
-            normalize=self.normalize)
+            normalize=self.normalize, engine=self.engine)
         self._batch.fit([X_train, np.asarray(self.X_train_l)], [Za, Zh],
                         initial_range=self.initial_range, tol=self.tol)
         self.model_list = [_BatchedMFKView(self._batch, k)

@@ -386,9 +386,10 @@ class BatchedMFK:
 
     def __init__(self, regr: str = "constant", rho_regr: str = "constant",
                  theta=None, theta0=None, thetaL=None, thetaU=None,
-                 normalize: bool = True):
+                 normalize: bool = True, engine: str = "device"):
         self._proto = MultiFiCoKriging(regr, rho_regr, theta, theta0,
-                                       thetaL, thetaU, normalize)
+                                       thetaL, thetaU, normalize,
+                                       engine=engine)
 
     # knob SINGLE SOURCE is the proto — these views keep the reference's
     # mutable-public-attribute surface without a second copy that fit/
@@ -417,10 +418,25 @@ class BatchedMFK:
     def normalize(self, v):
         self._proto.normalize = v
 
+    @property
+    def engine(self):
+        return self._proto.engine
+
+    @engine.setter
+    def engine(self, v):
+        self._proto.engine = v
+
     def fit(self, X: Sequence, Y: Sequence, initial_range: float = 0.3,
             tol: float = 1e-6) -> "BatchedMFK":
         """X: level inputs (lowest fidelity first); Y: per-level (K, n_l)
-        stacked outputs."""
+        stacked outputs.  Runs under the model's ``engine`` (host-f64 CPU
+        for ``engine='host'`` — the reference's OpenMDAO numerics are f64
+        scipy; the level state then lives as f64 host arrays and
+        ``predict`` re-enters the same context)."""
+        with self._proto._engine_ctx(record=True):
+            return self._fit_impl(X, Y, initial_range, tol)
+
+    def _fit_impl(self, X, Y, initial_range, tol):
         p = self._proto
         # refitting invalidates any _BatchedMFKView predictions cached on
         # this object (the cache is keyed on X only)
@@ -501,16 +517,18 @@ class BatchedMFK:
         """Returns (means (K', n), mses (K', n)) for the first
         K' = n_outputs (default all K) outputs at X — truncated predictions
         slice the stacked level tensors BEFORE dispatch, so only the
-        requested outputs are computed."""
+        requested outputs are computed.  Runs under the engine the model
+        was FIT with (its level state lives on that backend)."""
         X = np.atleast_2d(np.asarray(X, dtype=float))
-        Xn = jnp.asarray((X - self._X_mean) / self._X_std)
         view = self if n_outputs is None or n_outputs >= self.K \
             else self._sliced(n_outputs)
-        mean, var = view._predict_level_batch(view.n_levels - 1, Xn)
-        kk = view.K
-        means = np.asarray(mean) * self._y_std[:kk, None] \
-            + self._y_mean[:kk, None]
-        mses = np.asarray(var) * self._y_std[:kk, None] ** 2
+        with self._proto._engine_ctx():
+            Xn = jnp.asarray((X - self._X_mean) / self._X_std)
+            mean, var = view._predict_level_batch(view.n_levels - 1, Xn)
+            kk = view.K
+            means = np.asarray(mean) * self._y_std[:kk, None] \
+                + self._y_mean[:kk, None]
+            mses = np.asarray(var) * self._y_std[:kk, None] ** 2
         return means, mses
 
     def _sliced(self, k: int) -> "BatchedMFK":
@@ -553,7 +571,7 @@ class MultiFiCoKriging:
 
     def __init__(self, regr: str = "constant", rho_regr: str = "constant",
                  theta=None, theta0=None, thetaL=None, thetaU=None,
-                 normalize: bool = True):
+                 normalize: bool = True, engine: str = "device"):
         self.regr = regr
         self.rho_regr = rho_regr
         self.theta = theta
@@ -561,6 +579,31 @@ class MultiFiCoKriging:
         self.thetaL = thetaL
         self.thetaU = thetaU
         self.normalize = normalize
+        # 'device' (ambient backend/dtype — fp32 on TPU) or 'host' (the
+        # same programs on the host CPU in float64, core.host64 — the
+        # reference's OpenMDAO numerics; the kriging systems are tiny, so
+        # the f64 stage is nearly free and removes the ~3e-4 fp32
+        # prediction deviation pinned in BASELINE.md)
+        self.engine = engine
+
+    def _engine_ctx(self, record: bool = False):
+        """Engine context for fit (``record=True``: validates and pins the
+        engine the level state is built on) and predict (re-enters the
+        FIT engine — mutating ``engine`` between fit and predict must not
+        mix backends)."""
+        import contextlib
+        if record:
+            if self.engine not in ("device", "host"):
+                raise ValueError(
+                    f"engine must be 'device' or 'host'; "
+                    f"got {self.engine!r}")
+            self._fit_engine = self.engine
+        eng = self._fit_engine if hasattr(self, "_fit_engine") \
+            else self.engine
+        if eng == "host":
+            from ..core.host64 import host_f64
+            return host_f64()
+        return contextlib.nullcontext()
 
     # ------------------------------------------------------------------ #
 
@@ -593,7 +636,11 @@ class MultiFiCoKriging:
             tol: float = 1e-6):
         """X, y: lists ordered lowest fidelity first (openmdao convention,
         matching the reference's ``fit([X_all, X_linked], [lf, hf])`` call at
-        ``cokriging.py:118``)."""
+        ``cokriging.py:118``).  Runs under the model's ``engine``."""
+        with self._engine_ctx(record=True):
+            return self._fit_impl(X, y, initial_range, tol)
+
+    def _fit_impl(self, X, y, initial_range, tol):
         X = [np.atleast_2d(np.asarray(Xi, dtype=float)) for Xi in X]
         y = [np.asarray(yi, dtype=float).reshape(-1) for yi in y]
         self.n_levels = len(X)
@@ -683,10 +730,12 @@ class MultiFiCoKriging:
 
     def predict(self, X: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (mean, MSE) at X, each shape (n, 1) — openmdao's
-        two-element convention consumed at ``cokriging.py:132-133``."""
+        two-element convention consumed at ``cokriging.py:132-133``.
+        Runs under the engine the model was fit with."""
         X = np.atleast_2d(np.asarray(X, dtype=float))
-        Xn = jnp.asarray((X - self._X_mean) / self._X_std)
-        mean, var = self._predict_level(self.n_levels - 1, Xn)
-        mean = np.asarray(mean) * self._y_std + self._y_mean
-        mse = np.asarray(var) * self._y_std ** 2
+        with self._engine_ctx():
+            Xn = jnp.asarray((X - self._X_mean) / self._X_std)
+            mean, var = self._predict_level(self.n_levels - 1, Xn)
+            mean = np.asarray(mean) * self._y_std + self._y_mean
+            mse = np.asarray(var) * self._y_std ** 2
         return mean.reshape(-1, 1), mse.reshape(-1, 1)

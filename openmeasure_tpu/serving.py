@@ -738,17 +738,29 @@ class CoKrigingSensor:
                 "engine (call manifold_alignment() then fit()).")
         b = ck._batch
         n_latent = ck.n_latent
-        levels = [{k: jnp.asarray(v) for k, v in lev.items()
+        # cast to the AMBIENT default float (f32 on device, f64 under the
+        # x64 CPU suite): a host-f64-fit model (engine='host') carries
+        # f64 CPU-committed level arrays, which a bare jnp.asarray would
+        # keep as f64 — an emulated-f64 (or failing) program on TPU
+        dt = jnp.asarray(0.0).dtype
+
+        def dev(v):
+            a = np.asarray(v)
+            return jnp.asarray(a, dt) if np.issubdtype(a.dtype,
+                                                       np.floating) \
+                else jnp.asarray(a)
+
+        levels = [{k: dev(v) for k, v in lev.items()
                    if k != "rho_cols"} for lev in b.levels]
         state = {
             "levels": levels,
-            "X_mean": jnp.asarray(b._X_mean),
-            "X_std": jnp.asarray(b._X_std),
-            "y_mean": jnp.asarray(b._y_mean),
-            "y_std": jnp.asarray(b._y_std),
-            "Ur": jnp.asarray(ck.Ur_hf[:, :n_latent]),
-            "X_cnt": jnp.asarray(ck.rom_hf.X_cnt)[:, 0],
-            "X_scl": jnp.asarray(ck.rom_hf.X_scl)[:, 0],
+            "X_mean": dev(b._X_mean),
+            "X_std": dev(b._X_std),
+            "y_mean": dev(b._y_mean),
+            "y_std": dev(b._y_std),
+            "Ur": dev(ck.Ur_hf[:, :n_latent]),
+            "X_cnt": dev(np.asarray(ck.rom_hf.X_cnt)[:, 0]),
+            "X_scl": dev(np.asarray(ck.rom_hf.X_scl)[:, 0]),
         }
         rho_cols_seq = tuple(lev["rho_cols"] for lev in b.levels)
         return cls(b._proto.regr, b._proto.rho_regr, rho_cols_seq,

@@ -1,0 +1,189 @@
+"""x64 conformance: the round-4 probes, checked in as regression tests.
+
+BASELINE.md's two strongest numerical claims — that the GPR pipeline and
+the latent co-kriging are the SAME ALGORITHM as the reference with only
+device-numerics deltas — were established by throwaway ``/tmp/x64_conf.py``
+probes (round 4).  These tests re-assert them in CI at a
+reduced-but-representative shape:
+
+* f64 ``gpr_end_to_end`` vs the reference GPR op set
+  (``/root/reference/src/openmeasure/gpr.py:220-251,497-509`` — serial
+  torch-f64 Adam+Cholesky −MLL loops with the reference stop rule,
+  re-implemented op-for-op in ``bench.time_reference_gpr_cpu``):
+  NRMSE delta ≤ 1e-10 (full-scale round-4 probe measured 2.4e-12);
+* f64 ``mfk_end_to_end`` vs the reference co-kriging op set
+  (``cokriging.py:109-144`` → OpenMDAO-style serial multistart COBYLA,
+  ``bench.time_reference_cokriging_cpu``): prediction NRMSE ≤ 1e-6
+  (round-4 probe measured 8.8e-8 — the optimizers legitimately differ,
+  damped Newton vs COBYLA, so agreement is bounded by θ-optimum match,
+  not round-off).
+
+The suite conftest pins CPU + x64, so the pipelines run in float64 here;
+the engine-parity tests for the opt-in host-f64 GP stage
+(``GPR.train(engine='host')`` / ``CoKriging.engine``) live alongside
+because they pin the same claim from the fp32 side.
+"""
+
+import importlib.util
+import pathlib
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from openmeasure_tpu.datasets.synthetic import make_flame_dataset
+
+
+def _load_bench():
+    path = pathlib.Path(__file__).resolve().parent.parent / "bench.py"
+    spec = importlib.util.spec_from_file_location("omtpu_bench", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("omtpu_bench", mod)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.slow
+def test_gpr_f64_matches_reference_op_set():
+    """Our f64 GPR pipeline == the reference algorithm (BASELINE.md x64
+    row).  Reduced shape (n = 9·900 rows vs the flagship 165k) — the
+    claim under test is trajectory identity, which is shape-independent;
+    the full-scale probe measured 2.4e-12."""
+    bench = _load_bench()
+    from openmeasure_tpu.pipelines import gpr_end_to_end
+
+    assert jax.config.jax_enable_x64, "conformance suite must run x64"
+    data = make_flame_dataset(n_cells=900)
+    r = 14
+    X_train = np.asarray(data["X_train"], np.float64)
+    X_test = np.asarray(data["X_test"], np.float64)
+    P_train = np.asarray(data["P_train"], np.float64)
+    P_test = np.asarray(data["P_test"], np.float64)
+
+    _, ref_nrmse = bench.time_reference_gpr_cpu(
+        X_train, P_train, P_test, X_test, data["n_features"], r)
+    res = gpr_end_to_end(jnp.asarray(X_train), jnp.asarray(P_train),
+                         jnp.asarray(P_test), jnp.asarray(X_test),
+                         data["n_features"], r)
+    ours = float(res.nrmse)
+    assert abs(ours - ref_nrmse) <= 1e-10, (ours, ref_nrmse)
+
+
+@pytest.mark.slow
+def test_mfk_f64_matches_reference_op_set():
+    """Our f64 latent co-kriging vs the reference COBYLA op set on the
+    bench workload (BASELINE.md x64 row: 8.8e-8; bar 1e-6 — the bound is
+    θ-optimum agreement between the two optimizers, not round-off)."""
+    bench = _load_bench()
+    from openmeasure_tpu.pipelines import mfk_end_to_end
+
+    X_lf, Y_lf, X_hf, Y_hf, X_test = bench._mfk_problem()
+    _, ref_means = bench.time_reference_cokriging_cpu(
+        X_lf, Y_lf, X_hf, Y_hf, X_test)
+    res = mfk_end_to_end(jnp.asarray(X_lf), jnp.asarray(Y_lf),
+                         jnp.asarray(X_hf), jnp.asarray(Y_hf),
+                         jnp.asarray(X_test))
+    ours = np.asarray(res.mean)
+    dev = float(np.sqrt(np.mean((ours - ref_means) ** 2))
+                / (ref_means.max() - ref_means.min()))
+    assert dev <= 1e-6, dev
+
+
+class TestHostEngineParity:
+    """The opt-in host-f64 GP stage (engine='host') vs the pure-fp32
+    device path — VERDICT round-4 task 2's parity requirement.
+
+    Under this suite's conftest the ambient config is ALREADY CPU+x64, so
+    the host context is a no-op re-entry and the two engines must agree to
+    round-off; the fp32-vs-f64 behavior itself is exercised by the
+    dtype assertions (the host engine must hand back f64 regardless of
+    ambient dtype) and on TPU by the bench accuracy rows."""
+
+    def _data(self, n_cells=50):
+        return make_flame_dataset(n_cells=n_cells)
+
+    @pytest.mark.parametrize("gpr_type", ["SingleTask", "MultiTask"])
+    def test_gpr_host_matches_device(self, gpr_type):
+        from openmeasure_tpu import GPR
+        data = self._data()
+        kw = dict(select_modes="number", n_modes=4)
+
+        g1 = GPR(data["X_train"], data["n_features"], data["xyz"],
+                 data["P_train"], gpr_type=gpr_type)
+        g1.fit(**kw)
+        g1.train(max_iter=60)
+        A1, S1 = g1.predict(np.asarray(data["P_test"]))
+
+        g2 = GPR(data["X_train"], data["n_features"], data["xyz"],
+                 data["P_train"], gpr_type=gpr_type)
+        g2.fit(**kw)
+        g2.train(max_iter=60, engine="host")
+        A2, S2 = g2.predict(np.asarray(data["P_test"]))
+
+        assert np.asarray(A2).dtype == np.float64
+        # ambient here is f64 → same program, same backend: round-off only
+        np.testing.assert_allclose(np.asarray(A2), np.asarray(A1),
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(S2), np.asarray(S1),
+                                   rtol=1e-10, atol=1e-12)
+
+    def test_gpr_host_survives_update_and_retrain(self):
+        from openmeasure_tpu import GPR
+        data = self._data()
+        g = GPR(data["X_train"], data["n_features"], data["xyz"],
+                data["P_train"])
+        g.fit(select_modes="number", n_modes=4)
+        g.train(max_iter=40, engine="host")
+        A, S = g.predict(np.asarray(data["P_test"]))
+        g.update(np.asarray(data["P_test"])[:2], np.asarray(A)[:2],
+                 A_sigma_new=np.asarray(S)[:2], retrain=True)
+        A2, _ = g.predict(np.asarray(data["P_test"]))
+        assert np.asarray(A2).dtype == np.float64
+        assert np.isfinite(np.asarray(A2)).all()
+        assert g.engine == "host"
+
+    def test_invalid_engine_rejected(self):
+        from openmeasure_tpu import GPR
+        data = self._data(n_cells=20)
+        g = GPR(data["X_train"], data["n_features"], data["xyz"],
+                data["P_train"])
+        g.fit(select_modes="number", n_modes=3)
+        with pytest.raises(ValueError, match="engine"):
+            g.train(max_iter=5, engine="gpu")
+
+    def test_cokriging_host_matches_device(self):
+        from openmeasure_tpu import CoKriging
+        rng = np.random.default_rng(0)
+        nf, npts_lf, npts_hf = 2, 30, 50
+        n_l, n_u, n_t = 8, 5, 4
+        Xl, Xu, Xt = (rng.random((n_l, 3)), rng.random((n_u, 3)),
+                      rng.random((n_t, 3)))
+
+        def fields(X, npts):
+            t = np.linspace(0, 1, npts * nf)[:, None]
+            return (np.sin(3 * t * X[:, 0][None, :])
+                    + 0.5 * np.cos(2 * t * (X[:, 1] + X[:, 2])[None, :]))
+
+        Ylf_l, Ylf_u = fields(Xl, npts_lf), fields(Xu, npts_lf)
+        Yhf_l = fields(Xl, npts_hf) * 1.1 + 0.05
+        xyz_lf, xyz_hf = rng.random((npts_lf, 3)), rng.random((npts_hf, 3))
+
+        def run(engine):
+            ck = CoKriging(Xl, Xu, Ylf_l, Ylf_u, Yhf_l, xyz_lf, xyz_hf, nf)
+            ck.engine = engine
+            ck.manifold_alignment(select_modes="number", n_modes_hf=4,
+                                  n_modes_lf=4)
+            ck.fit()
+            return ck.predict(Xt)[0]
+
+        Y1, Y2 = run("device"), run("host")
+        np.testing.assert_allclose(Y2, Y1, rtol=1e-8,
+                                   atol=1e-10 * np.abs(Y1).max())
+
+    def test_cokriging_invalid_engine_rejected(self):
+        from openmeasure_tpu.multifi.mfk import BatchedMFK
+        b = BatchedMFK(engine="half")
+        with pytest.raises(ValueError, match="engine"):
+            b.fit([np.random.rand(5, 2)], [np.random.rand(2, 5)])
