@@ -119,6 +119,38 @@ class ROM:
     def scale_data(self, scale_type: str = "std", axis_cnt: Optional[int] = 1):
         X0, X_cnt, X_scl = _scaling.scale_data(
             _as_device(self.X), self.n_features, scale_type, axis_cnt)
+        # Degenerate-block guard (documented deviation): a constant (dead)
+        # feature block yields a zero/round-off-noise scale under the
+        # spread-based scale types (std/pareto/range/variance/vast*), and
+        # value-based types can hit exact zeros (l2 of a zero block, level
+        # with zero mean).  The reference divides anyway
+        # (`sparse_sensing.py:114-165`) and the resulting NaN/garbage
+        # silently poisons the SVD and every downstream fit — raise HERE
+        # with the offending feature ids instead.  Constancy is tested
+        # directly (block max == min): the computed statistic of a
+        # constant block can land at eps-level instead of exact zero
+        # (XLA reassociation), which would dodge a pure zero test.  Cost:
+        # two fused block reductions + an (n_features,) readback per fit.
+        # The streaming tier already fails loudly on the same input
+        # (tests/test_streaming.py zero-scale test).
+        scl_blocks = np.asarray(X_scl[:: self.n_points, 0])
+        bad = ~(np.isfinite(scl_blocks) & (scl_blocks != 0))
+        if scale_type in ("std", "pareto", "range", "variance",
+                          "vast", "vast_2", "vast_3", "vast_4"):
+            Xb = _as_device(self.X).reshape(self.n_features,
+                                            self.n_points, -1)
+            spread = np.asarray(jnp.max(Xb, axis=(1, 2))
+                                - jnp.min(Xb, axis=(1, 2)))
+            bad |= spread == 0
+        bad_idx = np.flatnonzero(bad)
+        if bad_idx.size:
+            raise ValueError(
+                f"scale_data(scale_type={scale_type!r}): feature block(s) "
+                f"{bad_idx.tolist()} are constant (dead channel) or have "
+                f"a zero/non-finite scale factor "
+                f"(values {scl_blocks[bad_idx].tolist()}). Dividing by it "
+                "would silently corrupt the whole fit; drop or repair "
+                "those features, or use scale_type='none'.")
         self.X_cnt = X_cnt
         self.X_scl = X_scl
         # new statistics invalidate SPR's cached C @ X_cnt and host scale

@@ -125,6 +125,28 @@ class TestScalingDiff:
         np.testing.assert_allclose(np.asarray(r2.X_scl[:, 0]),
                                    np.full(10, scl_ours), rtol=1e-10)
 
+    def test_constant_block_reference_nans_ours_raises(self, ref, data):
+        """Documented deviation (degenerate-scale guard): a constant
+        (dead) feature block under 'std' yields scl = 0; the reference
+        divides anyway and the NaN silently poisons the whole fit
+        (``sparse_sensing.py:114-165``) — ours raises at the API layer
+        with the offending feature ids (``rom.py scale_data``), matching
+        the streaming tier's existing loud failure."""
+        X = data["X"].copy()
+        npts = data["n_points"]
+        X[npts:2 * npts] = 7.5                     # block 1 constant
+        r1 = ref.ROM(X, data["n_features"], data["xyz"])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            X0_ref = r1.scale_data("std")
+        # the reference's silent-corruption behavior, pinned
+        assert np.isnan(X0_ref[npts:2 * npts]).all()
+        assert not np.isnan(X0_ref[:npts]).any()
+
+        from openmeasure_tpu import ROM
+        r2 = ROM(X, data["n_features"], data["xyz"])
+        with pytest.raises(ValueError, match=r"feature block\(s\) \[1\]"):
+            r2.scale_data("std")
+
     def test_scale_limits(self, ref, data):
         from openmeasure_tpu import ROM
         r1 = ref.ROM(data["X"], data["n_features"], data["xyz"])

