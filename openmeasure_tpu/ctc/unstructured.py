@@ -1,14 +1,22 @@
 """Unstructured mesh support for CTC projection.
 
 The reference handles arbitrary meshes through pyvista/VTK
-(``find_cells_intersecting_line``).  :class:`UnstructuredMesh` provides the
-same query surface without VTK: cells are summarized by axis-aligned bounding
-boxes and rays intersect them through the native C++ uniform-grid caster
-(``openmeasure_tpu.native``), OpenMP-parallel over the whole ray bundle.
+(``find_cells_intersecting_line``, ``utils.py:372``), which is EXACT for
+arbitrary cell shapes.  :class:`UnstructuredMesh` provides the same query
+surface without VTK through the native C++ uniform-grid caster
+(``openmeasure_tpu.native``), OpenMP-parallel over the whole ray bundle:
 
-For hexahedral/voxel cells the AABB equals the cell, so results match VTK
-exactly; for skewed elements the AABB is a superset (documented
-approximation — tomography operators gain a few near-boundary entries).
+* built :meth:`from_cells` (points + tet/pyramid/wedge/hex connectivity),
+  queries are EXACT — the cell AABB is only a prefilter, and a candidate
+  counts as a hit iff the segment crosses one of the cell's triangulated
+  faces (VTK face ordering and quad-diagonal split) or lies inside the
+  cell (``native.trace_segments_cells``); oracle-tested against
+  brute-force on sheared meshes in ``tests/test_native.py``;
+* built from raw ``cell_bounds`` (no connectivity), cells are summarized
+  by axis-aligned bounding boxes — the documented FAST PATH: exact for
+  hexahedral/voxel cells, a superset for skewed elements (tomography
+  operators gain a few near-boundary entries).  ``exact=False`` on
+  :meth:`from_cells` selects it explicitly.
 """
 
 from __future__ import annotations
@@ -20,29 +28,115 @@ import numpy as np
 from .. import native
 
 
+def _cell_face_triangles(k: int) -> np.ndarray:
+    """Triangulated faces for VTK cell orderings (quad faces split along
+    the (v0, v2) diagonal, matching the native caster and VTK's own quad
+    intersection)."""
+    if k == 4:       # VTK_TETRA
+        return np.array([[0, 1, 3], [1, 2, 3], [2, 0, 3], [0, 2, 1]])
+    if k == 5:       # VTK_PYRAMID
+        return np.array([[0, 1, 4], [1, 2, 4], [2, 3, 4],
+                         [3, 2, 1], [3, 1, 0]])
+    if k == 6:       # VTK_WEDGE
+        return np.array([[0, 1, 2], [3, 5, 4],
+                         [0, 3, 4], [0, 4, 1],
+                         [1, 4, 5], [1, 5, 2],
+                         [2, 5, 3], [2, 3, 0]])
+    if k == 8:       # VTK_HEXAHEDRON
+        return np.array([[0, 1, 5], [0, 5, 4],
+                         [1, 2, 6], [1, 6, 5],
+                         [2, 3, 7], [2, 7, 6],
+                         [3, 0, 4], [3, 4, 7],
+                         [0, 3, 2], [0, 2, 1],
+                         [4, 5, 6], [4, 6, 7]])
+    raise ValueError(
+        f"unsupported cell vertex count {k} (supported: 4=tet, "
+        "5=pyramid, 6=wedge, 8=hex)")
+
+
+def _seg_tri_hits(o, d, tlo, thi, v0, v1, v2):
+    """Vectorized Möller–Trumbore over a triangle batch — same epsilon
+    conventions as the native ``seg_tri`` (numpy fallback path)."""
+    EPS = 1e-12
+    e1 = v1 - v0
+    e2 = v2 - v0
+    pv = np.cross(np.broadcast_to(d, e2.shape), e2)
+    det = np.einsum("ij,ij->i", e1, pv)
+    ok = np.abs(det) >= 1e-300
+    inv = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
+    tv = o[None, :] - v0
+    u = np.einsum("ij,ij->i", tv, pv) * inv
+    qv = np.cross(tv, e1)
+    v = np.einsum("j,ij->i", d, qv) * inv
+    t = np.einsum("ij,ij->i", e2, qv) * inv
+    return (ok & (u >= -EPS) & (u <= 1.0 + EPS)
+            & (v >= -EPS) & (u + v <= 1.0 + EPS)
+            & (t >= tlo - EPS) & (t <= thi + EPS))
+
+
+def _segment_hits_cells_numpy(points, cells, tris, p1, p2):
+    """Pure-numpy exact test of ONE segment against every cell (fallback
+    when the native build is unavailable).  Returns a hit mask."""
+    d = p2 - p1
+    V = points[cells]                                # (n_cells, k, 3)
+    n_cells = V.shape[0]
+    f = tris.shape[0]
+    v0 = V[:, tris[:, 0]].reshape(-1, 3)
+    v1 = V[:, tris[:, 1]].reshape(-1, 3)
+    v2 = V[:, tris[:, 2]].reshape(-1, 3)
+    face_hit = _seg_tri_hits(p1, d, 0.0, 1.0, v0, v1, v2)
+    hit = face_hit.reshape(n_cells, f).any(axis=1)
+    # contained-segment case: +x ray parity from the midpoint for cells
+    # with no face crossing
+    rest = ~hit
+    if np.any(rest):
+        mid = p1 + 0.5 * d
+        dx = np.array([1.0, 0.0, 0.0])
+        cross = _seg_tri_hits(mid, dx, 0.0, 1e300,
+                              v0, v1, v2).reshape(n_cells, f)
+        hit = hit | (rest & ((cross.sum(axis=1) % 2) == 1))
+    return hit
+
+
 class UnstructuredMesh:
-    """Cell soup defined by per-cell AABBs (or points + connectivity)."""
+    """Cell soup: per-cell AABBs, optionally with exact connectivity."""
 
     def __init__(self, cell_bounds: np.ndarray,
                  cell_centers_xyz: Optional[np.ndarray] = None):
-        """cell_bounds: (n_cells, 6) [xmin, xmax, ymin, ymax, zmin, zmax]."""
+        """cell_bounds: (n_cells, 6) [xmin, xmax, ymin, ymax, zmin, zmax].
+        AABB-only queries (use :meth:`from_cells` for exact ones)."""
         self.cell_bounds = np.ascontiguousarray(cell_bounds, dtype=float)
         self.n_cells = self.cell_bounds.shape[0]
         self._centers = cell_centers_xyz
+        self._points = None
+        self._cells = None
+        self.exact = False
 
     @classmethod
-    def from_cells(cls, points: np.ndarray, cells: np.ndarray
-                   ) -> "UnstructuredMesh":
-        """points (n_pts, 3); cells (n_cells, k) vertex-index connectivity."""
+    def from_cells(cls, points: np.ndarray, cells: np.ndarray,
+                   exact: bool = True) -> "UnstructuredMesh":
+        """points (n_pts, 3); cells (n_cells, k) vertex-index connectivity
+        (VTK orderings; k ∈ {4, 5, 6, 8}).
+
+        ``exact=True`` (default): VTK-exact ray/cell queries.
+        ``exact=False``: the AABB fast path (superset hits on skewed
+        cells — the pre-round-5 behavior)."""
         pts = np.asarray(points, dtype=float)
-        cell_pts = pts[np.asarray(cells)]        # (n_cells, k, 3)
+        cells = np.asarray(cells, dtype=np.int64)
+        if exact:
+            _cell_face_triangles(cells.shape[1])   # validate k loudly
+        cell_pts = pts[cells]                    # (n_cells, k, 3)
         lo = cell_pts.min(axis=1)
         hi = cell_pts.max(axis=1)
         bounds = np.empty((cell_pts.shape[0], 6))
         bounds[:, 0::2] = lo
         bounds[:, 1::2] = hi
         centers = cell_pts.mean(axis=1)
-        return cls(bounds, centers)
+        out = cls(bounds, centers)
+        out._points = np.ascontiguousarray(pts)
+        out._cells = np.ascontiguousarray(cells)
+        out.exact = bool(exact)
+        return out
 
     def cell_centers(self) -> np.ndarray:
         if self._centers is None:
@@ -58,5 +152,26 @@ class UnstructuredMesh:
 
     def trace_batch(self, p1s: np.ndarray, p2s: np.ndarray
                     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Native batched trace: returns (ray_ids, cell_ids) hit pairs."""
+        """Native batched trace: returns (ray_ids, cell_ids) hit pairs.
+        Exact when the mesh carries connectivity and ``exact=True``;
+        AABB-superset otherwise."""
+        if self.exact and self._cells is not None:
+            if native.available():
+                return native.trace_segments_cells(
+                    self._points, self._cells, p1s, p2s)
+            # numpy fallback (no native build): brute-force exact
+            tris = _cell_face_triangles(self._cells.shape[1])
+            rays, cells = [], []
+            p1s = np.asarray(p1s, float)
+            p2s = np.asarray(p2s, float)
+            for r in range(p1s.shape[0]):
+                hit = _segment_hits_cells_numpy(
+                    self._points, self._cells, tris, p1s[r], p2s[r])
+                ids = np.flatnonzero(hit)
+                rays.append(np.full(ids.size, r, dtype=np.int64))
+                cells.append(ids.astype(np.int64))
+            return (np.concatenate(rays) if rays else
+                    np.empty(0, np.int64),
+                    np.concatenate(cells) if cells else
+                    np.empty(0, np.int64))
         return native.trace_segments_aabb(self.cell_bounds, p1s, p2s)

@@ -67,7 +67,8 @@ def _load() -> Optional[ctypes.CDLL]:
             _BUILD_FAILED = True
             return None
     lib = ctypes.CDLL(_SO_PATH)
-    if not hasattr(lib, "omtpu_npy_probe"):  # stale pre-loader .so
+    if not hasattr(lib, "omtpu_npy_probe") or \
+            not hasattr(lib, "trace_segments_cells"):  # stale .so
         if not _build():
             _BUILD_FAILED = True
             return None
@@ -92,6 +93,15 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.trace_segments_aabb.restype = ctypes.c_long
     lib.trace_segments_aabb.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_long,
+    ]
+    lib.trace_segments_cells.restype = ctypes.c_long
+    lib.trace_segments_cells.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_long, ctypes.c_long,
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.c_long,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
@@ -138,6 +148,55 @@ def trace_segments_aabb(boxes: np.ndarray, p1s: np.ndarray, p2s: np.ndarray
             return out_r[:got], out_c[:got]
         max_hits = -got
     raise RuntimeError("trace_segments_aabb: buffer negotiation failed")
+
+
+def trace_segments_cells(points: np.ndarray, cells: np.ndarray,
+                         p1s: np.ndarray, p2s: np.ndarray
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """EXACT segment/cell intersection for tet (k=4), pyramid (5), wedge
+    (6), and hex (8) cells given by ``points (n_pts, 3)`` + ``cells
+    (n_cells, k)`` connectivity (VTK vertex orderings).
+
+    VTK-semantics replacement for ``find_cells_intersecting_line`` on
+    genuinely unstructured meshes (reference ``utils.py:372``): the cell
+    AABB is only a PREFILTER; a hit requires the segment to cross a
+    triangulated face or lie inside the cell.  Returns (ray_ids, cell_ids)
+    int64 hit pairs, deduped per ray.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native raycast library unavailable (g++ build "
+                           "failed); use a VoxelGrid or pyvista mesh instead")
+    points = np.ascontiguousarray(points, dtype=np.float64)
+    cells = np.ascontiguousarray(cells, dtype=np.int64)
+    p1s = np.ascontiguousarray(p1s, dtype=np.float64)
+    p2s = np.ascontiguousarray(p2s, dtype=np.float64)
+    n_cells, k = cells.shape
+    n_rays = p1s.shape[0]
+
+    max_hits = max(1024, n_rays * 64)
+    for _ in range(4):
+        out_r = np.empty(max_hits, dtype=np.int64)
+        out_c = np.empty(max_hits, dtype=np.int64)
+        got = lib.trace_segments_cells(
+            points.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            points.shape[0],
+            cells.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n_cells, k,
+            p1s.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            p2s.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n_rays,
+            out_r.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            max_hits)
+        if got <= -1000000000:
+            raise ValueError(
+                f"trace_segments_cells: unsupported cell vertex count "
+                f"{-(got + 1000000000)} (supported: 4=tet, 5=pyramid, "
+                f"6=wedge, 8=hex)")
+        if got >= 0:
+            return out_r[:got], out_c[:got]
+        max_hits = -got
+    raise RuntimeError("trace_segments_cells: buffer negotiation failed")
 
 
 # --------------------------------------------------------------------- #

@@ -3,22 +3,39 @@
 // The reference delegates ray/cell queries to VTK's C++ locators
 // (utils.py:372,406,454 — find_cells_intersecting_line).  The TPU build's
 // primary path is the on-device DDA over voxel grids (ctc/raytrace.py); this
-// extension supplies the host-side equivalent for *unstructured* meshes,
-// where cells are arbitrary convex elements summarized by their axis-aligned
-// bounding boxes (exact for the hex/voxel meshes the CTC workflow uses,
-// a superset for skewed elements).
+// extension supplies the host-side equivalent for *unstructured* meshes.
+//
+// Two query modes share one uniform-grid + 3D-DDA traversal:
+//
+//  * trace_segments_aabb  — cells summarized by axis-aligned bounding boxes
+//    (exact for hex/voxel meshes, superset for skewed elements; the
+//    documented fast path).
+//  * trace_segments_cells — EXACT test for tet/pyramid/wedge/hex cells given
+//    by points + connectivity: the AABB slab test is only a prefilter, and a
+//    candidate counts as hit iff the segment crosses one of the cell's
+//    triangulated faces (VTK face ordering/diagonal split — VTK's own
+//    IntersectWithLine triangulates quad faces the same way) OR the segment
+//    midpoint lies inside the cell (parity of a +x ray against the same
+//    triangle soup — the fully-contained-segment case that has no face
+//    crossing).
 //
 // Algorithm: bin cell AABBs into a uniform grid; per ray, 3D-DDA through the
-// bins, slab-test each candidate AABB, dedup with a per-thread visit-stamp
-// array.  OpenMP across rays.
+// bins, test each candidate, dedup with a per-thread visit-stamp array.
+// OpenMP across rays.
 //
 // C API (ctypes-friendly):
 //   long trace_segments_aabb(boxes[n_cells*6] (xmin,xmax,ymin,ymax,zmin,zmax),
 //                            n_cells, p1s[n_rays*3], p2s[n_rays*3], n_rays,
 //                            out_rays[max_hits], out_cells[max_hits],
 //                            max_hits)
-//   returns the number of (ray, cell) hit pairs written, or -(needed) if
-//   max_hits was too small.
+//   long trace_segments_cells(points[n_pts*3], n_pts,
+//                             cells[n_cells*k], n_cells, k,
+//                             p1s[n_rays*3], p2s[n_rays*3], n_rays,
+//                             out_rays[max_hits], out_cells[max_hits],
+//                             max_hits)
+//   both return the number of (ray, cell) hit pairs written, or -(needed) if
+//   max_hits was too small; trace_segments_cells returns -1000000000 - k for
+//   an unsupported vertex count k.
 
 #include <algorithm>
 #include <cmath>
@@ -65,14 +82,102 @@ bool segment_hits_aabb(const double* p1, const double* dir, double t0,
     return true;
 }
 
-}  // namespace
+// ------------------------------------------------------------------ //
+// Exact cell tests (triangulated faces, VTK cell orderings)
+// ------------------------------------------------------------------ //
 
-extern "C" {
+// Face triangulations per vertex count.  Quads split along (v0, v2) — the
+// diagonal VTK's quad intersection uses.  Stored as flat triples.
+static const int TET_TRIS[] = {0, 1, 3, 1, 2, 3, 2, 0, 3, 0, 2, 1};
+static const int PYR_TRIS[] = {0, 1, 4, 1, 2, 4, 2, 3, 4,
+                               3, 2, 1, 3, 1, 0};
+static const int WEDGE_TRIS[] = {0, 1, 2, 3, 5, 4,
+                                 0, 3, 4, 0, 4, 1,
+                                 1, 4, 5, 1, 5, 2,
+                                 2, 5, 3, 2, 3, 0};
+static const int HEX_TRIS[] = {0, 1, 5, 0, 5, 4,   // x faces pairs
+                               1, 2, 6, 1, 6, 5,
+                               2, 3, 7, 2, 7, 6,
+                               3, 0, 4, 3, 4, 7,
+                               0, 3, 2, 0, 2, 1,   // bottom
+                               4, 5, 6, 4, 6, 7};  // top
 
-long trace_segments_aabb(const double* boxes, long n_cells,
-                         const double* p1s, const double* p2s, long n_rays,
-                         int64_t* out_rays, int64_t* out_cells,
-                         long max_hits) {
+bool tris_for(long k, const int** tris, int* n_tris) {
+    switch (k) {
+        case 4: *tris = TET_TRIS; *n_tris = 4; return true;
+        case 5: *tris = PYR_TRIS; *n_tris = 5; return true;
+        case 6: *tris = WEDGE_TRIS; *n_tris = 8; return true;
+        case 8: *tris = HEX_TRIS; *n_tris = 12; return true;
+        default: return false;
+    }
+}
+
+// Möller–Trumbore segment/triangle test on t in [tlo, thi].  Inclusive
+// boundaries with a small barycentric epsilon so edge/vertex grazes count
+// as hits (VTK's tolerance-positive convention; the numpy oracle in the
+// test suite uses the identical form).
+inline bool seg_tri(const double* o, const double* d, double tlo, double thi,
+                    const double* v0, const double* v1, const double* v2) {
+    const double EPS = 1e-12;
+    double e1[3] = {v1[0] - v0[0], v1[1] - v0[1], v1[2] - v0[2]};
+    double e2[3] = {v2[0] - v0[0], v2[1] - v0[1], v2[2] - v0[2]};
+    double pv[3] = {d[1] * e2[2] - d[2] * e2[1],
+                    d[2] * e2[0] - d[0] * e2[2],
+                    d[0] * e2[1] - d[1] * e2[0]};
+    double det = e1[0] * pv[0] + e1[1] * pv[1] + e1[2] * pv[2];
+    if (std::fabs(det) < 1e-300) return false;       // parallel
+    double inv = 1.0 / det;
+    double tv[3] = {o[0] - v0[0], o[1] - v0[1], o[2] - v0[2]};
+    double u = (tv[0] * pv[0] + tv[1] * pv[1] + tv[2] * pv[2]) * inv;
+    if (u < -EPS || u > 1.0 + EPS) return false;
+    double qv[3] = {tv[1] * e1[2] - tv[2] * e1[1],
+                    tv[2] * e1[0] - tv[0] * e1[2],
+                    tv[0] * e1[1] - tv[1] * e1[0]};
+    double v = (d[0] * qv[0] + d[1] * qv[1] + d[2] * qv[2]) * inv;
+    if (v < -EPS || u + v > 1.0 + EPS) return false;
+    double t = (e2[0] * qv[0] + e2[1] * qv[1] + e2[2] * qv[2]) * inv;
+    return t >= tlo - EPS && t <= thi + EPS;
+}
+
+// Exact segment-vs-cell: face crossing OR midpoint containment (parity of
+// a +x ray against the cell's closed triangle surface).
+bool segment_hits_cell(const double* p1, const double* dir,
+                       const double* points, const int64_t* conn,
+                       const int* tris, int n_tris) {
+    const double* V[8];
+    // conn holds this cell's vertex ids; gather vertex pointers lazily
+    for (int i = 0; i < 8; ++i) V[i] = nullptr;
+    auto vert = [&](int local) {
+        if (!V[local]) V[local] = points + 3 * conn[local];
+        return V[local];
+    };
+    for (int f = 0; f < n_tris; ++f) {
+        const int* t = tris + 3 * f;
+        if (seg_tri(p1, dir, 0.0, 1.0, vert(t[0]), vert(t[1]), vert(t[2])))
+            return true;
+    }
+    // no face crossing: either fully inside or fully outside — parity of
+    // the +x half-ray from the segment midpoint
+    double mid[3] = {p1[0] + 0.5 * dir[0], p1[1] + 0.5 * dir[1],
+                     p1[2] + 0.5 * dir[2]};
+    double dx[3] = {1.0, 0.0, 0.0};
+    int crossings = 0;
+    for (int f = 0; f < n_tris; ++f) {
+        const int* t = tris + 3 * f;
+        if (seg_tri(mid, dx, 0.0, 1e300, vert(t[0]), vert(t[1]), vert(t[2])))
+            ++crossings;
+    }
+    return (crossings & 1) != 0;
+}
+
+// ------------------------------------------------------------------ //
+// Shared traversal core
+// ------------------------------------------------------------------ //
+
+template <class HitTest>
+long trace_core(const double* boxes, long n_cells, const double* p1s,
+                const double* p2s, long n_rays, int64_t* out_rays,
+                int64_t* out_cells, long max_hits, HitTest&& hit) {
     if (n_cells <= 0 || n_rays <= 0) return 0;
 
     // --- build the uniform grid over the mesh bounds ---
@@ -178,9 +283,11 @@ long trace_segments_aabb(const double* boxes, long n_cells,
                 for (int32_t c : bin) {
                     if (stamp[(size_t)c] == r) continue;
                     if (segment_hits_aabb(p1, dir, t0, t1, boxes + 6 * c)) {
-                        stamp[(size_t)c] = r;
-                        my_rays.push_back(r);
-                        my_cells.push_back(c);
+                        stamp[(size_t)c] = r;   // AABB-tested once per ray
+                        if (hit(c, p1, dir)) {
+                            my_rays.push_back(r);
+                            my_cells.push_back(c);
+                        }
                     }
                 }
                 int axis = 0;
@@ -207,6 +314,58 @@ long trace_segments_aabb(const double* boxes, long n_cells,
         off += (long)t_rays[t].size();
     }
     return total;
+}
+
+}  // namespace
+
+extern "C" {
+
+long trace_segments_aabb(const double* boxes, long n_cells,
+                         const double* p1s, const double* p2s, long n_rays,
+                         int64_t* out_rays, int64_t* out_cells,
+                         long max_hits) {
+    return trace_core(boxes, n_cells, p1s, p2s, n_rays, out_rays, out_cells,
+                      max_hits,
+                      [](int32_t, const double*, const double*) {
+                          return true;  // the AABB slab test IS the test
+                      });
+}
+
+long trace_segments_cells(const double* points, long n_pts,
+                          const int64_t* cells, long n_cells, long k,
+                          const double* p1s, const double* p2s, long n_rays,
+                          int64_t* out_rays, int64_t* out_cells,
+                          long max_hits) {
+    (void)n_pts;
+    const int* tris;
+    int n_tris;
+    if (!tris_for(k, &tris, &n_tris)) return -1000000000 - k;
+
+    // cell AABBs from the vertices (prefilter grid)
+    std::vector<double> boxes((size_t)n_cells * 6);
+    for (long c = 0; c < n_cells; ++c) {
+        double lo[3] = {1e300, 1e300, 1e300};
+        double hi[3] = {-1e300, -1e300, -1e300};
+        for (long j = 0; j < k; ++j) {
+            const double* p = points + 3 * cells[c * k + j];
+            for (int a = 0; a < 3; ++a) {
+                lo[a] = std::min(lo[a], p[a]);
+                hi[a] = std::max(hi[a], p[a]);
+            }
+        }
+        for (int a = 0; a < 3; ++a) {
+            boxes[6 * c + 2 * a] = lo[a];
+            boxes[6 * c + 2 * a + 1] = hi[a];
+        }
+    }
+
+    return trace_core(boxes.data(), n_cells, p1s, p2s, n_rays, out_rays,
+                      out_cells, max_hits,
+                      [&](int32_t c, const double* p1, const double* dir) {
+                          return segment_hits_cell(
+                              p1, dir, points, cells + (long)c * k, tris,
+                              n_tris);
+                      });
 }
 
 }  // extern "C"
