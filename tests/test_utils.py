@@ -657,7 +657,9 @@ class TestOrbaxBackend:
         from openmeasure_tpu import ROM
         from openmeasure_tpu.utils.checkpoint import save_model
         import numpy as np
-        rom = ROM(np.ones((4, 2)), 1, np.zeros((4, 3)))
+        # non-constant data: the round-5 degenerate-scale guard rejects a
+        # constant block at fit() — this test targets the backend check
+        rom = ROM(np.arange(8.0).reshape(4, 2), 1, np.zeros((4, 3)))
         rom.fit(select_modes="number", n_modes=1)
         with _pytest.raises(ValueError):
             save_model(rom, str(tmp_path / "x"), backend="bogus")
