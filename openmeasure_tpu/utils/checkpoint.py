@@ -104,7 +104,7 @@ _ARRAY_ATTRS = [
 _META_ATTRS = ["r", "n_features", "n_points", "scale_type", "method",
                "solver", "gpr_type", "d", "max_iter", "rel_error", "lr",
                "scaleX_type", "scaleP_type", "admm_max_iter", "admm_tol",
-               "admm_over_relax", "verbose"]
+               "admm_over_relax", "verbose", "engine"]
 
 
 def save_model(obj, path: str, include_data: bool = False,
@@ -250,6 +250,7 @@ def _save_cokriging(obj, arrays: Dict[str, np.ndarray],
     meta["regr_type"] = obj.regr_type
     meta["rho_regr"] = obj.rho_regr
     meta["normalize"] = obj.normalize
+    meta["engine"] = getattr(obj, "engine", "device")
 
     b = obj._batch
     meta["batch"] = {"n_levels": b.n_levels, "K": b.K,
@@ -272,6 +273,7 @@ def _load_cokriging(arrays: Dict[str, np.ndarray], meta: Dict[str, Any]):
     obj.regr_type = meta["regr_type"]
     obj.rho_regr = meta["rho_regr"]
     obj.normalize = meta["normalize"]
+    obj.engine = meta.get("engine", "device")
     obj.Ur_hf = jnp.asarray(arrays["attr/Ur_hf"])
     obj.Zr_hf = jnp.asarray(arrays["attr/Zr_hf"])
     obj.Zr_aligned = jnp.asarray(arrays["attr/Zr_aligned"])
@@ -287,7 +289,11 @@ def _load_cokriging(arrays: Dict[str, np.ndarray], meta: Dict[str, Any]):
     bm = meta["batch"]
     batch = object.__new__(BatchedMFK)
     batch._proto = MultiFiCoKriging(obj.regr_type, obj.rho_regr,
-                                    normalize=obj.normalize)
+                                    normalize=obj.normalize,
+                                    engine=obj.engine)
+    # the level state below is (re)built on this engine's backend —
+    # predict must re-enter the same context (mfk._engine_ctx)
+    batch._proto._fit_engine = obj.engine
     batch.regr = obj.regr_type
     batch.rho_regr = obj.rho_regr
     batch.normalize = obj.normalize
@@ -296,8 +302,15 @@ def _load_cokriging(arrays: Dict[str, np.ndarray], meta: Dict[str, Any]):
     for name in _COK_BATCH_SCALARS:
         setattr(batch, name, np.asarray(arrays[f"batch/{name}"]))
     batch.levels = []
+    host = obj.engine == "host"
     for l in range(batch.n_levels):
-        lev = {key: jnp.asarray(arrays[f"batch/level{l}/{key}"])
+        # host engine: keep the f64 level arrays as device-neutral numpy
+        # (an ambient jnp conversion would round them to fp32 AND commit
+        # them to the accelerator — predict's host-f64 context would then
+        # mix backends); the prediction ops convert them inside the
+        # context on first use
+        lev = {key: (np.asarray(arrays[f"batch/level{l}/{key}"]) if host
+                     else jnp.asarray(arrays[f"batch/level{l}/{key}"]))
                for key in _COK_LEVEL_KEYS}
         lev["rho_cols"] = int(bm["rho_cols"][l])
         batch.levels.append(lev)
@@ -439,7 +452,14 @@ def load_model(path: str):
     if any(k.startswith("params/") for k in arrays):
         import jax
         params = _unflatten_tree(arrays, "params")
-        obj.params = _tree_to_jnp(params)
+        if meta.get("engine") == "host":
+            # host-f64 engine: keep the trained hyperparameters as host
+            # numpy float64 (a jnp conversion under an x64-disabled
+            # session would silently round them to fp32, degrading every
+            # posterior of the reloaded model)
+            obj.params = params
+        else:
+            obj.params = _tree_to_jnp(params)
         obj.mean = _spec_from_json(meta.get("mean_spec"))
         obj.kernel = _spec_from_json(meta.get("kernel_spec"))
         obj.likelihood = _spec_from_json(meta.get("likelihood_spec"))

@@ -187,3 +187,55 @@ class TestHostEngineParity:
         b = BatchedMFK(engine="half")
         with pytest.raises(ValueError, match="engine"):
             b.fit([np.random.rand(5, 2)], [np.random.rand(2, 5)])
+
+    def test_gpr_host_checkpoint_roundtrip(self, tmp_path):
+        """A host-engine GPR must reload AS a host-engine model with its
+        f64 hyperparameters intact (checkpoint.py keeps host params as
+        numpy f64 — a jnp conversion under a no-x64 session would
+        silently round them)."""
+        from openmeasure_tpu import GPR
+        from openmeasure_tpu.utils.checkpoint import (save_model,
+                                                      load_model)
+        data = self._data()
+        g = GPR(data["X_train"], data["n_features"], data["xyz"],
+                data["P_train"])
+        g.fit(select_modes="number", n_modes=4)
+        g.train(max_iter=40, engine="host")
+        A1, _ = g.predict(np.asarray(data["P_test"]))
+        path = str(tmp_path / "gpr_host.npz")
+        save_model(g, path)
+        g2 = load_model(path)
+        assert g2.engine == "host"
+        leaf = jax.tree_util.tree_leaves(g2.params)[0]
+        assert np.asarray(leaf).dtype == np.float64
+        A2, _ = g2.predict(np.asarray(data["P_test"]))
+        np.testing.assert_allclose(np.asarray(A2), np.asarray(A1),
+                                   rtol=1e-12)
+
+    def test_cokriging_host_checkpoint_roundtrip(self, tmp_path):
+        from openmeasure_tpu import CoKriging
+        from openmeasure_tpu.utils.checkpoint import (save_model,
+                                                      load_model)
+        rng = np.random.default_rng(1)
+        nf, npts_lf, npts_hf = 2, 20, 30
+        Xl, Xu, Xt = (rng.random((7, 3)), rng.random((4, 3)),
+                      rng.random((3, 3)))
+
+        def fields(X, npts):
+            t = np.linspace(0, 1, npts * nf)[:, None]
+            return np.sin(3 * t * X[:, 0][None, :]) + 0.2 * X[:, 1][None, :]
+
+        ck = CoKriging(Xl, Xu, fields(Xl, npts_lf), fields(Xu, npts_lf),
+                       fields(Xl, npts_hf) * 1.1, rng.random((npts_lf, 3)),
+                       rng.random((npts_hf, 3)), nf)
+        ck.engine = "host"
+        ck.manifold_alignment(select_modes="number", n_modes_hf=3,
+                              n_modes_lf=3)
+        ck.fit()
+        Y1, _ = ck.predict(Xt)
+        path = str(tmp_path / "ck_host.npz")
+        save_model(ck, path)
+        ck2 = load_model(path)
+        assert ck2.engine == "host"
+        Y2, _ = ck2.predict(Xt)
+        np.testing.assert_allclose(Y2, Y1, rtol=1e-10)
