@@ -45,11 +45,15 @@ class SolverConfig:
 
 @dataclasses.dataclass
 class GPTrainConfig:
-    """GP hyperparameter training knobs (reference gpr.py:404-453)."""
+    """GP hyperparameter training knobs (reference gpr.py:404-453).
+
+    ``engine``: 'device' (ambient fp32 path) or 'host' (host-CPU f64 GP
+    stage — the reference's gpytorch-double numerics; core.host64)."""
     max_iter: int = 1000
     rel_error: float = 1e-5
     lr: float = 0.1
     verbose: bool = False
+    engine: str = "device"
 
 
 @dataclasses.dataclass
@@ -65,3 +69,6 @@ class CoKrigingConfig:
     thetaU: Optional[Sequence[float]] = None
     initial_range: float = 0.3
     tol: float = 1e-6
+    # 'host': f64 latent kriging fits on the host CPU (OpenMDAO's own
+    # numerics; core.host64) — maps onto CoKriging.engine
+    engine: str = "device"

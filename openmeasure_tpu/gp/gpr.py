@@ -267,6 +267,7 @@ class GPR(ROM):
             rel_error = config.rel_error
             lr = config.lr
             verbose = config.verbose
+            engine = getattr(config, "engine", engine)
         if engine not in ("device", "host"):
             raise ValueError(
                 f"engine must be 'device' or 'host'; got {engine!r}")
