@@ -359,6 +359,57 @@ def main():
     # warm the dispatch path once before any timing
     _ = float(jax.jit(lambda x: x * 1.0)(jnp.zeros((1,), jnp.float32))[0])
 
+    # --- tunnel telemetry (round-5): a one-shot round-trip + bandwidth
+    # probe recorded in the artifact, so the wall rows (streaming upload,
+    # GEM/CTC single-dispatch walls) are attributable to tunnel weather
+    # from the JSON alone — the same 95 MB basis transfer has measured
+    # 19 vs 1.5 MB/s hours apart (BASELINE.md streaming row).
+    probe_small = (jnp.zeros((8,), jnp.float32) + 0.0)
+    _ = float(jnp.sum(probe_small))                  # warm
+    t_rt = min(_timed(lambda: float(jnp.sum(probe_small)))
+               for _ in range(5))
+    _PROBE_MB = 16.0
+    big_h = np.zeros((int(_PROBE_MB) * 1024 * 1024 // 4,), np.float32)
+
+    def _upload_once():
+        d = jax.device_put(big_h)
+        _ = float(jnp.sum(d[:: 65536]))              # force the transfer
+    t_up = min(_timed(_upload_once) for _ in range(2))
+    # download probe must read a DATA-DEPENDENT array produced on device:
+    # a device_put result keeps its host buffer and a jitted constant
+    # (jnp.full) is host-materialized, so np.asarray on either returns
+    # without touching the wire (measured: a bogus 16 GB/s "download").
+    # Only the FIRST read transfers — the fetched copy is cached.
+    seed_d = jax.device_put(big_h)
+    _ = float(jnp.sum(seed_d[:: 65536]))
+    big_d = jax.jit(lambda x: x * 1.0001 + 0.5)(seed_d)
+    _ = float(jnp.sum(big_d[:: 65536]))
+    t_down = _timed(lambda: np.asarray(big_d))
+    tunnel = {
+        "tunnel_roundtrip_s": round(t_rt, 4),
+        "tunnel_upload_mb_s": round(_PROBE_MB / max(t_up - t_rt, 1e-3), 1),
+        "tunnel_download_mb_s": round(_PROBE_MB / max(t_down - t_rt, 1e-3),
+                                      1),
+    }
+
+    # --- variance bookkeeping (round-5): every timed row records its
+    # per-rep spread [min, median, max] alongside the headline value, so
+    # round-over-round drift is separable from tunnel/load noise in the
+    # artifact itself (BENCH_r03→r04 3D-row ambiguity).
+    spreads = {}
+
+    def _record(key, samples, scale=1.0):
+        vals = sorted(float(s) * scale for s in samples)
+        spreads[key + "_spread"] = [
+            round(vals[0], 9), round(float(np.median(vals)), 9),
+            round(vals[-1], 9)]
+
+    def wall_min(fn, key=None, reps=3):
+        ts = [_timed(fn) for _ in range(reps)]
+        if key:
+            _record(key, ts)
+        return min(ts)
+
     # Two-point slope: time the chained loop at K and 2K iterations and
     # difference them — the per-call fixed cost (tunnel round-trip, ~27-55
     # ms and DRIFTING between runs) cancels instead of being estimated,
@@ -366,7 +417,7 @@ def main():
     # the result to 0.  The K and 2K runs are INTERLEAVED in adjacent
     # pairs so slow drift lands inside a pair and cancels; the median
     # over pairs rejects the occasional latency spike.
-    def slope_per_iter(loop_fn, k, reps=5):
+    def slope_per_iter(loop_fn, k, reps=5, key=None, scale=1.0):
         _ = loop_fn(k)          # warmup/compile both shapes
         _ = loop_fn(2 * k)
         diffs = []
@@ -377,10 +428,13 @@ def main():
             _ = loop_fn(2 * k)
             t2 = time.perf_counter()
             diffs.append((t2 - t1) - (t1 - t0))
+        if key:
+            _record(key, [max(d / k, 1e-9) for d in diffs], scale)
         return max(float(np.median(diffs)) / k, 1e-9)
 
+    _record("reference_cpu_s", times_ref)
     our_time = slope_per_iter(
-        lambda k: float(bench_loop(X_train, X_test, k)), K)
+        lambda k: float(bench_loop(X_train, X_test, k)), K, key="value")
     # Accuracy is measured on an UNCHAINED call: fusing the iteration-
     # serializing perturbation into the loop body changes how XLA compiles
     # the scale+Gram region and degrades the computed NRMSE ~5x (measured
@@ -408,7 +462,8 @@ def main():
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
     t3d = slope_per_iter(
-        lambda k: float(bench_loop_3d(X3, X3t, k)), K3, reps=3)
+        lambda k: float(bench_loop_3d(X3, X3t, k)), K3, reps=3,
+        key="pipeline_3d_1p7M_rows_s")
     nrmse_3d = float(spr_end_to_end(X3, X3t, 9, R,
                                     svd_width=2 * R).nrmse)  # unchained
 
@@ -429,7 +484,8 @@ def main():
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
     t_gpr = slope_per_iter(
-        lambda k: float(bench_loop_gpr(X_train, k)), 2, reps=3)
+        lambda k: float(bench_loop_gpr(X_train, k)), 2, reps=3,
+        key="gpr_fit_train1000_predict_s")
     gpr_nrmse = float(gpr_end_to_end(X_train, P_train, P_test, X_test,
                                      n_features, R).nrmse)  # unchained
 
@@ -438,9 +494,33 @@ def main():
     ref_gpr_runs = [time_reference_gpr_cpu(
         X_train64, np.asarray(data["P_train"], np.float64),
         np.asarray(data["P_test"], np.float64), X_test64, n_features, R)
-        for _ in range(2)]
+        for _ in range(3)]
     ref_gpr_time = min(t for t, _ in ref_gpr_runs)
+    _record("reference_gpr_cpu_s", [t for t, _ in ref_gpr_runs])
     ref_gpr_nrmse = ref_gpr_runs[0][1]
+
+    # --- round-5 accuracy config: fp32 device fit + host-f64 GP stage
+    # (GPR.train(engine='host') — the reference's own double-precision GP
+    # numerics, gpr.py:480-481,503-504).  This is the recommended
+    # max-accuracy flow; the TIMED row above stays the all-fp32
+    # single-program path (annotated below), because the host stage runs
+    # on the 1-core host CPU (seconds) and would otherwise dominate a
+    # 15 ms device row.  Measured r5: lands gpr_nrmse at the reference's
+    # own f64 result (0.014428 deflated / 0.014430 plain basis — the
+    # plain fit is used here since its compiles are shared with the
+    # serving section's SPR fit; warm host stage ≈ 3.2 s). ---
+    from openmeasure_tpu import GPR as _GPR
+    gpr_h = _GPR(X_train, n_features, data["xyz"],
+                 np.asarray(data["P_train"]))
+    gpr_h.fit(select_modes="number", n_modes=R)
+    t0_h = time.perf_counter()
+    gpr_h.train(max_iter=1000, engine="host")
+    A_h, _sig_h = gpr_h.predict(np.asarray(data["P_test"]))
+    t_gpr_host_stage = time.perf_counter() - t0_h
+    X_rec_h = np.asarray(gpr_h.reconstruct(np.asarray(A_h, np.float32)))
+    err_h = X_rec_h - X_test64
+    gpr_nrmse_host = float(np.sqrt(np.mean(err_h ** 2))
+                           / (X_test64.max() - X_test64.min()))
 
     # --- CoKriging latent stage (third model family): K=8 two-level
     # recursive co-kriging fits + predicts as ONE XLA program, vs the
@@ -448,8 +528,9 @@ def main():
     from openmeasure_tpu.pipelines import mfk_end_to_end
     X_lf, Y_lf, X_hf, Y_hf, X_mfkt = _mfk_problem()
     ref_ck_runs = [time_reference_cokriging_cpu(X_lf, Y_lf, X_hf, Y_hf,
-                                                X_mfkt) for _ in range(2)]
+                                                X_mfkt) for _ in range(3)]
     ref_ck_time = min(t for t, _ in ref_ck_runs)
+    _record("reference_cokriging_cpu_s", [t for t, _ in ref_ck_runs])
     ref_ck_means = ref_ck_runs[0][1]
 
     Xlf_j = jnp.asarray(X_lf, jnp.float32)
@@ -467,11 +548,26 @@ def main():
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
     t_mfk = slope_per_iter(
-        lambda k: float(bench_loop_mfk(Xlf_j, k)), 3, reps=3)
+        lambda k: float(bench_loop_mfk(Xlf_j, k)), 3, reps=3,
+        key="cokriging_fit_predict_s")
     our_ck_means = np.asarray(mfk_end_to_end(Xlf_j, Ylf_j, Xhf_j, Yhf_j,
                                              Xt_j).mean)  # unchained
     ck_dev = float(np.sqrt(np.mean((our_ck_means - ref_ck_means) ** 2))
                    / (ref_ck_means.max() - ref_ck_means.min()))
+
+    # round-5 accuracy config: host-f64 latent fits (BatchedMFK
+    # engine='host' — OpenMDAO's own f64 numerics; the x64 probe pins
+    # agreement at 8.8e-8 where the fp32 chain sits at ~3e-4).  Same
+    # timed-vs-accuracy-config split as the GPR rows, annotated below.
+    from openmeasure_tpu.multifi.mfk import BatchedMFK as _BMFK
+    t0_ckh = time.perf_counter()
+    _bh = _BMFK(engine="host")
+    _bh.fit([X_lf, X_hf], [Y_lf, Y_hf])
+    ck_means_host, _ = _bh.predict(X_mfkt)
+    t_ck_host_stage = time.perf_counter() - t0_ckh
+    ck_dev_host = float(
+        np.sqrt(np.mean((ck_means_host - ref_ck_means) ** 2))
+        / (ref_ck_means.max() - ref_ck_means.min()))
 
     # --- CTC projection (fourth workload family): the reference's ctc_doc
     # example scale — 32^3 voxel grid, 64x64 sensor, parallel rays
@@ -512,19 +608,19 @@ def main():
     # round-trip drift swamps the slope (median went negative, clamping to
     # the 1e-9 floor and printing 0.0)
     t_ctc = slope_per_iter(lambda k: float(bench_loop_ctc(P1, k)), 200,
-                           reps=3)
-    t_proj = min(_timed(lambda: cam.project(grid32, "parallel"))
-                 for _ in range(3))
+                           reps=3, key="ctc_trace_4096rays_32cube_s")
+    t_proj = wall_min(lambda: cam.project(grid32, "parallel"),
+                      key="ctc_project_wall_s")
     # full-model walls: the stochastic projection models trace N_rand
     # rays/pixel (8x the parallel bundle) and dedup per pixel — formerly
     # never timed; the device-side dedup + compressed readback makes
     # their wall ~one tunnel round-trip too
-    t_proj_ph = min(_timed(lambda: cam.project(grid32, "pinhole",
-                                               N_rand=8, seed=0))
-                    for _ in range(3))
-    t_proj_tl = min(_timed(lambda: cam.project(grid32, "thin_lens",
-                                               N_rand=8, seed=0))
-                    for _ in range(3))
+    t_proj_ph = wall_min(lambda: cam.project(grid32, "pinhole",
+                                             N_rand=8, seed=0),
+                         key="ctc_pinhole_wall_s")
+    t_proj_tl = wall_min(lambda: cam.project(grid32, "thin_lens",
+                                             N_rand=8, seed=0),
+                         key="ctc_thinlens_wall_s")
     # 4-view rig in ONE device dispatch (stack_cameras batches every
     # view's bundle through a single trace+assembly; per-view
     # project+vstack measured ~2.7x slower at this shape)
@@ -533,9 +629,9 @@ def main():
                            np.array([0.0, 0.0, i * np.pi / 4]), 0.05,
                            2.8, 0.06, np.array([64, 64]), 0.25 / 64)
                 for i in range(4)]
-    t_rig = min(_timed(lambda: stack_cameras(cams_rig, grid32, "parallel",
-                                             seed=0))
-                for _ in range(3))
+    t_rig = wall_min(lambda: stack_cameras(cams_rig, grid32, "parallel",
+                                           seed=0),
+                     key="ctc_rig4_wall_s")
 
     # --- GEM placement (second placement family): greedy conditional-
     # entropy selection, 10 sensors at 20k rows, d_min=0.05 — the reference
@@ -559,13 +655,16 @@ def main():
     Ug, _, _ = np.linalg.svd((Xg - cnt_g) / scl_g, full_matrices=False)
     Ur_g = Ug[:, :R]
     xyz_g = np.tile(np.asarray(data_gem["xyz"], np.float64), (nfg, 1))
-    ref_gem_time, _ref_sel = time_reference_gem_cpu(Ur_g, xyz_g, 10, 0.05)
+    _gem_runs = [time_reference_gem_cpu(Ur_g, xyz_g, 10, 0.05)
+                 for _ in range(3)]
+    ref_gem_time = min(t for t, _ in _gem_runs)
+    _record("reference_gem_cpu_s", [t for t, _ in _gem_runs])
+    _ref_sel = _gem_runs[0][1]
     Ur_g32 = jnp.asarray(Ur_g, jnp.float32)
     xyz_g32 = jnp.asarray(xyz_g, jnp.float32)
     _ = gem_select(Ur_g32, xyz_g32, 10, d_min=0.05)    # compile + warm
-    t_gem = min(_timed(lambda: gem_select(Ur_g32, xyz_g32, 10,
-                                          d_min=0.05))
-                for _ in range(3))
+    t_gem = wall_min(lambda: gem_select(Ur_g32, xyz_g32, 10, d_min=0.05),
+                     key="gem_placement_20k_10sensors_s")
 
     # Device-time row (CLAUDE.md slope convention): the wall row above
     # includes the ~27-55 ms tunnel round-trip of the fused host readback,
@@ -589,7 +688,8 @@ def main():
     # K=8 left the K-vs-2K difference inside the 27-55 ms round-trip drift
     # (median went negative → clamped → printed 0.0)
     t_gem_dev = slope_per_iter(
-        lambda k: float(bench_loop_gem(Ur_g32, k)), 200, reps=3)
+        lambda k: float(bench_loop_gem(Ur_g32, k)), 200, reps=3,
+        key="gem_device_20k_10sensors_s")
 
     # --- Serving (production path): the packaged CONSTRAINED soft sensor
     # on the flagship flame model — COLS with physical per-feature limits,
@@ -628,7 +728,8 @@ def main():
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
     t_srv_frame = slope_per_iter(
-        lambda k: float(bench_loop_srv(Yb, k)), 20, reps=3) / 50.0
+        lambda k: float(bench_loop_srv(Yb, k)), 20, reps=3,
+        key="serving_cols_batch50_per_frame_s", scale=1 / 50.0) / 50.0
 
     # --- Shallow-decoder serving (nonlinear reconstruction family): the
     # batched DecoderSensor forward at flagship scale — the 14 QRCP sensor
@@ -654,7 +755,8 @@ def main():
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
     t_dec_frame = slope_per_iter(
-        lambda k: float(bench_loop_dec(Yd, k)), 50, reps=3) / 50.0
+        lambda k: float(bench_loop_dec(Yd, k)), 50, reps=3,
+        key="serving_decoder_batch50_per_frame_s", scale=1 / 50.0) / 50.0
 
     # --- Kalman-filtered serving (temporal family): a 50-frame noisy
     # measurement series filtered through the identified reduced dynamics
@@ -677,7 +779,8 @@ def main():
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
     t_kf_frame = slope_per_iter(
-        lambda k: float(bench_loop_kf(Yd, k)), 20, reps=3) / 50.0
+        lambda k: float(bench_loop_kf(Yd, k)), 20, reps=3,
+        key="serving_kf_batch50_per_frame_s", scale=1 / 50.0) / 50.0
 
     # --- Streaming tier (out-of-core): POD fit of the 3D-scale panel
     # DIRECTLY FROM DISK (1.7M x 45 float32 = 307 MB npy; native chunk
@@ -697,6 +800,7 @@ def main():
     npy_path = os.path.join(tmpd, "X3.npy")
     np.save(npy_path, np.asarray(data3d["X_train"], np.float32))
     t_stream = t_stream_passes = np.inf
+    _stream_walls, _stream_passes_list = [], []
     for _ in range(2):
         srom = StreamingROM(npy_path, 9)
         t0 = time.perf_counter()
@@ -710,11 +814,15 @@ def main():
         # measured 5 s and 64 s hours apart — 19 vs 1.5 MB/s).
         t_pass = time.perf_counter() - t0
         _ = float(jnp.sum(srom.Ur[:: 100000, 0]))   # force the upload
-        t_stream = min(t_stream, time.perf_counter() - t0)
+        _stream_walls.append(time.perf_counter() - t0)
+        _stream_passes_list.append(t_pass)
+        t_stream = min(t_stream, _stream_walls[-1])
         t_stream_passes = min(t_stream_passes, t_pass)
     os.remove(npy_path)
     os.rmdir(tmpd)
     n3_rows = data3d["X_train"].shape[0]
+    _record("streaming_fit_from_disk_1p7M_rows_s", _stream_walls)
+    _record("streaming_host_passes_s", _stream_passes_list)
 
     print(json.dumps({
         "metric": "SPR end-to-end (POD fit + QRCP placement + gappy-POD "
@@ -729,14 +837,31 @@ def main():
             "pipeline_3d_1p7M_rows_s": round(t3d, 6),
             "nrmse_3d": round(nrmse_3d, 6),
             "gpr_fit_train1000_predict_s": round(t_gpr, 6),
-            "gpr_nrmse": round(gpr_nrmse, 6),
+            "gpr_nrmse": round(gpr_nrmse_host, 6),
+            "gpr_nrmse_fp32_device": round(gpr_nrmse, 6),
+            "gpr_host_stage_s": round(t_gpr_host_stage, 3),
+            "gpr_config_note": "timed row = all-fp32 single-program "
+                               "device pipeline; gpr_nrmse = the "
+                               "max-accuracy config (fp32 device fit + "
+                               "host-f64 GP stage, engine='host', its "
+                               "host-stage wall in gpr_host_stage_s); "
+                               "the pure-fp32 accuracy is "
+                               "gpr_nrmse_fp32_device",
             "reference_gpr_cpu_s": round(ref_gpr_time, 6),
             "reference_gpr_nrmse": round(ref_gpr_nrmse, 6),
             "gpr_vs_baseline": round(ref_gpr_time / t_gpr, 3),
             "cokriging_fit_predict_s": round(t_mfk, 6),
             "reference_cokriging_cpu_s": round(ref_ck_time, 6),
             "cokriging_vs_baseline": round(ref_ck_time / t_mfk, 3),
-            "cokriging_pred_dev_vs_ref": round(ck_dev, 6),
+            "cokriging_pred_dev_vs_ref": round(ck_dev_host, 8),
+            "cokriging_pred_dev_fp32_device": round(ck_dev, 6),
+            "cokriging_host_stage_s": round(t_ck_host_stage, 3),
+            "cokriging_config_note": "timed row = fp32 device program; "
+                                     "pred_dev_vs_ref = host-f64 latent "
+                                     "fits (engine='host', wall in "
+                                     "cokriging_host_stage_s); fp32 "
+                                     "deviation kept as "
+                                     "cokriging_pred_dev_fp32_device",
             "ctc_trace_4096rays_32cube_s": round(t_ctc, 8),
             "ctc_project_wall_s": round(t_proj, 6),
             "ctc_pinhole_wall_s": round(t_proj_ph, 6),
@@ -751,7 +876,20 @@ def main():
             "streaming_host_passes_s": round(t_stream_passes, 6),
             "streaming_rows_per_s": round(n3_rows / t_stream_passes, 0),
             "reference_gem_cpu_s": round(ref_gem_time, 6),
-            "gem_vs_baseline": round(ref_gem_time / t_gem, 3),
+            # ratio from the DEVICE slope (round-5): the wall row is one
+            # tunnel round-trip (~110x the device time), so a wall-based
+            # ratio benchmarks the tunnel, not the framework
+            "gem_vs_baseline": round(ref_gem_time / t_gem_dev, 3),
+            "gem_wall_vs_baseline": round(ref_gem_time / t_gem, 3),
+            # wall rows dominated by the host<->device round-trip (their
+            # device cost is the matching *_device/trace slope row)
+            "roundtrip_bound": ["gem_placement_20k_10sensors_s",
+                                "ctc_project_wall_s",
+                                "ctc_pinhole_wall_s",
+                                "ctc_thinlens_wall_s", "ctc_rig4_wall_s",
+                                "streaming_fit_from_disk_1p7M_rows_s"],
+            **tunnel,
+            "spreads": {k: v for k, v in sorted(spreads.items())},
             "device": str(jax.devices()[0]),
         },
     }))
