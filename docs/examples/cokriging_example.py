@@ -45,3 +45,20 @@ X_test = rng.random((5, 2))
 Y_pred, Y_mse = ck.predict(X_test)
 Y_true = field(xyz_hf, X_test, False)
 print("CoKriging HF prediction NRMSE:", float(nrmse(Y_pred, Y_true)))
+
+# ---- reference-exact precision: host-f64 latent fits --------------------
+# OpenMDAO's MultiFiCoKriging is f64 scipy; engine='host' reruns the
+# latent kriging fits on the host CPU in float64 (the manifold alignment
+# stays on device) — prediction deviation vs the reference op set drops
+# from ~3e-4 (fp32) to the 1e-7 class (BENCH cokriging_pred_dev_vs_ref).
+ck_h = CoKriging(X_l, X_u,
+                 field(xyz_lf, X_l, True), field(xyz_lf, X_u, True),
+                 field(xyz_hf, X_l, False),
+                 xyz_lf, xyz_hf, n_features)
+ck_h.engine = "host"
+ck_h.manifold_alignment(n_modes_hf=99.9, n_modes_lf=99.9)
+ck_h.fit()
+Y_pred_h, _ = ck_h.predict(X_test)
+print("host-f64 CoKriging NRMSE:", float(nrmse(Y_pred_h, Y_true)),
+      "| max dev vs device engine:",
+      float(np.max(np.abs(Y_pred_h - Y_pred))))

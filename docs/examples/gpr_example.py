@@ -42,3 +42,16 @@ print("min/max reconstructed T:", Xp_c[:2000].min(), Xp_c[:2000].max())
 # ---- online update with soft-sensor output ------------------------------
 gpr.update(P_test[:1], np.asarray(Ap)[:1], retrain=False)
 print("training set after update:", gpr._train_X.shape)
+
+# ---- reference-exact precision: the host-f64 engine ---------------------
+# The reference trains its GPs in double (gpytorch .double()); the TPU
+# path is fp32.  engine='host' reruns the SAME GP programs on the host
+# CPU in float64 — at flagship scale this lands the reconstruction NRMSE
+# exactly on the reference's own f64 result (BASELINE.md round-5 row).
+gpr_h = GPR(X_train, n_features, xyz, P_train)
+gpr_h.fit(select_modes="number", n_modes=10)
+gpr_h.train(max_iter=500, engine="host")
+Ap_h, _ = gpr_h.predict(P_test)
+print("host-f64 engine NRMSE:", float(nrmse(gpr_h.reconstruct(
+    np.asarray(Ap_h, np.float32)), X_test)),
+    "(posterior dtype:", np.asarray(Ap_h).dtype, ")")
