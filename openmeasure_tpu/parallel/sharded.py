@@ -111,7 +111,8 @@ def sharded_spr_step(Xb_train: jax.Array, Xb_test: jax.Array, r: int,
         return nrmse, pivots
 
 
-@functools.partial(jax.jit, static_argnames=("r", "scale_type", "max_iter"))
+@functools.partial(jax.jit,
+                   static_argnames=("r", "scale_type", "max_iter", "tol"))
 def sharded_spr_cols_step(Xb_train: jax.Array, Xb_test: jax.Array, r: int,
                           lo_feat: jax.Array, hi_feat: jax.Array,
                           scale_type: str = "std", max_iter: int = 500,

@@ -663,3 +663,78 @@ class TestCholInvLogdet:
         kinv_1, ld_1 = CP.chol_inv_logdet(Kn[2])
         np.testing.assert_allclose(np.asarray(kinv_1),
                                    np.asarray(kinv_b[2]), rtol=1e-12)
+
+
+class TestFixedRhoFastPath:
+    """adapt_rho=False (round 5): the fixed-rho fast path for fixed-budget
+    serving — hoisted factorization, normless loop body at tol=0.  Must
+    reach the same optimum as the adaptive schedule on well-scaled
+    problems (the serving workload shape)."""
+
+    def test_fixed_rho_matches_adaptive_optimum(self):
+        s, r, n = 15, 4, 30
+        Theta = RNG.standard_normal((s, r))
+        y = 3 * RNG.standard_normal(s)
+        A, _ = np.linalg.qr(RNG.standard_normal((n, r)))
+        lo = -0.3 * np.ones(n)
+        hi = 0.3 * np.ones(n)
+        w = np.ones(s)
+        g_ref, _ = _boxls.box_constrained_lstsq(
+            Theta, y, w, A, lo, hi, max_iter=20000, tol=1e-12)
+        g_fix, info = _boxls.box_constrained_lstsq(
+            Theta, y, w, A, lo, hi, max_iter=20000, tol=1e-12,
+            adapt_rho=False)
+        np.testing.assert_allclose(np.asarray(g_fix), np.asarray(g_ref),
+                                   atol=2e-5)
+        # tol>0 still early-stops on the fixed-rho path
+        assert int(info.iterations) < 20000
+
+    def test_fixed_budget_normless_body(self):
+        """tol=0 + adapt_rho=False: full budget runs, diagnostics come
+        from the one post-loop residual pass (dual residual is NaN by
+        contract — no z_{k-1} is retained)."""
+        s, r, n = 10, 3, 20
+        Theta = RNG.standard_normal((s, r))
+        y = RNG.standard_normal(s)
+        A, _ = np.linalg.qr(RNG.standard_normal((n, r)))
+        lo, hi = -0.5 * np.ones(n), 0.5 * np.ones(n)
+        g, info = _boxls.box_constrained_lstsq(
+            Theta, y, np.ones(s), A, lo, hi, max_iter=400, tol=0.0,
+            adapt_rho=False)
+        assert int(info.iterations) == 400
+        assert np.isfinite(float(info.primal_residual))
+        assert np.isnan(float(info.dual_residual))
+        g_ref, _ = _boxls.box_constrained_lstsq(
+            Theta, y, np.ones(s), A, lo, hi, max_iter=20000, tol=1e-12)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   atol=5e-4)
+
+    def test_serving_knob_plumbing(self):
+        """SoftSensor(admm_rho='fixed') serves the same model to the
+        solver-reproducibility level of the adaptive sensor (both are
+        converged fixed-budget solves of the same QP)."""
+        from openmeasure_tpu import SPR
+        from openmeasure_tpu.datasets.synthetic import make_flame_dataset
+        from openmeasure_tpu.serving import SoftSensor
+        import pytest as _pytest
+        data = make_flame_dataset(n_cells=40)
+        spr = SPR(data["X_train"].astype(np.float32), data["n_features"],
+                  data["xyz"])
+        spr.fit(select_modes="number", n_modes=5)
+        C = np.asarray(spr.optimal_placement())
+        npts = data["xyz"].shape[0]
+        Xb = data["X_train"].reshape(data["n_features"], npts, -1)
+        lo = Xb.min(axis=(1, 2)) - 0.1
+        hi = Xb.max(axis=(1, 2)) + 0.1
+        spr.train(C, method="COLS", limits=[lo, hi])
+        s_ad = SoftSensor.from_spr(spr)
+        s_fx = SoftSensor.from_spr(spr, admm_rho="fixed")
+        rows = np.argmax(C, axis=1)
+        Y = np.asarray(data["X_test"], np.float32)[rows].T
+        f1, a1, _ = s_ad.predict_batch(Y)
+        f2, a2, _ = s_fx.predict_batch(Y)
+        sc = float(np.abs(np.asarray(f1)).max())
+        np.testing.assert_allclose(np.asarray(f2), np.asarray(f1),
+                                   atol=2e-3 * sc)
+        with _pytest.raises(ValueError, match="admm_rho"):
+            SoftSensor.from_spr(spr, admm_rho="bogus")
