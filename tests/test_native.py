@@ -269,3 +269,26 @@ class TestExactUnstructured:
         pts = np.random.rand(10, 3)
         with pytest.raises(ValueError, match="vertex count"):
             UnstructuredMesh.from_cells(pts, np.arange(7)[None, :])
+
+    def test_camera_project_exact_vs_aabb_on_sheared_mesh(self):
+        """Full CTC workflow integration: camera.project over a sheared
+        hex mesh routes through the exact caster — its operator's support
+        is a subset of the AABB mesh's (phantom near-boundary entries
+        removed), strictly smaller somewhere, with identical shape."""
+        pts, cells, S = _sheared_hex_mesh(nx=6, ny=6, nz=6)
+        # center the mesh near the origin so the default camera sees it
+        center = pts.mean(axis=0)
+        scale = 0.2 / np.abs(pts - center).max()
+        pts_c = (pts - center) * scale
+        exact = UnstructuredMesh.from_cells(pts_c, cells)
+        aabb = UnstructuredMesh.from_cells(pts_c, cells, exact=False)
+        cam = camera(np.array([0.0, 0.0, 1.0, 1.0]), np.zeros(3), 0.05,
+                     2.8, 0.06, np.array([16, 16]), 0.5 / 16)
+        C_ex = cam.project(exact, "parallel")
+        C_ab = cam.project(aabb, "parallel")
+        assert C_ex.shape == C_ab.shape == (256, cells.shape[0])
+        ex = set(zip(*C_ex.nonzero()))
+        ab = set(zip(*C_ab.nonzero()))
+        assert ex <= ab                     # exact never adds entries
+        assert len(ex) < len(ab)            # shear produces phantoms
+        assert len(ex) > 0                  # and the rays do hit cells
