@@ -239,3 +239,19 @@ class TestHostEngineParity:
         assert ck2.engine == "host"
         Y2, _ = ck2.predict(Xt)
         np.testing.assert_allclose(Y2, Y1, rtol=1e-10)
+
+    def test_streaming_gpr_inherits_host_engine(self, tmp_path):
+        """StreamingGPR.train(engine='host') — the GP-stage knob — must
+        compose with the (unrelated) streaming spectral-pass engine."""
+        from openmeasure_tpu.streaming import StreamingGPR
+        data = self._data(n_cells=40)
+        path = str(tmp_path / "X.npy")
+        np.save(path, np.asarray(data["X_train"], np.float32))
+        sg = StreamingGPR(path, data["n_features"], data["xyz"],
+                          data["P_train"])
+        sg.fit(select_modes="number", n_modes=4)
+        sg.train(max_iter=30, engine="host")
+        A, _ = sg.predict(np.asarray(data["P_test"]))
+        assert sg.engine == "host"
+        assert np.asarray(A).dtype == np.float64
+        assert np.isfinite(np.asarray(A)).all()
