@@ -368,28 +368,39 @@ def main():
     _ = float(jnp.sum(probe_small))                  # warm
     t_rt = min(_timed(lambda: float(jnp.sum(probe_small)))
                for _ in range(5))
-    _PROBE_MB = 16.0
-    big_h = np.zeros((int(_PROBE_MB) * 1024 * 1024 // 4,), np.float32)
+    # Bandwidth by SIZE-SLOPE (the repo's two-point timing convention —
+    # never subtract a separately measured round-trip, CLAUDE.md): time a
+    # big and a small transfer and difference them, so the per-call fixed
+    # cost cancels exactly instead of being estimated.
+    _MB_BIG, _MB_SMALL = 16.0, 4.0
 
-    def _upload_once():
-        d = jax.device_put(big_h)
+    def _up_once(mb):
+        h = np.zeros((int(mb * 1024 * 1024) // 4,), np.float32)
+        d = jax.device_put(h)
         _ = float(jnp.sum(d[:: 65536]))              # force the transfer
-    t_up = min(_timed(_upload_once) for _ in range(2))
-    # download probe must read a DATA-DEPENDENT array produced on device:
-    # a device_put result keeps its host buffer and a jitted constant
-    # (jnp.full) is host-materialized, so np.asarray on either returns
-    # without touching the wire (measured: a bogus 16 GB/s "download").
-    # Only the FIRST read transfers — the fetched copy is cached.
-    seed_d = jax.device_put(big_h)
-    _ = float(jnp.sum(seed_d[:: 65536]))
-    big_d = jax.jit(lambda x: x * 1.0001 + 0.5)(seed_d)
-    _ = float(jnp.sum(big_d[:: 65536]))
-    t_down = _timed(lambda: np.asarray(big_d))
+    t_up_b = min(_timed(lambda: _up_once(_MB_BIG)) for _ in range(2))
+    t_up_s = min(_timed(lambda: _up_once(_MB_SMALL)) for _ in range(2))
+    # download must read a DATA-DEPENDENT array produced on device: a
+    # device_put result keeps its host buffer and a jitted constant is
+    # host-materialized, so np.asarray on either returns without touching
+    # the wire (measured: a bogus 16 GB/s "download"); only the FIRST
+    # read transfers — build a fresh array per size.
+
+    def _down_time(mb):
+        h = np.zeros((int(mb * 1024 * 1024) // 4,), np.float32)
+        seed_d = jax.device_put(h)
+        _ = float(jnp.sum(seed_d[:: 65536]))
+        big_d = jax.jit(lambda x: x * 1.0001 + 0.5)(seed_d)
+        _ = float(jnp.sum(big_d[:: 65536]))
+        return _timed(lambda: np.asarray(big_d))
+    t_down_b = _down_time(_MB_BIG)
+    t_down_s = _down_time(_MB_SMALL)
+    d_mb = _MB_BIG - _MB_SMALL
     tunnel = {
         "tunnel_roundtrip_s": round(t_rt, 4),
-        "tunnel_upload_mb_s": round(_PROBE_MB / max(t_up - t_rt, 1e-3), 1),
-        "tunnel_download_mb_s": round(_PROBE_MB / max(t_down - t_rt, 1e-3),
-                                      1),
+        "tunnel_upload_mb_s": round(d_mb / max(t_up_b - t_up_s, 1e-3), 1),
+        "tunnel_download_mb_s": round(d_mb / max(t_down_b - t_down_s,
+                                                 1e-3), 1),
     }
 
     # --- variance bookkeeping (round-5): every timed row records its

@@ -34,8 +34,10 @@ def _cell_face_triangles(k: int) -> np.ndarray:
     intersection)."""
     if k == 4:       # VTK_TETRA
         return np.array([[0, 1, 3], [1, 2, 3], [2, 0, 3], [0, 2, 1]])
-    if k == 5:       # VTK_PYRAMID
-        return np.array([[0, 1, 4], [1, 2, 4], [2, 3, 4],
+    if k == 5:       # VTK_PYRAMID — all FOUR side triangles + split base
+        # (a missing (3,0,4) side face left the surface open and broke
+        # the containment parity — caught by review, now oracle-tested)
+        return np.array([[0, 1, 4], [1, 2, 4], [2, 3, 4], [3, 0, 4],
                          [3, 2, 1], [3, 1, 0]])
     if k == 6:       # VTK_WEDGE
         return np.array([[0, 1, 2], [3, 5, 4],
@@ -86,12 +88,14 @@ def _segment_hits_cells_numpy(points, cells, tris, p1, p2):
     v2 = V[:, tris[:, 2]].reshape(-1, 3)
     face_hit = _seg_tri_hits(p1, d, 0.0, 1.0, v0, v1, v2)
     hit = face_hit.reshape(n_cells, f).any(axis=1)
-    # contained-segment case: +x ray parity from the midpoint for cells
-    # with no face crossing
+    # contained-segment case: parity of a GENERIC-direction half-ray from
+    # the midpoint for cells with no face crossing (an axis-aligned ray
+    # from a symmetric midpoint can pass exactly through a quad-face
+    # diagonal and double-count; direction must match the native caster)
     rest = ~hit
     if np.any(rest):
         mid = p1 + 0.5 * d
-        dx = np.array([1.0, 0.0, 0.0])
+        dx = np.array([1.0, 0.0577350269189626, 0.0339887498948482])
         cross = _seg_tri_hits(mid, dx, 0.0, 1e300,
                               v0, v1, v2).reshape(n_cells, f)
         hit = hit | (rest & ((cross.sum(axis=1) % 2) == 1))

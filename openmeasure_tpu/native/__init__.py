@@ -38,16 +38,23 @@ _SOURCES = ("raycast.cpp", "npyloader.cpp")
 
 def _build() -> bool:
     srcs = [os.path.join(_HERE, s) for s in _SOURCES]
+    # build to a temp name + atomic replace: rewriting the .so IN PLACE
+    # leaves a previously-dlopened stale handle mapped (glibc caches by
+    # pathname+inode), so a rebuild-and-reload within one process would
+    # silently keep the old symbols
+    tmp = _SO_PATH + ".build"
     cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-fopenmp",
-           "-o", _SO_PATH] + srcs
+           "-o", tmp] + srcs
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=240)
+        os.replace(tmp, _SO_PATH)
         return True
     except Exception:
         try:  # retry without -march=native / openmp for maximal portability
             subprocess.run(["g++", "-O3", "-fPIC", "-shared",
-                            "-o", _SO_PATH] + srcs,
+                            "-o", tmp] + srcs,
                            check=True, capture_output=True, timeout=240)
+            os.replace(tmp, _SO_PATH)
             return True
         except Exception:
             return False
@@ -90,23 +97,32 @@ def _load() -> Optional[ctypes.CDLL]:
     except AttributeError:
         _BUILD_FAILED = True
         return None
-    lib.trace_segments_aabb.restype = ctypes.c_long
-    lib.trace_segments_aabb.argtypes = [
-        ctypes.POINTER(ctypes.c_double), ctypes.c_long,
-        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
-        ctypes.c_long,
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-        ctypes.c_long,
-    ]
-    lib.trace_segments_cells.restype = ctypes.c_long
-    lib.trace_segments_cells.argtypes = [
-        ctypes.POINTER(ctypes.c_double), ctypes.c_long,
-        ctypes.POINTER(ctypes.c_int64), ctypes.c_long, ctypes.c_long,
-        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
-        ctypes.c_long,
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-        ctypes.c_long,
-    ]
+    try:
+        lib.trace_segments_aabb.restype = ctypes.c_long
+        lib.trace_segments_aabb.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_long,
+        ]
+        lib.trace_segments_cells.restype = ctypes.c_long
+        lib.trace_segments_cells.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_long, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_long,
+        ]
+    except AttributeError:
+        # dlopen caches by pathname: when the stale-.so rebuild above
+        # rewrote the file IN PLACE, the second CDLL can return the
+        # already-mapped old handle without the new symbols — degrade to
+        # the numpy fallbacks instead of crashing callers (the module's
+        # failed-build contract)
+        _BUILD_FAILED = True
+        return None
     _LIB = lib
     return lib
 
@@ -173,6 +189,14 @@ def trace_segments_cells(points: np.ndarray, cells: np.ndarray,
     p2s = np.ascontiguousarray(p2s, dtype=np.float64)
     n_cells, k = cells.shape
     n_rays = p1s.shape[0]
+    # validate HERE, not via the C sentinel: a legitimate
+    # buffer-too-small reply of -(needed) with needed >= 1e9 would
+    # collide with the -1000000000-k range (review finding) — after this
+    # check every negative return is unambiguously a buffer request
+    if k not in (4, 5, 6, 8):
+        raise ValueError(
+            f"trace_segments_cells: unsupported cell vertex count {k} "
+            "(supported: 4=tet, 5=pyramid, 6=wedge, 8=hex)")
 
     max_hits = max(1024, n_rays * 64)
     for _ in range(4):
@@ -188,11 +212,6 @@ def trace_segments_cells(points: np.ndarray, cells: np.ndarray,
             out_r.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             out_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             max_hits)
-        if got <= -1000000000:
-            raise ValueError(
-                f"trace_segments_cells: unsupported cell vertex count "
-                f"{-(got + 1000000000)} (supported: 4=tet, 5=pyramid, "
-                f"6=wedge, 8=hex)")
         if got >= 0:
             return out_r[:got], out_c[:got]
         max_hits = -got

@@ -89,7 +89,7 @@ bool segment_hits_aabb(const double* p1, const double* dir, double t0,
 // Face triangulations per vertex count.  Quads split along (v0, v2) — the
 // diagonal VTK's quad intersection uses.  Stored as flat triples.
 static const int TET_TRIS[] = {0, 1, 3, 1, 2, 3, 2, 0, 3, 0, 2, 1};
-static const int PYR_TRIS[] = {0, 1, 4, 1, 2, 4, 2, 3, 4,
+static const int PYR_TRIS[] = {0, 1, 4, 1, 2, 4, 2, 3, 4, 3, 0, 4,
                                3, 2, 1, 3, 1, 0};
 static const int WEDGE_TRIS[] = {0, 1, 2, 3, 5, 4,
                                  0, 3, 4, 0, 4, 1,
@@ -105,7 +105,7 @@ static const int HEX_TRIS[] = {0, 1, 5, 0, 5, 4,   // x faces pairs
 bool tris_for(long k, const int** tris, int* n_tris) {
     switch (k) {
         case 4: *tris = TET_TRIS; *n_tris = 4; return true;
-        case 5: *tris = PYR_TRIS; *n_tris = 5; return true;
+        case 5: *tris = PYR_TRIS; *n_tris = 6; return true;
         case 6: *tris = WEDGE_TRIS; *n_tris = 8; return true;
         case 8: *tris = HEX_TRIS; *n_tris = 12; return true;
         default: return false;
@@ -157,10 +157,17 @@ bool segment_hits_cell(const double* p1, const double* dir,
             return true;
     }
     // no face crossing: either fully inside or fully outside — parity of
-    // the +x half-ray from the segment midpoint
+    // a half-ray from the segment midpoint.  The direction is a fixed
+    // GENERIC (irrational-component) vector, not +x: on axis-aligned /
+    // regular meshes an axis ray from a symmetric midpoint passes
+    // exactly through a quad-face diagonal, the EPS-inclusive triangle
+    // test counts BOTH split triangles, and the even parity reports a
+    // contained segment as a miss (found by review, reproduced on the
+    // unit hex center).  Must stay identical to the numpy fallback
+    // (_cell_face_triangles path in ctc/unstructured.py).
     double mid[3] = {p1[0] + 0.5 * dir[0], p1[1] + 0.5 * dir[1],
                      p1[2] + 0.5 * dir[2]};
-    double dx[3] = {1.0, 0.0, 0.0};
+    double dx[3] = {1.0, 0.0577350269189626, 0.0339887498948482};
     int crossings = 0;
     for (int f = 0; f < n_tris; ++f) {
         const int* t = tris + 3 * f;

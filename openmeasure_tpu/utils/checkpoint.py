@@ -377,6 +377,13 @@ def load_model(path: str):
     for a in _META_ATTRS:
         if a in meta:
             setattr(obj, a, meta[a])
+    if meta.get("engine") == "host" and "attr/Vr_sigma" in arrays:
+        # Vr_sigma belongs to the host-f64 GP state (prior stddevs at the
+        # f64-trained hyperparameters) — same keep-as-numpy rationale as
+        # the params below: the jnp conversion above rounds it to fp32 in
+        # a no-x64 session, and a later fixed-noise retrain would build
+        # its likelihood from the rounded values
+        obj.Vr_sigma = arrays["attr/Vr_sigma"]
 
     spr_like = cls_name in ("SPR", "StreamingSPR")
     if "limits/lo" in arrays:

@@ -208,6 +208,12 @@ class TestHostEngineParity:
         assert g2.engine == "host"
         leaf = jax.tree_util.tree_leaves(g2.params)[0]
         assert np.asarray(leaf).dtype == np.float64
+        # Vr_sigma belongs to the host-f64 GP state too: it must come
+        # back as HOST numpy (an ambient jnp restore would round it to
+        # fp32 in a no-x64 session — invisible under this x64 suite, so
+        # pin the type, not just the dtype; review finding)
+        assert isinstance(g2.Vr_sigma, np.ndarray)
+        assert g2.Vr_sigma.dtype == np.float64
         A2, _ = g2.predict(np.asarray(data["P_test"]))
         np.testing.assert_allclose(np.asarray(A2), np.asarray(A1),
                                    rtol=1e-12)

@@ -292,3 +292,57 @@ class TestExactUnstructured:
         assert ex <= ab                     # exact never adds entries
         assert len(ex) < len(ab)            # shear produces phantoms
         assert len(ex) > 0                  # and the rays do hit cells
+
+    def test_pyramid_closed_surface(self):
+        """Review regression: PYR_TRIS was missing the (3,0,4) side face,
+        leaving the pyramid surface open — a segment inside the AABB but
+        outside the cell got phantom parity hits."""
+        pts = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+                        [0.5, 0.5, 1.0]], dtype=float)
+        cells = np.array([[0, 1, 2, 3, 4]])
+        mesh = UnstructuredMesh.from_cells(pts, cells)
+        # inside the AABB, outside the pyramid (the reviewer's repro)
+        assert mesh.find_cells_intersecting_line(
+            np.array([0.05, 0.2, 0.8]), np.array([0.05, 0.8, 0.8])).size \
+            == 0
+        # contained segment low in the cell
+        np.testing.assert_array_equal(
+            mesh.find_cells_intersecting_line(
+                np.array([0.45, 0.5, 0.2]), np.array([0.55, 0.5, 0.2])),
+            [0])
+        # crossing segment
+        np.testing.assert_array_equal(
+            mesh.find_cells_intersecting_line(
+                np.array([-1.0, 0.5, 0.3]), np.array([2.0, 0.5, 0.3])),
+            [0])
+        # numpy fallback agrees on all three
+        from openmeasure_tpu.ctc.unstructured import (
+            _cell_face_triangles, _segment_hits_cells_numpy)
+        tris = _cell_face_triangles(5)
+        for p1, p2, expect in (
+                ([0.05, 0.2, 0.8], [0.05, 0.8, 0.8], False),
+                ([0.45, 0.5, 0.2], [0.55, 0.5, 0.2], True),
+                ([-1.0, 0.5, 0.3], [2.0, 0.5, 0.3], True)):
+            hit = _segment_hits_cells_numpy(pts, cells, tris,
+                                            np.asarray(p1, float),
+                                            np.asarray(p2, float))
+            assert bool(hit[0]) is expect, (p1, p2)
+
+    def test_center_contained_segment_axis_aligned_hex(self):
+        """Review regression: a +x containment-parity ray from a
+        symmetric midpoint passed exactly through the quad-face diagonal
+        and double-counted — center-contained segments reported as
+        misses.  The parity ray now uses a generic direction."""
+        pts, cells, _ = _sheared_hex_mesh(nx=1, ny=1, nz=1,
+                                          shear=np.eye(3))
+        mesh = UnstructuredMesh.from_cells(pts, cells)
+        hit = mesh.find_cells_intersecting_line(
+            np.array([0.45, 0.5, 0.5]), np.array([0.55, 0.5, 0.5]))
+        np.testing.assert_array_equal(np.sort(hit), [0])
+        # numpy fallback too
+        from openmeasure_tpu.ctc.unstructured import (
+            _cell_face_triangles, _segment_hits_cells_numpy)
+        hitn = _segment_hits_cells_numpy(
+            pts.astype(float), cells, _cell_face_triangles(8),
+            np.array([0.45, 0.5, 0.5]), np.array([0.55, 0.5, 0.5]))
+        assert bool(hitn[0])
